@@ -1,0 +1,189 @@
+"""Core GraphFrame abstraction.
+
+Mirrors the reference's ``GraphFrame { vertices, edges }`` struct
+(reference: src/lib.rs:60-97) as a Python class over two
+``pyspark.sql.DataFrame`` objects. IDs are hard-required LongType
+(reference: src/lib.rs:81-86).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+ID = "id"
+SRC = "src"
+DST = "dst"
+
+
+class GraphFrameError(ValueError):
+    pass
+
+
+def _require_long(df: DataFrame, col: str, side: str) -> None:
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if col not in fields:
+        raise GraphFrameError(f"{side} DataFrame must contain column '{col}'")
+    if not isinstance(fields[col], LongType):
+        # Same contract as the reference: "ID, SRC and DST should have data
+        # type Int64 (LONG)" (src/lib.rs:81-86).
+        raise GraphFrameError(
+            f"Column '{col}' of {side} must be LongType (Int64), got {fields[col]}"
+        )
+
+
+def symmetrize_edges(edges: DataFrame, deduplicate: bool = False) -> DataFrame:
+    """Undirected view of an edge frame: drop self-loops, add the reverse of
+    every edge, optionally deduplicate (reference: src/utils/graph_utils.rs:8-28).
+
+    Only ``src``/``dst`` are kept when ``deduplicate`` is requested by the
+    caller passing a pre-projected frame; attribute columns are carried
+    through the reversal otherwise.
+    """
+    cols = edges.columns
+    no_loops = edges.filter(F.col(SRC) != F.col(DST))
+    reversed_edges = no_loops.select(
+        *[
+            F.col(DST).alias(SRC) if c == SRC else (F.col(SRC).alias(DST) if c == DST else F.col(c))
+            for c in cols
+        ]
+    )
+    out = no_loops.unionByName(reversed_edges)
+    if deduplicate:
+        out = out.distinct()
+    return out
+
+
+class GraphFrame:
+    """A graph as a pair of DataFrames (reference: src/lib.rs:60-64).
+
+    vertices: must contain ``id: long`` (+ arbitrary attribute columns)
+    edges: must contain ``src: long, dst: long`` (+ arbitrary attributes)
+    """
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame):
+        _require_long(vertices, ID, "vertices")
+        _require_long(edges, SRC, "edges")
+        _require_long(edges, DST, "edges")
+        self._vertices = vertices
+        self._edges = edges
+
+    # -- accessors (src/lib.rs:91-97) --------------------------------------
+    @property
+    def vertices(self) -> DataFrame:
+        return self._vertices
+
+    @property
+    def edges(self) -> DataFrame:
+        return self._edges
+
+    # -- counts (src/lib.rs:125-159) ---------------------------------------
+    def num_nodes(self) -> int:
+        return self._vertices.count()
+
+    def num_edges(self) -> int:
+        return self._edges.count()
+
+    # -- degrees (src/lib.rs:191-234) --------------------------------------
+    @property
+    def in_degrees(self) -> DataFrame:
+        """Per-vertex incoming-edge count: DataFrame[id, in_degree]."""
+        return (
+            self._edges.groupBy(F.col(DST).alias(ID))
+            .agg(F.count(F.lit(1)).alias("in_degree"))
+        )
+
+    @property
+    def out_degrees(self) -> DataFrame:
+        """Per-vertex outgoing-edge count: DataFrame[id, out_degree]."""
+        return (
+            self._edges.groupBy(F.col(SRC).alias(ID))
+            .agg(F.count(F.lit(1)).alias("out_degree"))
+        )
+
+    @property
+    def degrees(self) -> DataFrame:
+        """Total degree (in + out): DataFrame[id, degree]."""
+        ends = self._edges.select(F.col(SRC).alias(ID)).unionAll(
+            self._edges.select(F.col(DST).alias(ID))
+        )
+        return ends.groupBy(ID).agg(F.count(F.lit(1)).alias("degree"))
+
+    # -- symmetrize (src/lib.rs:245-278) -----------------------------------
+    def symmetrize(self) -> "GraphFrame":
+        """Add the reverse of every edge, preserving attribute columns and
+        column order. Self-loops are kept (method form; the undirected-simple
+        utility is :func:`symmetrize_edges`)."""
+        cols = self._edges.columns
+        reversed_edges = self._edges.select(
+            *[
+                F.col(DST).alias(SRC)
+                if c == SRC
+                else (F.col(SRC).alias(DST) if c == DST else F.col(c))
+                for c in cols
+            ]
+        )
+        return GraphFrame(self._vertices, self._edges.unionByName(reversed_edges))
+
+    # -- triplets (src/lib.rs:322-371) -------------------------------------
+    def triplets(self) -> DataFrame:
+        """DataFrame[src_vertex: struct, edge: struct, dst_vertex: struct].
+
+        Edge-centric: one row per edge; vertex attributes packed into
+        structs, joined via two left joins (missing endpoints → null struct,
+        matching the reference's outer-join assembly).
+        """
+        v_cols = self._vertices.columns
+        e_cols = self._edges.columns
+        src_v = self._vertices.select(
+            F.col(ID).alias("__t_src_id"),
+            F.struct(*[F.col(c) for c in v_cols]).alias("src_vertex"),
+        )
+        dst_v = self._vertices.select(
+            F.col(ID).alias("__t_dst_id"),
+            F.struct(*[F.col(c) for c in v_cols]).alias("dst_vertex"),
+        )
+        edges = self._edges.select(
+            F.col(SRC), F.col(DST), F.struct(*[F.col(c) for c in e_cols]).alias("edge")
+        )
+        return (
+            edges.join(src_v, F.col(SRC) == F.col("__t_src_id"), "left")
+            .join(dst_v, F.col(DST) == F.col("__t_dst_id"), "left")
+            .select("src_vertex", "edge", "dst_vertex")
+        )
+
+    # -- algorithm builders --------------------------------------------------
+    def pregel(self) -> "PregelBuilder":
+        from graphframes_rs_spark.pregel import PregelBuilder
+
+        return PregelBuilder(self)
+
+    def page_rank(self) -> "PageRankBuilder":
+        from graphframes_rs_spark.operators.pagerank import PageRankBuilder
+
+        return PageRankBuilder(self)
+
+    def shortest_paths(self, landmarks: Sequence[int]) -> "ShortestPathsBuilder":
+        from graphframes_rs_spark.operators.shortest_paths import ShortestPathsBuilder
+
+        return ShortestPathsBuilder(self, list(landmarks))
+
+    def connected_components(self) -> "ConnectedComponentsBuilder":
+        from graphframes_rs_spark.operators.connected_components import (
+            ConnectedComponentsBuilder,
+        )
+
+        return ConnectedComponentsBuilder(self)
+
+    def k_core(self) -> "KCoreBuilder":
+        from graphframes_rs_spark.operators.k_core import KCoreBuilder
+
+        return KCoreBuilder(self)
+
+    def maximal_independent_set(self) -> "MISBuilder":
+        from graphframes_rs_spark.operators.maximal_independent_set import MISBuilder
+
+        return MISBuilder(self)

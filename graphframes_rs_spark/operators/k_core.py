@@ -1,0 +1,91 @@
+"""k-core decomposition (coreness per vertex) as a Pregel client.
+
+Mirrors reference src/algorithm/centrality/k_core.rs:66-144 (after Mandal &
+Al Hasan, "A distributed k-core decomposition algorithm on Spark", IEEE Big
+Data 2017): symmetrize+dedup the graph, seed each core estimate with the
+undirected degree, then iterate
+
+    core'(v) = kcore_merge(neighbour core estimates, core(v))
+
+until no estimate changes. ``kcore_merge`` = the largest ``l`` such that at
+least ``l`` neighbours have estimate >= ``l``, capped at the current core
+(reference src/expressions/kcore_merge.rs:29-55).
+
+Spark-first choice: instead of a Python UDF, the merge rule runs entirely in
+JVM expressions as an H-index over the sorted neighbour-estimate array —
+for msgs sorted descending, ``h = #{i : msgs[i] >= i+1}`` (the indicator is
+monotone on a descending sort, so the count equals the largest such l), and
+capping at the current core is ``least(core, h)``. Every vertex sends every
+round — the aggregate rebuilds each neighbour list from scratch, so
+participation pruning would corrupt estimates; early stop is voting-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.graphframe import GraphFrame, ID, SRC, DST, symmetrize_edges
+from graphframes_rs_spark.pregel import MessageDirection, Pregel
+
+KCORE = "kcore"
+
+
+def kcore_merge_expr(msgs: Column, core: Column) -> Column:
+    """Pure-SQL kcore_merge: H-index of the neighbour estimates, capped at
+    the current core. NULL msgs (no messages) => keep core; NULL core => 0."""
+    sorted_desc = F.sort_array(msgs, asc=False)
+    h_index = F.size(
+        F.filter(sorted_desc, lambda x, i: x >= (i + F.lit(1)).cast("long"))
+    ).cast("long")
+    merged = F.least(F.coalesce(core, F.lit(0)), h_index)
+    return F.when(msgs.isNull(), F.coalesce(core, F.lit(0))).otherwise(merged)
+
+
+class KCoreBuilder:
+    def __init__(self, graph: GraphFrame):
+        self.graph = graph
+        self.max_iter = 0  # 0 => converge
+        self._checkpoint_dir = None
+        self.iterations_ = 0
+
+    def max_iterations(self, n: int) -> "KCoreBuilder":
+        self.max_iter = n
+        return self
+
+    def set_checkpoint_dir(self, d: str) -> "KCoreBuilder":
+        self._checkpoint_dir = d
+        return self
+
+    def run(self) -> DataFrame:
+        """Returns DataFrame[id, kcore] (isolated vertices => 0)."""
+        prepared_edges = symmetrize_edges(
+            self.graph.edges.select(SRC, DST), deduplicate=True
+        )
+        degrees = prepared_edges.groupBy(F.col(SRC).alias(ID)).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        vertices = (
+            self.graph.vertices.select(ID)
+            .join(degrees, ID, "left")
+            .select(ID, F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        )
+        prep = GraphFrame(vertices, prepared_edges)
+
+        new_core = kcore_merge_expr(Pregel.msg(), F.col(KCORE))
+        builder = (
+            prep.pregel()
+            .add_vertex_column(KCORE, F.col("degree"), new_core)
+            .add_message(Pregel.src(KCORE), MessageDirection.SRC_TO_DST)
+            .add_aggregate_expr(F.collect_list(Pregel.msg()))
+            .with_vertex_voting("active", F.col(KCORE) != new_core)
+            .skip_dest_state()
+        )
+        if self._checkpoint_dir:
+            builder = builder.set_checkpoint_dir(self._checkpoint_dir)
+        if self.max_iter > 0:
+            builder = builder.max_iterations(self.max_iter)
+
+        out = builder.run().select(ID, KCORE)
+        self.iterations_ = builder.iterations_
+        return out

@@ -1,0 +1,96 @@
+"""Incremental (delta) PageRank — GraphX-style — as a Pregel client.
+
+Semantics mirror reference src/algorithm/centrality/pagerank.rs:78-204:
+
+  state:  pagerank (init reset_prob), pagerank_delta (init reset_prob),
+          out_degree (carried)
+  msg:    src.pagerank_delta / src.out_degree   (SrcToDst, sum-aggregated)
+  update: pagerank += alpha * coalesce(msg, 0);  delta = alpha * coalesce(msg, 0)
+  participation: delta > tol   (prunes converged sources each superstep)
+  voting: delta > tol          (convergence mode only, max_iter == 0)
+  finish: global normalization so ranks sum to 1 (crossJoin a 1-row agg)
+
+The additive seed constant cancels in normalization; alpha (= 1 - reset_prob)
+does not — dropping it would collapse to the pure random-walk distribution,
+wrong on graphs with sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.graphframe import GraphFrame, ID, SRC
+from graphframes_rs_spark.pregel import MessageDirection, Pregel
+
+PAGERANK = "pagerank"
+PAGERANK_DELTA = "pagerank_delta"
+
+
+class PageRankBuilder:
+    def __init__(self, graph: GraphFrame):
+        self.graph = graph
+        self.reset_prob = 0.15
+        self.tol = 0.01
+        self.max_iter = 0  # 0 => run to convergence via voting
+        self._checkpoint_dir = None
+        self.iterations_ = 0
+
+    def with_reset_prob(self, p: float) -> "PageRankBuilder":
+        self.reset_prob = p
+        return self
+
+    def with_tol(self, tol: float) -> "PageRankBuilder":
+        self.tol = tol
+        return self
+
+    def max_iterations(self, n: int) -> "PageRankBuilder":
+        self.max_iter = n
+        return self
+
+    def set_checkpoint_dir(self, d: str) -> "PageRankBuilder":
+        self._checkpoint_dir = d
+        return self
+
+    def run(self) -> DataFrame:
+        """Returns DataFrame[id, pagerank] normalized to sum 1."""
+        alpha = 1.0 - self.reset_prob
+
+        # PageRank needs out-degrees to split the delta over out-edges.
+        # Vertices with no out-edges keep out_degree NULL; they never emit a
+        # message (the join against edges produces no triplet rows for them),
+        # so the NULL never reaches an expression.
+        degrees = self.graph.out_degrees
+        vertices = self.graph.vertices.select(ID).join(degrees, ID, "left")
+        prep = GraphFrame(vertices, self.graph.edges.select(SRC, "dst"))
+
+        new_delta = F.lit(alpha) * F.coalesce(Pregel.msg(), F.lit(0.0))
+        builder = (
+            prep.pregel()
+            .add_vertex_column(PAGERANK, F.lit(self.reset_prob), F.col(PAGERANK) + new_delta)
+            .add_vertex_column(PAGERANK_DELTA, F.lit(self.reset_prob), new_delta)
+            .add_vertex_column("out_degree", F.col("out_degree"), F.col("out_degree"))
+            .add_message(
+                Pregel.src(PAGERANK_DELTA) / Pregel.src("out_degree"),
+                MessageDirection.SRC_TO_DST,
+            )
+            .add_aggregate_expr(F.sum(Pregel.msg()))
+            .with_participation_column("participates", F.lit(True), new_delta > F.lit(self.tol))
+            .skip_dest_state()
+        )
+        if self._checkpoint_dir:
+            builder = builder.set_checkpoint_dir(self._checkpoint_dir)
+        if self.max_iter > 0:
+            builder = builder.max_iterations(self.max_iter)
+        else:
+            builder = builder.with_vertex_voting("active", new_delta > F.lit(self.tol))
+
+        raw = builder.run()
+        self.iterations_ = builder.iterations_
+
+        # Normalization: 1-row global sum broadcast-joined against every row.
+        total = raw.agg(F.sum(PAGERANK).alias("__pr_sum"))
+        return (
+            raw.crossJoin(F.broadcast(total))
+            .select(F.col(ID), (F.col(PAGERANK) / F.col("__pr_sum")).alias(PAGERANK))
+        )

@@ -1,0 +1,335 @@
+"""Generic Pregel engine as relational dataflow on DataFrames.
+
+Re-expresses the reference's vertex-centric message-passing engine
+(reference: src/algorithm/pregel.rs:230-546) Spark-first:
+
+superstep = project src state  →  inner-join edges on src
+          (→ optional inner-join dst state)
+          →  one projection per message, unioned **by name**
+          →  groupBy(id).agg(aggregates)            # message delivery
+          →  left-join back onto state              # null = no message
+          →  apply update expressions in one select
+          →  parquet checkpoint (lineage truncation)
+          →  voting count / early exit
+
+Differences from the reference that are deliberate Spark-first choices:
+  * message frames are combined with ``unionByName(allowMissingColumns=True)``
+    — Spark supports this natively, so the reference's null-padding
+    workaround (pregel.rs:440-464) is unnecessary;
+  * per-superstep lineage truncation uses a parquet round-trip through
+    :class:`ParquetCheckpointer` (eviction keeps only the latest states);
+  * loop control lives in Python on the driver, convergence = voting
+    ``count() == 0`` or the iteration cap — same contract as the reference.
+
+Scale notes (100 TB design intent): the only shuffles per superstep are
+(1) the state⋈edges join on src, (2) the message groupBy on id, and
+(3) the message⋈state delivery join on id — all keyed on vertex id, so a
+fixed ``spark.sql.shuffle.partitions`` keeps them aligned; AQE handles
+skewed high-degree vertices. The edges frame is checkpointed once,
+pre-partitioned by ``src``. ``skip_dest_state`` halves the join cost and
+enables source-side participation pruning before the join, which Catalyst
+pushes into the checkpoint scan.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import reduce
+from typing import Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.graphframe import DST, ID, SRC
+from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+DEFAULT_MSG = "__default"
+
+_SRC_PREFIX = "__pregel_src_"
+_DST_PREFIX = "__pregel_dst_"
+_EDGE_PREFIX = "__pregel_edge_"
+_MSG_PREFIX = "__pregel_msg_"
+
+
+class MessageDirection(enum.Enum):
+    SRC_TO_DST = "src_to_dst"
+    DST_TO_SRC = "dst_to_src"
+    BIDIRECTIONAL = "bidirectional"
+
+
+class Pregel:
+    """Column helpers usable inside user expressions
+    (reference: pregel.rs:83-101)."""
+
+    @staticmethod
+    def src(col: str) -> Column:
+        """The source vertex's state column, inside a message expression."""
+        return F.col(_SRC_PREFIX + col)
+
+    @staticmethod
+    def dst(col: str) -> Column:
+        """The destination vertex's state column (requires dst state join)."""
+        return F.col(_DST_PREFIX + col)
+
+    @staticmethod
+    def edge(col: str) -> Column:
+        """An edge attribute column declared via ``add_edge_column``."""
+        if col in (SRC, DST):
+            return F.col(col)
+        return F.col(_EDGE_PREFIX + col)
+
+    @staticmethod
+    def msg(name: str = DEFAULT_MSG) -> Column:
+        """The aggregated message, inside update/voting/participation exprs."""
+        return F.col(_MSG_PREFIX + name)
+
+
+class PregelBuilder:
+    """Builder surface mirroring reference pregel.rs:103-224."""
+
+    def __init__(self, graph: "GraphFrame"):
+        self.graph = graph
+        self._max_iterations: Optional[int] = None
+        self._vertex_columns: List[Tuple[str, Column, Column]] = []
+        self._edge_columns: List[str] = []
+        self._messages: List[Tuple[str, Column, MessageDirection]] = []
+        self._aggregates: Dict[str, Column] = {}
+        self._voting: Optional[Tuple[str, Column]] = None
+        self._participation: Optional[Tuple[str, Column, Column]] = None
+        self._skip_dest_state = False
+        self._checkpoint_dir: Optional[str] = None
+        self._keep_internal_columns = False
+        self.iterations_: int = 0
+
+    # -- configuration ------------------------------------------------------
+    def max_iterations(self, n: int) -> "PregelBuilder":
+        self._max_iterations = n
+        return self
+
+    def with_vertex_voting(self, col: str, cond: Column) -> "PregelBuilder":
+        """Early stop: ``cond`` is recomputed for every vertex each superstep
+        (it may reference old state + messages); the loop ends when no vertex
+        is active (pregel.rs:135-140, 504-518)."""
+        self._voting = (col, cond)
+        return self
+
+    def add_vertex_column(self, name: str, init: Column, update: Column) -> "PregelBuilder":
+        """Stateful vertex column: ``init`` before superstep 0; ``update``
+        evaluated each superstep over old columns + aggregated messages."""
+        self._vertex_columns.append((name, init, update))
+        return self
+
+    def add_edge_column(self, name: str) -> "PregelBuilder":
+        """Carry an extra edge attribute into the triplet (src/dst always
+        included)."""
+        self._edge_columns.append(name)
+        return self
+
+    def with_participation_column(
+        self, col: str, init: Column, cond: Column
+    ) -> "PregelBuilder":
+        """Per-vertex "still emits messages" flag. With ``skip_dest_state``
+        the filter prunes the source side *before* the join; otherwise rows
+        where neither endpoint participates are dropped after the join
+        (pregel.rs:161-173, 383-438)."""
+        self._participation = (col, init, cond)
+        return self
+
+    def add_message(self, expr: Column, direction: MessageDirection) -> "PregelBuilder":
+        return self.add_named_message(DEFAULT_MSG, expr, direction)
+
+    def add_named_message(
+        self, name: str, expr: Column, direction: MessageDirection
+    ) -> "PregelBuilder":
+        """Message expression over the triplet; direction picks the delivery
+        key (dst id for SRC_TO_DST, src id for DST_TO_SRC; BIDIRECTIONAL
+        emits both)."""
+        self._messages.append((name, expr, direction))
+        return self
+
+    def add_aggregate_expr(self, expr: Column) -> "PregelBuilder":
+        return self.add_named_aggregate_expr(DEFAULT_MSG, expr)
+
+    def add_named_aggregate_expr(self, name: str, expr: Column) -> "PregelBuilder":
+        """Merge function for message ``name`` — an aggregate Column over
+        ``Pregel.msg(name)`` (e.g. ``F.sum(Pregel.msg())``)."""
+        self._aggregates[name] = expr
+        return self
+
+    def skip_dest_state(self) -> "PregelBuilder":
+        """Omit the dst-vertex join: messages may only read src state + edge
+        attrs. Halves join cost and enables pre-join participation pruning."""
+        self._skip_dest_state = True
+        return self
+
+    def set_checkpoint_dir(self, directory: str) -> "PregelBuilder":
+        self._checkpoint_dir = directory
+        return self
+
+    def keep_internal_columns(self) -> "PregelBuilder":
+        """Debug: keep voting/participation columns in the output."""
+        self._keep_internal_columns = True
+        return self
+
+    # -- execution ----------------------------------------------------------
+    def run(self) -> DataFrame:
+        """Run the superstep loop; returns the final (materialized) vertex
+        state. ``self.iterations_`` holds the executed superstep count."""
+        if not self._messages:
+            raise ValueError("Pregel requires at least one message")
+        msg_names = sorted({name for name, _, _ in self._messages})
+        missing = [n for n in msg_names if n not in self._aggregates]
+        if missing:
+            raise ValueError(f"missing aggregate expression for message(s): {missing}")
+        if self._max_iterations is None and self._voting is None:
+            raise ValueError(
+                "set max_iterations and/or with_vertex_voting — otherwise the loop never ends"
+            )
+        max_iter = self._max_iterations if self._max_iterations is not None else 2**31
+
+        spark = self.graph.vertices.sparkSession
+        # Two checkpoint pools: `pinned` holds the edges offload (must stay
+        # live for the whole run) and the final state; `rotating` holds the
+        # per-superstep states, evicted as the loop advances.
+        base = self._checkpoint_dir
+        pinned = ParquetCheckpointer(spark, None if base is None else base + "/pinned")
+        if base is None:
+            base = pinned.directory
+        rotating = ParquetCheckpointer(spark, base + "/rotating")
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        # -- init state (pregel.rs:266-270, 326-348) ------------------------
+        state = self.graph.vertices
+        for name, init, _ in self._vertex_columns:
+            state = state.withColumn(name, init)
+        if self._participation is not None:
+            p_name, p_init, _ = self._participation
+            state = state.withColumn(p_name, p_init)
+        if self._voting is not None:
+            v_name, _ = self._voting
+            state = state.withColumn(v_name, F.lit(True))
+        state = rotating.push_partitioned(state, ID, shuffle_n, "state")
+
+        # -- offload edges once, partitioned by src (pregel.rs:351-368) -----
+        edge_proj = [F.col(SRC), F.col(DST)] + [
+            F.col(c).alias(_EDGE_PREFIX + c) for c in self._edge_columns
+        ]
+        edges = pinned.push_partitioned(
+            self.graph.edges.select(*edge_proj), SRC, shuffle_n, "edges"
+        )
+        n_edge_ckpts = pinned.num_checkpoints  # 0 if the edge frame was empty
+
+        needs_dst = not self._skip_dest_state
+        iteration = 0
+        try:
+            while iteration < max_iter:
+                state_cols = state.columns
+
+                # 1. source-side projection (+ pre-join participation prune)
+                src_side = state.select(
+                    *[F.col(c).alias(_SRC_PREFIX + c) for c in state_cols]
+                )
+                if self._participation is not None and self._skip_dest_state:
+                    src_side = src_side.filter(
+                        F.col(_SRC_PREFIX + self._participation[0])
+                    )
+
+                # 2. triplet assembly
+                trip = src_side.join(
+                    edges, src_side[_SRC_PREFIX + ID] == edges[SRC], "inner"
+                )
+                if needs_dst:
+                    dst_side = state.select(
+                        *[F.col(c).alias(_DST_PREFIX + c) for c in state_cols]
+                    )
+                    trip = trip.join(
+                        dst_side, trip[DST] == dst_side[_DST_PREFIX + ID], "inner"
+                    )
+                    if self._participation is not None:
+                        p = self._participation[0]
+                        trip = trip.filter(
+                            F.col(_SRC_PREFIX + p) | F.col(_DST_PREFIX + p)
+                        )
+
+                # 3. per-message projection, combined by name
+                msg_frames = []
+                for name, expr, direction in self._messages:
+                    if direction in (
+                        MessageDirection.SRC_TO_DST,
+                        MessageDirection.BIDIRECTIONAL,
+                    ):
+                        msg_frames.append(
+                            trip.select(
+                                F.col(DST).alias(ID), expr.alias(_MSG_PREFIX + name)
+                            )
+                        )
+                    if direction in (
+                        MessageDirection.DST_TO_SRC,
+                        MessageDirection.BIDIRECTIONAL,
+                    ):
+                        msg_frames.append(
+                            trip.select(
+                                F.col(SRC).alias(ID), expr.alias(_MSG_PREFIX + name)
+                            )
+                        )
+                combined = reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True), msg_frames
+                )
+
+                # 4. message aggregation (one shuffle on id)
+                agg_exprs = [
+                    self._aggregates[n].alias(_MSG_PREFIX + n) for n in msg_names
+                ]
+                msgs = combined.groupBy(ID).agg(*agg_exprs)
+
+                # 5. delivery: left join (no message -> NULL) + update select
+                joined = state.join(
+                    msgs.withColumnRenamed(ID, "__pregel_msg_id"),
+                    state[ID] == F.col("__pregel_msg_id"),
+                    "left",
+                )
+                update_for = {name: upd for name, _, upd in self._vertex_columns}
+                select_exprs = []
+                for c in state_cols:
+                    if c in update_for:
+                        select_exprs.append(update_for[c].alias(c))
+                    elif self._participation is not None and c == self._participation[0]:
+                        select_exprs.append(self._participation[2].alias(c))
+                    elif self._voting is not None and c == self._voting[0]:
+                        select_exprs.append(self._voting[1].alias(c))
+                    else:
+                        select_exprs.append(F.col(c))
+                new_state = joined.select(*select_exprs)
+
+                # 6. checkpoint (truncate lineage), evict older state
+                state = rotating.push_partitioned(new_state, ID, shuffle_n, "state")
+                rotating.evict_all_but_latest(1)
+                iteration += 1
+
+                # 7. voting / early exit (pregel.rs:504-518)
+                if self._voting is not None:
+                    active = state.filter(F.col(self._voting[0])).count()
+                    if active == 0:
+                        break
+
+            self.iterations_ = iteration
+        finally:
+            pass
+
+        drop_cols = []
+        if not self._keep_internal_columns:
+            if self._voting is not None:
+                drop_cols.append(self._voting[0])
+            if self._participation is not None:
+                drop_cols.append(self._participation[0])
+        result = state.drop(*drop_cols) if drop_cols else state
+        # Re-materialize through the pinned pool so the rotating pool (and
+        # the edges offload) can be reclaimed while the result stays live.
+        final = pinned.push(result, "final")
+        pinned.evict(n_edge_ckpts)  # edges offload no longer needed
+        if rotating.num_checkpoints == 0:
+            # Nothing was ever materialized (empty graph) — the result is
+            # still a pure logical plan; purge is safe either way.
+            pass
+        rotating.purge()
+        return final

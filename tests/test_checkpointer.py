@@ -1,0 +1,27 @@
+import os
+
+from graphframes_rs_spark import ParquetCheckpointer
+
+
+def test_push_roundtrip_and_evict(spark, tmp_path):
+    ck = ParquetCheckpointer(spark, str(tmp_path / "ck"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out1 = ck.push(df, "s")
+    assert sorted(r["id"] for r in out1.collect()) == [1, 2]
+    assert ck.num_checkpoints == 1
+    out2 = ck.push(out1.filter("id = 1"), "s")
+    assert ck.num_checkpoints == 2
+    ck.evict_all_but_latest(1)
+    assert ck.num_checkpoints == 1
+    # the latest checkpoint is still readable after eviction of older ones
+    assert out2.collect()[0]["v"] == "a"
+    ck.purge()
+    assert ck.num_checkpoints == 0
+
+
+def test_empty_dataframe_passthrough(spark, tmp_path):
+    ck = ParquetCheckpointer(spark, str(tmp_path / "ck2"))
+    df = spark.createDataFrame([], "id long")
+    out = ck.push(df, "s")
+    assert out.count() == 0
+    assert ck.num_checkpoints == 0  # nothing written (checkpointer.rs:93-102)

@@ -1,0 +1,109 @@
+"""Core GraphFrame tests, mirroring reference src/lib.rs:374-696."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from graphframes_rs_spark import GraphFrame
+from graphframes_rs_spark.graphframe import GraphFrameError, symmetrize_edges
+
+
+def hub_graph(spark):
+    """10 vertices; vertex 1 fans out to all others + some extra edges
+    (reference hub fixture, src/lib.rs:381-397)."""
+    vertices = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 11)], "id long, name string"
+    )
+    edges = [(1, d) for d in range(2, 11)] + [
+        (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (8, 9), (9, 10), (10, 2),
+        (2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (7, 1), (8, 1), (9, 1), (10, 1),
+        (2, 4), (4, 6), (6, 8),
+    ]
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    return GraphFrame(vertices, edges_df), edges
+
+
+def test_counts(spark):
+    g, edges = hub_graph(spark)
+    assert g.num_nodes() == 10
+    assert g.num_edges() == len(edges)
+
+
+def test_degrees(spark):
+    g, edges = hub_graph(spark)
+    out_deg = {r["id"]: r["out_degree"] for r in g.out_degrees.collect()}
+    in_deg = {r["id"]: r["in_degree"] for r in g.in_degrees.collect()}
+    deg = {r["id"]: r["degree"] for r in g.degrees.collect()}
+    for v in range(1, 11):
+        expected_out = sum(1 for s, _ in edges if s == v)
+        expected_in = sum(1 for _, d in edges if d == v)
+        assert out_deg.get(v, 0) == expected_out
+        assert in_deg.get(v, 0) == expected_in
+        assert deg.get(v, 0) == expected_in + expected_out
+
+
+def test_constructor_rejects_wrong_types(spark):
+    v_bad = spark.createDataFrame([(1,)], "id int")
+    e_ok = spark.createDataFrame([(1, 2)], "src long, dst long")
+    v_ok = spark.createDataFrame([(1,)], "id long")
+    e_bad = spark.createDataFrame([(1, 2)], "src long, dst int")
+    with pytest.raises(GraphFrameError):
+        GraphFrame(v_bad, e_ok)
+    with pytest.raises(GraphFrameError):
+        GraphFrame(v_ok, e_bad)
+    with pytest.raises(GraphFrameError):
+        GraphFrame(spark.createDataFrame([(1,)], "vertex long"), e_ok)
+
+
+def test_symmetrize_method_preserves_attrs_and_order(spark):
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 0.5, "a")], "src long, dst long, weight double, label string"
+    )
+    g = GraphFrame(v, e).symmetrize()
+    assert g.edges.columns == ["src", "dst", "weight", "label"]
+    rows = sorted(
+        [(r["src"], r["dst"], r["weight"], r["label"]) for r in g.edges.collect()]
+    )
+    assert rows == [(1, 2, 0.5, "a"), (2, 1, 0.5, "a")]
+
+
+def test_symmetrize_util_simple_undirected(spark):
+    # self-loop dropped, reciprocal pair deduplicated
+    e = spark.createDataFrame([(1, 1), (1, 2), (2, 1), (2, 3)], "src long, dst long")
+    out = sorted(
+        [(r["src"], r["dst"]) for r in symmetrize_edges(e, deduplicate=True).collect()]
+    )
+    assert out == [(1, 2), (2, 1), (2, 3), (3, 2)]
+
+
+def test_triplets_three_cycle(spark):
+    """3-cycle with string attrs pins the struct schema
+    (reference src/lib.rs:492-536)."""
+    v = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, name string")
+    e = spark.createDataFrame(
+        [(1, 3, "x"), (2, 1, "y"), (3, 2, "z")], "src long, dst long, label string"
+    )
+    t = GraphFrame(v, e).triplets()
+    assert t.columns == ["src_vertex", "edge", "dst_vertex"]
+    assert t.count() == 3
+    rows = {
+        (r["edge"]["src"], r["edge"]["dst"]): r
+        for r in t.collect()
+    }
+    assert rows[(1, 3)]["src_vertex"]["name"] == "a"
+    assert rows[(1, 3)]["dst_vertex"]["name"] == "c"
+    assert rows[(1, 3)]["edge"]["label"] == "x"
+    # struct field sets
+    assert set(t.schema["src_vertex"].dataType.fieldNames()) == {"id", "name"}
+    assert set(t.schema["edge"].dataType.fieldNames()) == {"src", "dst", "label"}
+
+
+def test_triplets_missing_vertex_is_null_struct(spark):
+    v = spark.createDataFrame([(1, "a")], "id long, name string")
+    e = spark.createDataFrame([(1, 99)], "src long, dst long")
+    t = GraphFrame(v, e).triplets().collect()
+    assert len(t) == 1
+    assert t[0]["dst_vertex"] is None
+    assert t[0]["src_vertex"]["name"] == "a"

@@ -1,0 +1,60 @@
+"""k-core hand-computed fixtures (reference k_core.rs:289-502)."""
+
+from graphframes_rs_spark import GraphFrame
+
+
+def _kcore(spark, ckpt_dir, vertices, edges):
+    v = spark.createDataFrame([(i,) for i in vertices], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = GraphFrame(v, e).k_core().set_checkpoint_dir(ckpt_dir).run()
+    return {r["id"]: r["kcore"] for r in out.collect()}
+
+
+def test_triangle_is_2core(spark, ckpt_dir):
+    assert _kcore(spark, ckpt_dir, [1, 2, 3], [(1, 2), (2, 3), (3, 1)]) == {
+        1: 2, 2: 2, 3: 2,
+    }
+
+
+def test_star_is_1core(spark, ckpt_dir):
+    out = _kcore(spark, ckpt_dir, [0, 1, 2, 3], [(0, 1), (0, 2), (0, 3)])
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_with_tail_kcore_ne_degree(spark, ckpt_dir):
+    """Vertex 1 has degree 3 but coreness 2 (the kcore != degree trap,
+    k_core.rs:365-389)."""
+    out = _kcore(
+        spark, ckpt_dir, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5)]
+    )
+    assert out == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_reciprocal_pair_counts_once(spark, ckpt_dir):
+    """(0,1) and (1,0) describe ONE undirected edge: core 1 not 2
+    (k_core.rs:486-502)."""
+    assert _kcore(spark, ckpt_dir, [0, 1], [(0, 1), (1, 0)]) == {0: 1, 1: 1}
+
+
+def test_isolated_vertex_is_0core(spark, ckpt_dir):
+    out = _kcore(spark, ckpt_dir, [1, 2, 9], [(1, 2)])
+    assert out == {1: 1, 2: 1, 9: 0}
+
+
+def test_hierarchy_bands(spark, ckpt_dir):
+    """K5 core + mid band + outer chain (k_core.rs:391-484, simplified):
+    K5 members have core 4; each mid vertex attaches to 2 core members and
+    one outer vertex; outer chain has core <= 2."""
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    mid = []
+    for m in range(5, 10):
+        mid += [(m, m - 5), (m, (m - 4) % 5)]
+    outer = [(m + 5, m) for m in range(5, 10)]
+    vertices = list(range(15))
+    out = _kcore(spark, ckpt_dir, vertices, k5 + mid + outer)
+    for i in range(5):
+        assert out[i] == 4, f"K5 vertex {i}"
+    for m in range(5, 10):
+        assert 2 <= out[m] <= 3, f"mid vertex {m}"
+    for o in range(10, 15):
+        assert out[o] == 1, f"outer vertex {o}"

@@ -1,0 +1,191 @@
+"""Pregel engine semantics tests, mirroring reference pregel.rs:628-967."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark import GraphFrame, MessageDirection, Pregel
+
+
+def chain_graph(spark):
+    """1 -> 2 -> 3 -> 4 (reference chain fixture, pregel.rs:768-839)."""
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    return GraphFrame(v, e)
+
+
+def test_chain_propagation_converges_in_4_supersteps(spark, ckpt_dir):
+    """Propagate max value down the chain; voting stops the loop exactly when
+    nothing changes any more."""
+    g = chain_graph(spark)
+    b = (
+        g.pregel()
+        .add_vertex_column("val", F.col("id"), F.greatest(F.col("val"), F.coalesce(Pregel.msg(), F.lit(0))))
+        .add_message(Pregel.src("val"), MessageDirection.SRC_TO_DST)
+        .add_aggregate_expr(F.max(Pregel.msg()))
+        .with_vertex_voting(
+            "active", F.greatest(F.col("val"), F.coalesce(Pregel.msg(), F.lit(0))) != F.col("val")
+        )
+        .max_iterations(100)
+        .set_checkpoint_dir(ckpt_dir)
+    )
+    result = b.run()
+    vals = {r["id"]: r["val"] for r in result.collect()}
+    # every vertex ends with the max over its ancestors (itself included):
+    # chain is increasing so val == id
+    assert vals == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    # now the decreasing direction: propagate from 4 backwards (DST_TO_SRC)
+    b2 = (
+        g.pregel()
+        .add_vertex_column("val", F.col("id"), F.greatest(F.col("val"), F.coalesce(Pregel.msg(), F.lit(0))))
+        .add_message(Pregel.dst("val"), MessageDirection.DST_TO_SRC)
+        .add_aggregate_expr(F.max(Pregel.msg()))
+        .with_vertex_voting(
+            "active", F.greatest(F.col("val"), F.coalesce(Pregel.msg(), F.lit(0))) != F.col("val")
+        )
+        .max_iterations(100)
+        .set_checkpoint_dir(ckpt_dir + "2")
+    )
+    vals2 = {r["id"]: r["val"] for r in b2.run().collect()}
+    assert vals2 == {1: 4, 2: 4, 3: 4, 4: 4}
+    # 4 supersteps: 3 to reach vertex 1, +1 to detect no change
+    assert b2.iterations_ == 4
+
+
+def test_self_loop_message_delivered(spark, ckpt_dir):
+    """Single vertex with edge (1,1): message is delivered to self
+    (pregel.rs:719-742)."""
+    v = spark.createDataFrame([(1,)], "id long")
+    e = spark.createDataFrame([(1, 1)], "src long, dst long")
+    b = (
+        GraphFrame(v, e)
+        .pregel()
+        .add_vertex_column("cnt", F.lit(0), F.col("cnt") + F.coalesce(Pregel.msg(), F.lit(0)))
+        .add_message(F.lit(1), MessageDirection.SRC_TO_DST)
+        .add_aggregate_expr(F.sum(Pregel.msg()))
+        .max_iterations(3)
+        .set_checkpoint_dir(ckpt_dir)
+    )
+    out = b.run().collect()
+    assert out[0]["cnt"] == 3
+
+
+def test_no_edges_coalesce_path(spark, ckpt_dir):
+    """Vertices but no edges: no messages are ever delivered; updates see
+    NULL msg (pregel.rs:744-766)."""
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([], "src long, dst long")
+    b = (
+        GraphFrame(v, e)
+        .pregel()
+        .add_vertex_column(
+            "val", F.lit(7), F.coalesce(Pregel.msg(), F.col("val"))
+        )
+        .add_message(Pregel.src("val"), MessageDirection.SRC_TO_DST)
+        .add_aggregate_expr(F.max(Pregel.msg()))
+        .max_iterations(2)
+        .set_checkpoint_dir(ckpt_dir)
+    )
+    out = b.run()
+    assert sorted(r["val"] for r in out.collect()) == [7, 7]
+
+
+def test_named_message_aggregation_isolation(spark, ckpt_dir):
+    """Two named messages with different aggregates must not leak into each
+    other (fan-out fixture + union-by-name proof, pregel.rs:850-929)."""
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    b = (
+        GraphFrame(v, e)
+        .pregel()
+        .add_vertex_column("s", F.lit(0), F.coalesce(Pregel.msg("a"), F.lit(-1)))
+        .add_vertex_column("m", F.lit(0), F.coalesce(Pregel.msg("b"), F.lit(-1)))
+        .add_named_message("a", Pregel.src("id") * 10, MessageDirection.SRC_TO_DST)
+        .add_named_message("b", Pregel.src("id") + 100, MessageDirection.SRC_TO_DST)
+        .add_named_aggregate_expr("a", F.sum(Pregel.msg("a")))
+        .add_named_aggregate_expr("b", F.max(Pregel.msg("b")))
+        .max_iterations(1)
+        .set_checkpoint_dir(ckpt_dir)
+    )
+    out = {r["id"]: (r["s"], r["m"]) for r in b.run().collect()}
+    # vertex 2 receives from 1: sum(10)=10, max(101)=101
+    # vertex 3 receives from 1 and 2: sum(10+20)=30, max(101,102)=102
+    # vertex 1 receives nothing: (-1, -1)
+    assert out == {1: (-1, -1), 2: (10, 101), 3: (30, 102)}
+
+
+def test_zero_iterations_returns_initialized_schema(spark, ckpt_dir):
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    b = (
+        GraphFrame(v, e)
+        .pregel()
+        .add_vertex_column("x", F.lit(5), F.col("x"))
+        .add_message(Pregel.src("x"), MessageDirection.SRC_TO_DST)
+        .add_aggregate_expr(F.sum(Pregel.msg()))
+        .max_iterations(0)
+        .set_checkpoint_dir(ckpt_dir)
+    )
+    out = b.run()
+    assert out.columns == ["id", "x"]
+    assert sorted(r["x"] for r in out.collect()) == [5, 5]
+    assert b.iterations_ == 0
+
+
+def test_bidirectional_ring_soak(spark, ckpt_dir):
+    """Ring of 8 with bidirectional messages: each vertex doubles its value
+    each superstep (2 in-neighbours, sum agg); 6 supersteps -> 64
+    (soak pattern of pregel.rs:931-967)."""
+    n = 8
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    b = (
+        GraphFrame(v, e)
+        .pregel()
+        .add_vertex_column("val", F.lit(1), F.coalesce(Pregel.msg(), F.lit(0)))
+        .add_message(Pregel.src("val"), MessageDirection.SRC_TO_DST)
+        .add_message(Pregel.dst("val"), MessageDirection.DST_TO_SRC)
+        .add_aggregate_expr(F.sum(Pregel.msg()))
+        .max_iterations(6)
+        .set_checkpoint_dir(ckpt_dir)
+    )
+    out = b.run().collect()
+    assert [r["val"] for r in out] == [64] * n
+
+
+def test_participation_prunes_messages(spark, ckpt_dir):
+    """Only participating sources send when skip_dest_state is on."""
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    b = (
+        GraphFrame(v, e)
+        .pregel()
+        .add_vertex_column(
+            "got", F.lit(0), F.col("got") + F.coalesce(Pregel.msg(), F.lit(0))
+        )
+        .with_participation_column("part", F.col("id") == 1, F.col("part"))
+        .add_message(F.lit(1), MessageDirection.SRC_TO_DST)
+        .add_aggregate_expr(F.sum(Pregel.msg()))
+        .skip_dest_state()
+        .max_iterations(1)
+        .set_checkpoint_dir(ckpt_dir)
+    )
+    out = {r["id"]: r["got"] for r in b.run().collect()}
+    # only vertex 1 participates -> vertex 3 receives exactly one message
+    assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_validation_errors(spark):
+    v = spark.createDataFrame([(1,)], "id long")
+    e = spark.createDataFrame([(1, 1)], "src long, dst long")
+    g = GraphFrame(v, e)
+    with pytest.raises(ValueError, match="at least one message"):
+        g.pregel().max_iterations(1).run()
+    with pytest.raises(ValueError, match="missing aggregate"):
+        g.pregel().add_message(F.lit(1), MessageDirection.SRC_TO_DST).max_iterations(1).run()
+    with pytest.raises(ValueError, match="max_iterations"):
+        g.pregel().add_message(F.lit(1), MessageDirection.SRC_TO_DST).add_aggregate_expr(
+            F.sum(Pregel.msg())
+        ).run()
