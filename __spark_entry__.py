@@ -1,38 +1,619 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline operators; ``oracle_sql()`` gives the DuckDB-runnable
+ANSI-SQL equivalent for each SQL-expressible query (identical column names
+and value rounding, so the driver's row-count/schema/value-hash gate
+passes). Iterative/randomized operators whose outputs have no closed SQL
+form (big-graph WCC/k-core/PageRank, MIS, minhash-LSH candidates) are
+declared without an oracle → rows-only check.
+
+Graph fixtures (see graphframes_rs_spark/sources/graphs.py):
+  * lineitem bipartite graph (orders → suppliers, offset 10_000_000)
+  * customer→nation→region DAG (offsets 1000/100/50) — fixed depth, so
+    components / BFS / 3-iteration PageRank have closed-form SQL oracles.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.pipeline import dedup, similarity
+from graphframes_rs_spark.pipeline import text as txt
+from graphframes_rs_spark.sources.graphs import (
+    customer_hierarchy_graph,
+    lineitem_graph,
+    named_hierarchy_graph,
+)
+from graphframes_rs_spark.sources.tables import load_table
+from graphframes_rs_spark.streaming import events as ev
+
+MINHASH_K = 8
+MINHASH_BANDS = 4
+JACCARD_T = 0.1
+NEARDUP_COS_T = 0.4
+ANN_K = 5
+
+_EDGES_BIG_SQL = (
+    "SELECT DISTINCT l_orderkey AS src, "
+    "CAST(l_suppkey + 10000000 AS BIGINT) AS dst FROM lineitem"
+)
+_VERTS_BIG_SQL = (
+    f"SELECT src AS id FROM ({_EDGES_BIG_SQL}) UNION "
+    f"SELECT dst AS id FROM ({_EDGES_BIG_SQL})"
+)
+_EDGES_SMALL_SQL = (
+    "SELECT CAST(c_custkey + 1000 AS BIGINT) AS src, "
+    "CAST(c_nationkey + 100 AS BIGINT) AS dst FROM customer "
+    "UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), "
+    "CAST(n_regionkey + 50 AS BIGINT) FROM nation"
+)
+_VERTS_SMALL_SQL = (
+    "SELECT CAST(c_custkey + 1000 AS BIGINT) AS id FROM customer "
+    "UNION SELECT CAST(n_nationkey + 100 AS BIGINT) FROM nation "
+    "UNION SELECT CAST(r_regionkey + 50 AS BIGINT) FROM region"
+)
+# distinct word-3-gram shingles per doc (matches pipeline.dedup.shingles)
+_SHINGLES_SQL = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 1, 2)), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS shingle "
+    "FROM documents"
+)
+_HASH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _ckpt() -> str:
+    return tempfile.mkdtemp(prefix="gf_entry_")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the sf0.001 lineitem bipartite graph."""
+    g = lineitem_graph(spark, "/root/testdata/sf0.001")
+    pr = g.page_rank().max_iterations(5).set_checkpoint_dir(_ckpt())
+    return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_graph_counts(spark, sf_dir):
+    g = lineitem_graph(spark, sf_dir)
+    return spark.createDataFrame(
+        [(g.num_nodes(), g.num_edges())], "n_nodes long, n_edges long"
+    )
+
+
+def _q_in_degrees(spark, sf_dir):
+    return lineitem_graph(spark, sf_dir).in_degrees
+
+
+def _q_out_degrees(spark, sf_dir):
+    return lineitem_graph(spark, sf_dir).out_degrees
+
+
+def _q_degrees(spark, sf_dir):
+    return lineitem_graph(spark, sf_dir).degrees
+
+
+def _q_symmetrize(spark, sf_dir):
+    from graphframes_rs_spark.graphframe import symmetrize_edges
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return symmetrize_edges(g.edges, deduplicate=True)
+
+
+def _q_triplets(spark, sf_dir):
+    t = named_hierarchy_graph(spark, sf_dir).triplets()
+    return t.select(
+        F.col("edge.src").alias("src"),
+        F.col("edge.dst").alias("dst"),
+        F.col("src_vertex.name").alias("src_name"),
+        F.col("dst_vertex.name").alias("dst_name"),
+    )
+
+
+def _q_connected_components(spark, sf_dir):
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return g.connected_components().set_checkpoint_dir(_ckpt()).run()
+
+
+def _q_shortest_paths(spark, sf_dir):
+    g = customer_hierarchy_graph(spark, sf_dir)
+    sp = g.shortest_paths([1001]).set_checkpoint_dir(_ckpt())
+    return sp.run()
+
+
+def _q_pagerank_dag(spark, sf_dir):
+    g = customer_hierarchy_graph(spark, sf_dir)
+    pr = g.page_rank().max_iterations(3).with_tol(0.0).set_checkpoint_dir(_ckpt())
+    return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+def _q_kcore_forest(spark, sf_dir):
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return g.k_core().set_checkpoint_dir(_ckpt()).run()
+
+
+def _q_mis_forest(spark, sf_dir):
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return (
+        g.maximal_independent_set()
+        .with_random_seed(7)
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+
+
+def _q_wcc_big(spark, sf_dir):
+    g = lineitem_graph(spark, sf_dir)
+    return g.connected_components().set_checkpoint_dir(_ckpt()).run()
+
+
+def _q_kcore_big(spark, sf_dir):
+    g = lineitem_graph(spark, sf_dir)
+    return g.k_core().set_checkpoint_dir(_ckpt()).run()
+
+
+def _q_doc_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        txt.token_count(c).cast("long").alias("n_tokens"),
+        txt.bpe_ish_token_count(c).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(txt.alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(txt.stopword_ratio(c), 6).alias("stopword_ratio"),
+        txt.quality_score(c).alias("quality"),
+    )
+
+
+def _q_doc_lang(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", txt.language_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", txt.rolling_hash(F.col("text")).alias("fingerprint"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, k=MINHASH_K)
+
+
+def _q_lsh_candidates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=MINHASH_K)
+    return dedup.minhash_lsh_candidates(sigs, k=MINHASH_K, bands=MINHASH_BANDS)
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
+
+
+def _q_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, bits=32)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.embedding_near_duplicates(emb, threshold=NEARDUP_COS_T)
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.lsh_topk(emb, queries, k=ANN_K, planes_per_table=4, tables=8)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = ev.tumbling_counts(events, "1 hour")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def _q_sessions(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = ev.sessionize(events, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("long").alias("session_end_epoch"),
+        "n_events",
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q_top_customers(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "graph_counts": _q_graph_counts,
+        "in_degrees": _q_in_degrees,
+        "out_degrees": _q_out_degrees,
+        "degrees": _q_degrees,
+        "symmetrize": _q_symmetrize,
+        "triplets": _q_triplets,
+        "connected_components": _q_connected_components,
+        "shortest_paths": _q_shortest_paths,
+        "pagerank_dag": _q_pagerank_dag,
+        "kcore_forest": _q_kcore_forest,
+        "mis_forest": _q_mis_forest,
+        "wcc_big": _q_wcc_big,
+        "kcore_big": _q_kcore_big,
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_lang": _q_doc_lang,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_sigs": _q_minhash_sigs,
+        "lsh_candidates": _q_lsh_candidates,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "simhash": _q_simhash,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "events_hourly": _q_events_hourly,
+        "sessions": _q_sessions,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+def _minhash_sig_sql() -> str:
+    params = dedup.minhash_params(MINHASH_K)
+    x = _HASH60.format(x="shingle") + " % 2147483647"
+    aggs = ", ".join(
+        f"CAST(min(({a} * x + {b}) % 2147483647) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return (
+        f"WITH sh AS ({_SHINGLES_SQL}), "
+        f"hx AS (SELECT doc_id, {x} AS x FROM sh) "
+        f"SELECT doc_id, {aggs} FROM hx GROUP BY doc_id"
+    )
+
+
+def _lsh_candidates_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        key = f"(mh_{b * rows} % 1000000007)"
+        for r in range(1, rows):
+            key = f"(({key} * 31 + mh_{b * rows + r}) % 1000000007)"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({banded}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM banded a JOIN banded b ON a.band = b.band "
+        "AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
+
+def _simhash_sql() -> str:
+    bits = 32
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    h = _HASH60.format(x="t")
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        "FROM documents), "
+        f"hashed AS (SELECT doc_id, {h} AS h FROM tok), "
+        f"votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes"
+    )
+
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), (s, x) -> s + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> x * x)), (s, x) -> s + x))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+    )
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in txt.LANG_MARKERS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            f"len(list_filter(toks, t -> list_contains({arr}, t))) AS s_{lang}"
+        )
+    return ", ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in txt.STOPWORDS_EN) + "]"
+    alpha = (
+        "CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)"
+        " / length(text)"
+    )
+    toks_lower = "string_split(lower(text), ' ')"
+    stop_hits = f"len(list_filter({toks_lower}, t -> list_contains({stop_arr}, t)))"
+    stop_ratio = f"CAST({stop_hits} AS DOUBLE) / greatest(len({toks_lower}), 1)"
+    toks = "string_split(text, ' ')"
+    mwl = (
+        f"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({toks}, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)"
+        f" / greatest(len({toks}), 1)"
+    )
+    quality = (
+        f"round(0.25 * (CASE WHEN length(text) >= 50 AND length(text) <= 10000 "
+        f"THEN 1.0 ELSE 0.0 END) + 0.35 * ({alpha}) "
+        f"+ 0.2 * least(({stop_ratio}) * 5, 1.0) "
+        f"+ 0.2 * (CASE WHEN ({mwl}) >= 3 AND ({mwl}) <= 10 THEN 1.0 ELSE 0.0 END), 6)"
+    )
+    fingerprint = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split_regex(text, ''), ch -> CAST(ord(ch) AS BIGINT))), "
+        "(h, c) -> (h * 31 + c) % 1000000007)"
+    )
+    cos_ab = _cosine_sql("a.v", "b.v")
+    cos_qn = _cosine_sql("q.qv", "b.nv")
+
+    return {
+        "graph_counts": (
+            f"SELECT (SELECT CAST(count(*) AS BIGINT) FROM ({_VERTS_BIG_SQL})) AS n_nodes, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM ({_EDGES_BIG_SQL})) AS n_edges"
+        ),
+        "in_degrees": (
+            f"SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_degree "
+            f"FROM ({_EDGES_BIG_SQL}) GROUP BY dst"
+        ),
+        "out_degrees": (
+            f"SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree "
+            f"FROM ({_EDGES_BIG_SQL}) GROUP BY src"
+        ),
+        "degrees": (
+            f"SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ("
+            f"SELECT src AS id FROM ({_EDGES_BIG_SQL}) "
+            f"UNION ALL SELECT dst AS id FROM ({_EDGES_BIG_SQL})) GROUP BY id"
+        ),
+        "symmetrize": (
+            f"WITH e AS ({_EDGES_SMALL_SQL}) "
+            "SELECT DISTINCT * FROM ("
+            "SELECT src, dst FROM e WHERE src <> dst "
+            "UNION ALL SELECT dst AS src, src AS dst FROM e WHERE src <> dst)"
+        ),
+        "triplets": (
+            f"WITH e AS ({_EDGES_SMALL_SQL}), v AS ("
+            "SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, 'c' || c_custkey AS name FROM customer "
+            "UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), 'n' || n_nationkey FROM nation "
+            "UNION ALL SELECT CAST(r_regionkey + 50 AS BIGINT), 'r' || r_regionkey FROM region) "
+            "SELECT e.src, e.dst, sv.name AS src_name, dv.name AS dst_name "
+            "FROM e LEFT JOIN v sv ON e.src = sv.id LEFT JOIN v dv ON e.dst = dv.id"
+        ),
+        "connected_components": (
+            "SELECT CAST(r_regionkey + 50 AS BIGINT) AS id, "
+            "CAST(r_regionkey + 50 AS BIGINT) AS component FROM region "
+            "UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), "
+            "CAST(n_regionkey + 50 AS BIGINT) FROM nation "
+            "UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), "
+            "CAST(n_regionkey + 50 AS BIGINT) "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "shortest_paths": (
+            f"WITH v AS ({_VERTS_SMALL_SQL}), lm AS ("
+            "SELECT CAST(c_nationkey + 100 AS BIGINT) AS nid, "
+            "CAST(n_regionkey + 50 AS BIGINT) AS rid "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1) "
+            "SELECT v.id, CAST(CASE WHEN v.id = 1001 THEN 0 "
+            "WHEN v.id = (SELECT nid FROM lm) THEN 1 "
+            "WHEN v.id = (SELECT rid FROM lm) THEN 2 "
+            "ELSE 2147483647 END AS INTEGER) AS dist_1001 FROM v"
+        ),
+        "pagerank_dag": (
+            # closed form of 3-iteration delta-PageRank on the fixed-depth DAG
+            "WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1), "
+            "np AS (SELECT CAST(n_nationkey + 100 AS BIGINT) AS id, n_regionkey, "
+            "  0.15 + 0.85 * 0.15 * COALESCE(n_cust, 0) AS pr, COALESCE(n_cust, 0) AS n_cust "
+            "  FROM nation LEFT JOIN cc ON nk = n_nationkey), "
+            "rp AS (SELECT CAST(r_regionkey + 50 AS BIGINT) AS id, "
+            "  0.15 + 0.85 * 0.15 * count(*) + 0.85 * 0.85 * 0.15 * sum(n_cust) AS pr "
+            "  FROM region JOIN np ON np.n_regionkey = r_regionkey GROUP BY r_regionkey), "
+            "raw AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, 0.15 AS pr FROM customer "
+            "  UNION ALL SELECT id, pr FROM np UNION ALL SELECT id, pr FROM rp), "
+            "tot AS (SELECT sum(pr) AS s FROM raw) "
+            "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "kcore_forest": (
+            f"WITH v AS ({_VERTS_SMALL_SQL}), e AS ({_EDGES_SMALL_SQL}), "
+            "deg AS (SELECT id, count(*) AS d FROM ("
+            "SELECT src AS id FROM e WHERE src <> dst "
+            "UNION ALL SELECT dst FROM e WHERE src <> dst) GROUP BY id) "
+            "SELECT v.id, CAST(CASE WHEN COALESCE(d, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS kcore FROM v LEFT JOIN deg ON v.id = deg.id"
+        ),
+        "doc_token_counts": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents"
+        ),
+        "doc_quality": (
+            f"SELECT doc_id, round({alpha}, 6) AS alpha_ratio, "
+            f"round({stop_ratio}, 6) AS stopword_ratio, {quality} AS quality "
+            "FROM documents"
+        ),
+        "doc_lang": (
+            f"WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents), "
+            f"s AS (SELECT doc_id, {_lang_scores_sql()} FROM t), "
+            "m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM s) "
+            "SELECT doc_id, CASE WHEN mx > 0 THEN ("
+            "CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' "
+            "WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr' END) "
+            "ELSE 'und' END AS lang_pred FROM m"
+        ),
+        "doc_fingerprint": (
+            f"SELECT doc_id, {fingerprint} AS fingerprint FROM documents"
+        ),
+        "dedup_exact": (
+            "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "
+            "c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1) "
+            "SELECT doc_id, h.content_hash, canonical_id, "
+            "doc_id <> canonical_id AS is_duplicate FROM h JOIN c USING (content_hash)"
+        ),
+        "minhash_sigs": _minhash_sig_sql(),
+        "lsh_candidates": _lsh_candidates_sql(),
+        "jaccard_pairs": (
+            f"WITH sh AS ({_SHINGLES_SQL}), "
+            "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS c FROM sh a "
+            "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, j AS jaccard FROM ("
+            "SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j "
+            "FROM common JOIN sizes sa ON doc_a = sa.doc_id "
+            "JOIN sizes sb ON doc_b = sb.doc_id) "
+            f"WHERE j >= {JACCARD_T}"
+        ),
+        "simhash": _simhash_sql(),
+        "embedding_neardup": (
+            "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine "
+            "FROM e a JOIN e b ON a.id < b.id) "
+            f"SELECT * FROM s WHERE cosine >= {NEARDUP_COS_T}"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 10), "
+            "b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings), "
+            f"s AS (SELECT query_id, neighbor_id, round({cos_qn}, 6) AS cosine "
+            "FROM b CROSS JOIN q WHERE query_id <> neighbor_id), "
+            "r AS (SELECT *, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank "
+            "FROM s) "
+            f"SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {ANN_K}"
+        ),
+        "events_hourly": (
+            # epoch_ms // 1000 floors like Spark's timestamp->long cast
+            # (DuckDB CAST(double AS BIGINT) would round instead)
+            "SELECT (epoch_ms(date_trunc('hour', ts)) // 1000) AS window_start_epoch, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"
+        ),
+        "sessions": (
+            "WITH flagged AS (SELECT user_id, ts, CASE WHEN "
+            "(epoch_ms(ts) // 1000) - (epoch_ms(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) // 1000) > 1800 "
+            "THEN 1 ELSE 0 END AS new_session FROM events), "
+            "sid AS (SELECT user_id, ts, CAST(sum(new_session) OVER ("
+            "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) "
+            "AS session_id FROM flagged) "
+            "SELECT user_id, session_id, "
+            "(epoch_ms(min(ts)) // 1000) AS session_start_epoch, "
+            "(epoch_ms(max(ts)) // 1000) AS session_end_epoch, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM sid GROUP BY user_id, session_id"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice), 4) AS sum_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_quantity < 45 GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "WITH rev AS (SELECT c_custkey, c_name, round(sum(o_totalprice), 4) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), "
+            "r AS (SELECT *, CAST(row_number() OVER ("
+            "ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rank FROM rev) "
+            "SELECT c_custkey, c_name, revenue, rank FROM r WHERE rank <= 10"
+        ),
+    }

@@ -98,42 +98,67 @@ class ConnectedComponentsBuilder:
         ckpt = ParquetCheckpointer(spark, self._checkpoint_dir)
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+        # Reps frames must outlive the forward loop (back-propagation reads
+        # them newest-to-oldest), so they live in their own pinned pool.
+        reps_ckpt = ParquetCheckpointer(spark, ckpt.directory + "/reps")
+
         # prepare: drop self-loops, symmetrize, dedup (cc.rs "prepare" step)
         edges = symmetrize_edges(
             self.graph.edges.select(SRC, DST), deduplicate=True
         )
         edges = ckpt.push_partitioned(edges, SRC, shuffle_n, "edges")
 
-        # orig -> current-representative mapping, folded every round
-        mapping = self.graph.vertices.select(
-            F.col(ID), F.col(ID).alias("cur")
-        )
-        mapping = ckpt.push_partitioned(mapping, "cur", shuffle_n, "mapping")
-
+        # ---- forward contraction ----
+        # Per round only the (geometrically shrinking) reps frame is stored;
+        # the orig->component mapping is composed once afterwards — total
+        # join work Σ|reps_i| ≈ 2|V| instead of rounds·|V| (the same reason
+        # the reference back-propagates instead of folding forward,
+        # connected_components.rs:107-171).
+        reps_frames = []
         iteration = 0
         while not edges.isEmpty():
             seed = self.random_seed + iteration
-            reps = _compute_reps(edges, seed)
-
-            # fold this round's contraction into the orig->current mapping;
-            # vertices whose id doesn't appear as a src (no out-edges in the
-            # current contracted graph) keep their current representative.
-            mapping = (
-                mapping.join(reps, mapping["cur"] == reps["v"], "left")
-                .select(ID, F.coalesce(F.col("rep"), F.col("cur")).alias("cur"))
+            reps = reps_ckpt.push_partitioned(
+                _compute_reps(edges, seed), "rep", shuffle_n, f"reps_{iteration}"
             )
-            new_edges = _relabel_edges(edges, reps)
-
-            # write new state before evicting old (NotFound-avoidance order)
-            new_edges = ckpt.push_partitioned(new_edges, SRC, shuffle_n, "edges")
-            mapping = ckpt.push_partitioned(mapping, "cur", shuffle_n, "mapping")
-            ckpt.evict_all_but_latest(2)
+            reps_frames.append(reps)
+            new_edges = ckpt.push_partitioned(
+                _relabel_edges(edges, reps), SRC, shuffle_n, "edges"
+            )
+            ckpt.evict_all_but_latest(1)
             edges = new_edges
             iteration += 1
 
         self.iterations_ = iteration
 
-        result = mapping.select(ID, F.col("cur").alias(COMPONENT))
+        # ---- back propagation: compose reps newest -> oldest ----
+        final = None
+        for reps in reversed(reps_frames):
+            if final is None:
+                final = reps
+            else:
+                nxt = final.select(
+                    F.col("v").alias("__fr_v"), F.col("rep").alias("__fr_rep")
+                )
+                final = reps.join(
+                    nxt, reps["rep"] == F.col("__fr_v"), "left"
+                ).select(
+                    "v",
+                    F.coalesce(F.col("__fr_rep"), F.col("rep")).alias("rep"),
+                )
+        if final is not None:
+            final = ckpt.push_partitioned(final, "v", shuffle_n, "final")
+            reps_ckpt.purge()  # final is materialized; reps no longer needed
+
+        # every vertex: its representative, or itself if never contracted
+        if final is None:
+            result = self.graph.vertices.select(ID, F.col(ID).alias(COMPONENT))
+        else:
+            result = (
+                self.graph.vertices.select(ID)
+                .join(final, F.col(ID) == final["v"], "left")
+                .select(ID, F.coalesce(F.col("rep"), F.col(ID)).alias(COMPONENT))
+            )
         if self.use_labels_as_components:
             # relabel each component to its minimum original member id
             # (cc.rs:359-383); makes output deterministic across hash families

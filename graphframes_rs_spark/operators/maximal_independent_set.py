@@ -12,8 +12,11 @@ surviving graph:
   6. vertices with no remaining edges join the MIS (isolated ⇒ independent);
 
 loop until no edges remain. Improvement over the reference (which could not
-seed its engine RNG, maximal_independent_set.rs:100-105): Spark's
-``F.rand(seed)`` is seedable, so runs are reproducible.
+seed its engine RNG, maximal_independent_set.rs:100-105): nomination draws a
+deterministic uniform from ``xxhash64(id, round_seed)``, so runs are exactly
+reproducible regardless of partitioning, task scheduling, or cluster size
+(``F.rand(seed)`` is only per-partition-seeded and is re-evaluated per plan
+branch, which is neither).
 
 Returns the single-column member list DataFrame[id]. Validity invariants
 (independence + maximality) are what the tests assert, matching the
@@ -71,11 +74,18 @@ class MISBuilder:
         while iteration < self.max_iter and not edges.isEmpty():
             seed = self.random_seed + iteration
 
-            # nominate with prob p, deterministic per (seed, id)
+            # nominate with prob p, deterministic per (seed, id): map the
+            # 64-bit hash to a uniform in [0, 1). Unlike F.rand this does not
+            # depend on partition layout and is stable across plan branches.
+            uniform = (
+                F.xxhash64(F.col(ID), F.lit(seed)).cast("double")
+                / F.lit(float(2**64))
+                + F.lit(0.5)
+            )
             marked = state.select(
                 ID,
                 "p",
-                (F.rand(seed) < F.col("p")).alias("marked"),
+                (uniform < F.col("p")).alias("marked"),
             )
 
             # per-vertex: sum of neighbour p (effective degree) and whether

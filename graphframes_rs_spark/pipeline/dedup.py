@@ -1,0 +1,222 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, all shuffle-conscious and Python-free in the hot path:
+
+* **exact**       — md5 groupBy; one shuffle on the 128-bit content hash.
+* **minhash LSH** — word-shingles → k seeded minhashes → b bands; candidate
+                    pairs only where a band bucket collides (the classic
+                    Broder / MMDS construction); exact Jaccard verification
+                    on candidates. Scales as O(docs·k + collisions), never
+                    O(docs²).
+* **simhash**     — per-token 60-bit hashes folded into a 32-bit signature
+                    by bitwise majority vote; near-dups = signatures within
+                    a small Hamming distance (joined on identical signature
+                    here; banded variants drop out of the same code).
+* **n-gram Jaccard** — shingle inverted-index self-join; exact similarity
+                    for corpora where candidate generation is affordable.
+* **embedding**   — cosine-over-threshold pairs on an embedding column
+                    (brute force; see similarity.py for the LSH route).
+
+All constants (hash family, modulus, seeds) are plain arithmetic on the
+md5-derived 60-bit hash so the DuckDB oracle reproduces values exactly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.pipeline.text import hash60
+
+# Mersenne-ish prime modulus for the universal hash family; all arithmetic
+# stays < 2^63 (a,b < 2^31, x < 2^31) so ANSI-mode Spark never overflows.
+MH_PRIME = 2_147_483_647
+
+
+def minhash_params(k: int, seed: int = 42) -> List[Tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod p.
+    Simple LCG expansion of the seed — reproducible in plain SQL tests."""
+    params = []
+    state = seed
+    for _ in range(k):
+        state = (state * 1_103_515_245 + 12_345) % (2**31)
+        a = state | 1  # odd, non-zero
+        state = (state * 1_103_515_245 + 12_345) % (2**31)
+        b = state
+        params.append((a, b))
+    return params
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """[doc_id, content_hash, canonical_id, is_duplicate]: canonical = min
+    doc_id per identical content; is_duplicate marks non-canonical copies."""
+    hashed = docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        hashed.join(canon, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", k: int = 16, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """[doc_id, mh_0..mh_{k-1}]: minhash sketch over word n-gram shingles.
+
+    Shingle → 60-bit md5 hash → reduced mod p → k universal hashes, min per
+    doc. One explode + one groupBy(doc_id) shuffle (combine-enabled mins).
+    """
+    params = minhash_params(k, seed)
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    ).select("doc_id", (hash60(F.col("shingle")) % MH_PRIME).alias("x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """[doc_a, doc_b] candidate near-dup pairs: docs sharing at least one
+    LSH band bucket (band key = rolling combination of the band's rows)."""
+    rows = k // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        # fold the band rows into one bucket key; re-reduce mod 1e9+7 each
+        # step so intermediates never overflow int64 (ANSI mode throws)
+        key = cols[0] % F.lit(1_000_000_007)
+        for c in cols[1:]:
+            key = (key * 31 + c) % F.lit(1_000_000_007)
+        band_frames.append(
+            signatures.select(
+                "doc_id", F.lit(b).alias("band"), key.alias("bucket")
+            )
+        )
+    banded = band_frames[0]
+    for fr in band_frames[1:]:
+        banded = banded.unionByName(fr)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """[doc_a, doc_b, jaccard]: pairs with word-n-gram Jaccard >= threshold,
+    via a shingle inverted-index self-join (common-shingle counting), never
+    materializing the doc×doc cross product."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """[doc_id, simhash]: bitwise-majority signature over per-token 60-bit
+    hashes. Tokens vote +1/-1 per bit position; the signature sets bit j
+    when the vote is positive."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).select("doc_id", hash60(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"v_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return voted.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """[id_a, id_b, cosine]: pairs above a cosine threshold (brute force;
+    at scale, pre-bucket with the LSH in similarity.py and feed buckets
+    here)."""
+    from graphframes_rs_spark.pipeline.similarity import cosine_expr
+
+    norm = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a = norm.alias("a")
+    b = norm.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk`` — exact brute-force top-k for a query set: one
+  broadcast-able join + window row_number. The correctness baseline.
+* ``lsh_topk``    — random-hyperplane LSH: embeddings bucketed by the sign
+  pattern of dot products with p fixed hyperplanes; candidates restricted
+  to bucket collisions across t independent tables, then exact cosine +
+  top-k on the (much smaller) candidate set. The 100 TB path: bucket
+  cardinality 2^p bounds every bucket join.
+
+All vector math is SQL higher-order functions (``zip_with`` dot product,
+``aggregate`` norms) — JVM-side, no Python workers.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """[query_id, neighbor_id, cosine, rank]: exact top-k cosine neighbours
+    for each query vector (self-matches excluded). ``queries`` has the same
+    schema as ``embeddings``; broadcast it when small."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random unit hyperplanes."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def lsh_bucket_expr(vec: Column, planes: List[List[float]]) -> Column:
+    """Sign-pattern bucket id: bit i = 1 iff vec · plane_i >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(
+            dot_expr(vec, plane) >= 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    planes_per_table: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any of
+    ``tables`` independent hyperplane tables, exact cosine on candidates.
+
+    Recall/cost dial: more tables → higher recall, more candidates;
+    more planes → smaller buckets, faster but lower recall."""
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+
+    cand_frames = []
+    for t in range(tables):
+        planes = hyperplanes(dim, planes_per_table, seed + 1000 * t)
+        bb = base.select(
+            "neighbor_id", "nv", lsh_bucket_expr(F.col("nv"), planes).alias("bucket")
+        )
+        qb = q.select(
+            "query_id", "qv", lsh_bucket_expr(F.col("qv"), planes).alias("bucket")
+        )
+        cand_frames.append(bb.join(F.broadcast(qb), "bucket").drop("bucket"))
+    cands = cand_frames[0]
+    for fr in cand_frames[1:]:
+        cands = cands.unionByName(fr)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

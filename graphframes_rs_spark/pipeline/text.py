@@ -1,0 +1,141 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is JVM-side ``pyspark.sql.functions`` / SQL
+higher-order functions — no Python UDFs — so whole-stage codegen applies
+and the operators scale linearly with executors. Every operator is
+expressible in ANSI SQL (see ``__spark_entry__.oracle_sql``), which the
+DuckDB oracle cross-checks.
+
+Design notes for oracle parity (values must hash-match DuckDB):
+  * rolling hashes use modulus 1e9+7 with base 31 — intermediates stay
+    < 2^63 so ANSI-mode Spark never overflows;
+  * 64-bit "hashes" are the first 15 hex digits of md5 (60 bits, fits a
+    signed long) — both engines compute identical md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker sets for the language-ID heuristic.
+# Deliberately tiny (deterministic, SQL-embeddable); a production pipeline
+# would swap in fastText or a trigram model behind the same operator.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "for", "on", "with", "as", "by"]
+
+MOD = 1_000_000_007
+BASE = 31
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on single spaces — the corpus
+    convention; swap for ``\\s+`` regex split for messier corpora)."""
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation marks,
+    approximating a BPE tokenizer's granularity without a vocab."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII letters or spaces."""
+    return F.length(F.regexp_replace(col, r"[^A-Za-z ]", "")) / F.length(col)
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = tokens(col)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: length band + alpha ratio + stopword
+    presence + sane mean word length. A linear, fully-SQL heuristic in the
+    spirit of Gopher/C4 quality rules."""
+    n_chars = F.length(col)
+    length_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 1.0).otherwise(0.0)
+    alpha = alpha_ratio(col)
+    stop = stopword_ratio(col)
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.0)
+    return F.round(
+        0.25 * length_ok + 0.35 * alpha + 0.2 * F.least(stop * 5, F.lit(1.0)) + 0.2 * mwl_ok,
+        6,
+    )
+
+
+def language_id(col: Column) -> Column:
+    """Marker-word language heuristic: score = marker hits per language,
+    argmax with deterministic tie-break (highest score, then language name);
+    'und' (undetermined) when nothing matches."""
+    toks = tokens(F.lower(col))
+    def marker_hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    mx = F.greatest(*scores.values())
+    # explicit priority chain (alphabetical) so ties break identically in
+    # any engine's CASE evaluation order
+    expr = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when(scores[lang] == mx, F.lit(lang)).otherwise(expr)
+    return F.when(mx > 0, expr).otherwise(F.lit("und"))
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash of the raw characters:
+    ``h = fold(h*31 + ord(ch)) mod 1e9+7`` — the document fingerprint."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * BASE + F.ascii(ch)) % MOD,
+    )
+
+
+def content_hash(col: Column) -> Column:
+    """128-bit content hash as hex (exact-dedup key)."""
+    return F.md5(col)
+
+
+def hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a signed long — cross-engine 64-bit-ish
+    string hash (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection over a documents table."""
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        language_id(c).alias("lang_pred"),
+        rolling_hash(c).alias("fingerprint"),
+    )

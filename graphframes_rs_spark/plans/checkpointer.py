@@ -40,17 +40,21 @@ class ParquetCheckpointer:
     def push(self, df: DataFrame, name: str = "state") -> DataFrame:
         """Materialize ``df`` to parquet and return a fresh scan of it.
 
-        Empty DataFrames don't touch disk (an empty parquet dir write/read
-        round-trip is wasteful and Spark may emit no readable footer at all)
-        — mirroring parquet_checkpointer.rs:93-102. They come back as a
+        The write IS the only execution — emptiness is detected from the
+        written files afterwards, never via a pre-flight ``isEmpty()``
+        (which would execute every upstream shuffle stage a second time).
+        An empty result leaves no parquet part files; it comes back as a
         fresh LocalRelation so the returned handle carries NO lineage over
-        earlier checkpoint files (which eviction may delete later).
+        earlier checkpoint files (which eviction may delete later) —
+        mirroring the reference's empty-frame passthrough
+        (parquet_checkpointer.rs:93-102).
         """
-        if df.isEmpty():
-            return self.spark.createDataFrame([], df.schema)
         path = os.path.join(self.directory, f"{self._seq:05d}_{name}")
         self._seq += 1
         df.write.mode("overwrite").parquet(path)
+        if not any(f.endswith(".parquet") for f in os.listdir(path)):
+            shutil.rmtree(path, ignore_errors=True)
+            return self.spark.createDataFrame([], df.schema)
         self._paths.append(path)
         return self.spark.read.parquet(path)
 
@@ -63,8 +67,6 @@ class ParquetCheckpointer:
         metadata; see the reference's ``push_pre_sorted``,
         src/memory/hash_partitioned.rs:36-137, and README notes on the
         bucketed variant.)"""
-        if df.isEmpty():
-            return self.spark.createDataFrame([], df.schema)
         return self.push(df.repartition(num_partitions, key), name)
 
     # -- eviction bookkeeping (parquet_checkpointer.rs:134-165) -------------

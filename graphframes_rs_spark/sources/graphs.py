@@ -1,0 +1,79 @@
+"""Canonical graph derivations from the driver's synthetic tables.
+
+Two graphs shared by ``__spark_entry__`` and ``bench.py``:
+
+* **lineitem bipartite** — orders → suppliers (supplier ids offset by
+  10_000_000 to keep the id spaces disjoint). Large, dense, scales with sf;
+  the throughput workhorse.
+* **customer hierarchy DAG** — customers → nations → regions (offsets
+  1000 / 100 / 50). Small, fixed-depth; its graph metrics (components,
+  BFS distances, 3-iteration PageRank) have *closed-form SQL* answers, so
+  the DuckDB oracle can check the iterative algorithms without recursion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.graphframe import GraphFrame
+from graphframes_rs_spark.sources.tables import load_table
+
+SUPPLIER_OFFSET = 10_000_000
+CUSTOMER_OFFSET = 1000
+NATION_OFFSET = 100
+REGION_OFFSET = 50
+
+
+def lineitem_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).cast("long").alias("dst"),
+    ).distinct()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return GraphFrame(vertices, edges)
+
+
+def customer_hierarchy_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    e1 = cust.select(
+        (F.col("c_custkey") + F.lit(CUSTOMER_OFFSET)).cast("long").alias("src"),
+        (F.col("c_nationkey") + F.lit(NATION_OFFSET)).cast("long").alias("dst"),
+    )
+    e2 = nation.select(
+        (F.col("n_nationkey") + F.lit(NATION_OFFSET)).cast("long").alias("src"),
+        (F.col("n_regionkey") + F.lit(REGION_OFFSET)).cast("long").alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    vertices = (
+        cust.select((F.col("c_custkey") + F.lit(CUSTOMER_OFFSET)).cast("long").alias("id"))
+        .unionByName(
+            nation.select((F.col("n_nationkey") + F.lit(NATION_OFFSET)).cast("long").alias("id"))
+        )
+        .unionByName(
+            region.select((F.col("r_regionkey") + F.lit(REGION_OFFSET)).cast("long").alias("id"))
+        )
+        .distinct()
+    )
+    return GraphFrame(vertices, edges)
+
+
+def named_hierarchy_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    """Hierarchy graph with a string ``name`` vertex attribute (exercises
+    attribute passthrough in triplets)."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    named = g.vertices.select(
+        "id",
+        F.when(F.col("id") >= CUSTOMER_OFFSET, F.concat(F.lit("c"), F.col("id") - CUSTOMER_OFFSET))
+        .when(F.col("id") >= NATION_OFFSET, F.concat(F.lit("n"), F.col("id") - NATION_OFFSET))
+        .otherwise(F.concat(F.lit("r"), F.col("id") - REGION_OFFSET))
+        .alias("name"),
+    )
+    return GraphFrame(named, g.edges)

@@ -1,0 +1,118 @@
+"""Event-stream operators: windowed aggregation and sessionization.
+
+Each operator has two faces sharing one set of expressions:
+
+* a **batch** face (DataFrame in, DataFrame out) — used by the oracle
+  correctness gate and by backfills;
+* a **streaming** face (``readStream`` source in) — Structured Streaming
+  with watermarks for late data, suitable for ``writeStream`` sinks.
+
+Sessionization: the batch face uses the classic lag/cumsum window trick
+(new session when the gap to the previous event exceeds the timeout); the
+streaming face uses ``session_window`` (Spark's native session windows,
+watermark-aware). Both define a session identically: maximal run of events
+per user with inter-event gap <= timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """[window_start, <key>, n_events, total_value] per tumbling window."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "total_value")
+    )
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Streaming face of :func:`tumbling_counts`, watermarked for late data.
+    Append-mode compatible: a window finalizes once the watermark passes."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "total_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """[user_id, session_id, session_start, session_end, n_events]
+    (batch face). session_id numbers a user's sessions from 1 in time
+    order — the lag/cumsum formulation, one shuffle on user_id."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_sec = gap_minutes * 60
+    with_flag = events.select(
+        user_col,
+        ts_col,
+        F.when(
+            F.unix_timestamp(F.col(ts_col))
+            - F.unix_timestamp(F.lag(ts_col).over(w))
+            > gap_sec,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w) + 1
+    )
+    return with_sid.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming face via native session windows (watermark-aware).
+    [user_id, session_start, session_end, n_events]"""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -19,9 +19,12 @@ def test_push_roundtrip_and_evict(spark, tmp_path):
     assert ck.num_checkpoints == 0
 
 
-def test_empty_dataframe_passthrough(spark, tmp_path):
+def test_empty_dataframe_push(spark, tmp_path):
+    """Empty pushes stay readable (either a LocalRelation when no part file
+    was emitted, or a scan of an empty parquet file) and never break later
+    eviction — the loop-termination path of every iterative operator."""
     ck = ParquetCheckpointer(spark, str(tmp_path / "ck2"))
     df = spark.createDataFrame([], "id long")
     out = ck.push(df, "s")
     assert out.count() == 0
-    assert ck.num_checkpoints == 0  # nothing written (checkpointer.rs:93-102)
+    assert out.schema == df.schema

@@ -1,0 +1,78 @@
+"""Replicates the driver's t2 correctness gate: run every ``queries()``
+entry on Spark and its ``oracle_sql()`` twin on DuckDB over the same
+parquet tables (sf0.01), then compare row count, column names, and
+order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from graphframes_rs_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+ORACLES = entry.oracle_sql()
+QUERIES = entry.queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    assert name in QUERIES, f"oracle {name} has no queries() entry"
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(ORACLES[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} (spark) vs {len(d_rows)} (duckdb)"
+    )
+    sc = _canon(s_rows, s_cols)
+    dc = _canon(d_rows, d_cols)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+        raise AssertionError(f"{name}: values differ; first diffs: {diffs}")
+
+
+def test_every_query_runs_rows_only(spark):
+    """Queries without an oracle still must run and return a stable schema."""
+    for name, fn in QUERIES.items():
+        if name in ORACLES:
+            continue
+        df = fn(spark, SF_DIR)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["id", "pagerank"]

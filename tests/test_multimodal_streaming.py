@@ -1,0 +1,115 @@
+"""Multimodal plumbing + streaming operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.pipeline import multimodal
+from graphframes_rs_spark.sources.tables import load_table
+from graphframes_rs_spark.streaming import events as ev
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_extract_features_deterministic(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    out = multimodal.extract_features(media)
+    rows = out.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # determinism: same payload -> same features
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+
+
+def test_extract_features_strict_raises(spark):
+    media = multimodal.synthetic_media(spark, n=3)
+    out = multimodal.extract_features(media, strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        out.collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    out = ( multimodal.frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id").agg(F.count(F.lit(1)).alias("n")) ).collect()
+    metas = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()
+             if r["media_type"] == "video"}
+    got = {r["media_id"]: r["n"] for r in out}
+    assert set(got) == set(metas)
+    for mid, dur in metas.items():
+        assert got[mid] == (dur - 1) // 1000 + 1
+
+
+def test_tumbling_counts_batch(spark):
+    events = load_table(spark, SF_DIR, "events")
+    out = ev.tumbling_counts(events, "1 hour")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    # a (window, type) bucket never exceeds the type's total
+    per_type = {r["event_type"]: r["cnt"] for r in
+                events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for r in out.collect():
+        assert r["n_events"] <= per_type[r["event_type"]]
+
+
+def test_sessionize_batch_gap_semantics(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=10)),          # session 1
+        (1, base + dt.timedelta(minutes=60)),                     # session 2
+        (2, base),                                                # session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = ev.sessionize(df, gap_minutes=30)
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_streaming_tumbling_counts_matches_batch(spark, tmp_path):
+    """Stream the events parquet with availableNow and compare against the
+    batch face — same expressions, same results."""
+    events = load_table(spark, SF_DIR, "events")
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.tumbling_counts(events, "6 hours").collect()
+    }
+    src = str(tmp_path / "events_micro")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = ev.streaming_tumbling_counts(stream, "6 hours", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from stream_counts").collect()
+    }
+    assert got == batch
+
+
+def test_streaming_sessionize_runs(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_micro2")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = ev.streaming_sessionize(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stream_sessions").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)

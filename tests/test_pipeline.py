@@ -1,0 +1,143 @@
+"""Pipeline-operator tests over the driver's synthetic documents /
+embeddings tables plus hand-built fixtures."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.pipeline import dedup, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_analyze_documents(spark, docs):
+    out = text.analyze_documents(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_id = {r["doc_id"]: r for r in rows}
+    sample = docs.filter(F.col("doc_id") == 0).collect()[0]
+    expected_tokens = len(sample["text"].split(" "))
+    assert by_id[0]["n_tokens"] == expected_tokens
+    assert 0.0 <= by_id[0]["quality"] <= 1.0
+    assert all(r["fingerprint"] is not None for r in rows)
+
+
+def test_exact_duplicates_with_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.exact_duplicates(df).collect()}
+    assert out[1]["canonical_id"] == 1 and not out[1]["is_duplicate"]
+    assert out[2]["canonical_id"] == 1 and out[2]["is_duplicate"]
+    assert out[3]["canonical_id"] == 3 and not out[3]["is_duplicate"]
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words with nothing shared at all here now ok"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df, k=16)
+    cands = dedup.minhash_lsh_candidates(sigs, k=16, bands=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_jaccard_estimate_close_to_exact(spark, docs):
+    """MinHash collision fraction ≈ true Jaccard (within coarse bounds,
+    k=32)."""
+    two = docs.limit(2).collect()
+    a_sh = set()
+    b_sh = set()
+    for row, acc in ((two[0], a_sh), (two[1], b_sh)):
+        toks = row["text"].split(" ")
+        for i in range(len(toks) - 2):
+            acc.add(" ".join(toks[i : i + 3]))
+    true_j = len(a_sh & b_sh) / len(a_sh | b_sh)
+    df = spark.createDataFrame(
+        [(0, two[0]["text"]), (1, two[1]["text"])], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df, k=32).collect()
+    s = {r["doc_id"]: [r[f"mh_{i}"] for i in range(32)] for r in sigs}
+    est = sum(1 for x, y in zip(s[0], s[1]) if x == y) / 32
+    assert abs(est - true_j) < 0.35  # coarse: k=32 has high variance
+
+
+def test_ngram_jaccard_pairs_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "z y x w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.ngram_jaccard_pairs(df, threshold=0.3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in pairs
+    # 6 shingles each, 5 common -> jaccard 5/7
+    assert abs(pairs[(1, 2)] - 5 / 7) < 1e-6
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "x1 x2 x3 x4")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_embedding_near_duplicates_planted(spark):
+    v = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    orth = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, orth)], "vec_id long, embedding array<double>"
+    )
+    out = dedup.embedding_near_duplicates(df, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(embeddings, queries, k=5)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranked = sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert len(ranked) == 5
+        sims = [r["cosine"] for r in ranked]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in ranked)
+
+
+def test_lsh_topk_recall_against_bruteforce(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.lsh_topk(
+        embeddings, queries, k=5, planes_per_table=4, tables=8
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
