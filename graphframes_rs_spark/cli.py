@@ -1,0 +1,127 @@
+"""Batch CLI runner.
+
+Mirrors the reference's CLI entry point (reference: src/main.rs:38-127):
+
+    python -m graphframes_rs_spark VERTICES_PARQUET EDGES_PARQUET \
+        ALGORITHM PARAM OUT_DIR [--partitions N] [--checkpoint-dir D] \
+        [--cpus N] [--memory M]
+
+* ``ALGORITHM``: ``pagerank`` (PARAM = tolerance, reference main.rs:85-105)
+  or ``wcc`` (PARAM = random seed, main.rs:107-124); plus the natural
+  extensions ``bfs`` (PARAM = comma-separated landmarks), ``kcore``
+  (PARAM ignored) and ``mis`` (PARAM = seed).
+* Edge files with ``source``/``target`` columns are renamed to
+  ``src``/``dst`` on load, like the reference (main.rs:75-81).
+* ``--memory`` maps the reference's spill-pool byte cap onto
+  ``spark.driver.memory``; ``--partitions`` onto
+  ``spark.sql.shuffle.partitions`` (↔ ``target_partitions``).
+
+The result is written as a parquet directory at OUT_DIR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark import config as gf_config
+from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC
+
+
+def _build_session(args: argparse.Namespace) -> SparkSession:
+    b = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("graphframes-rs-spark-cli")
+        .config("spark.sql.shuffle.partitions", str(args.partitions))
+        .config("spark.default.parallelism", str(args.partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="gf_wh_"))
+    )
+    if args.memory:
+        b = b.config("spark.driver.memory", args.memory)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    gf_config.apply_session_prefs(spark)
+    return spark
+
+
+def _load_graph(spark: SparkSession, vertices_path: str, edges_path: str) -> GraphFrame:
+    vertices = spark.read.parquet(vertices_path)
+    edges = spark.read.parquet(edges_path)
+    # accept source/target column names, as the reference does (main.rs:75-81)
+    if "source" in edges.columns and SRC not in edges.columns:
+        edges = edges.withColumnRenamed("source", SRC)
+    if "target" in edges.columns and DST not in edges.columns:
+        edges = edges.withColumnRenamed("target", DST)
+    for frame, col in ((vertices, ID),):
+        if col not in frame.columns:
+            raise SystemExit(f"vertices parquet must have an '{ID}' column")
+    vertices = vertices.withColumn(ID, F.col(ID).cast("long"))
+    edges = edges.withColumn(SRC, F.col(SRC).cast("long")).withColumn(
+        DST, F.col(DST).cast("long")
+    )
+    return GraphFrame(vertices, edges)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="graphframes_rs_spark")
+    p.add_argument("vertices", help="vertices parquet path (id column)")
+    p.add_argument("edges", help="edges parquet path (src/dst or source/target)")
+    p.add_argument(
+        "algorithm", choices=["pagerank", "wcc", "bfs", "kcore", "mis"]
+    )
+    p.add_argument(
+        "param",
+        help="pagerank: tolerance; wcc/mis: seed; bfs: comma-separated landmarks; kcore: ignored",
+    )
+    p.add_argument("out", help="output parquet directory")
+    p.add_argument("--partitions", type=int, default=32)
+    p.add_argument("--cpus", default="*")
+    p.add_argument("--memory", default=None, help="driver memory, e.g. 8g")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--max-iterations", type=int, default=None)
+    args = p.parse_args(argv)
+
+    spark = _build_session(args)
+    ckpt = args.checkpoint_dir or gf_config.default_checkpoint_dir(spark) or tempfile.mkdtemp(prefix="gf_cli_ckpt_")
+    g = _load_graph(spark, args.vertices, args.edges)
+
+    if args.algorithm == "pagerank":
+        builder = g.page_rank().with_tol(float(args.param)).set_checkpoint_dir(ckpt)
+        if args.max_iterations is not None:
+            builder = builder.max_iterations(args.max_iterations)
+        result = builder.run()
+    elif args.algorithm == "wcc":
+        result = (
+            g.connected_components()
+            .with_random_seed(int(args.param))
+            .set_checkpoint_dir(ckpt)
+            .run()
+        )
+    elif args.algorithm == "bfs":
+        landmarks = [int(x) for x in args.param.split(",") if x]
+        result = g.shortest_paths(landmarks).set_checkpoint_dir(ckpt).run()
+    elif args.algorithm == "kcore":
+        result = g.k_core().set_checkpoint_dir(ckpt).run()
+    else:  # mis
+        result = (
+            g.maximal_independent_set()
+            .with_random_seed(int(args.param))
+            .set_checkpoint_dir(ckpt)
+            .run()
+        )
+
+    result.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{args.algorithm}: wrote {n} rows to {args.out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

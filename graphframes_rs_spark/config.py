@@ -1,0 +1,56 @@
+"""Engine configuration via ``spark.graphframes.*`` session conf keys.
+
+Mirrors the reference's ``GraphFramesConfig`` registered engine options
+(reference: src/utils/options.rs:5-21 — ``graphframes.prefer_smj``,
+``graphframes.checkpoint_dir``) as Spark session configuration, the
+idiomatic place for engine knobs. All keys are read lazily at algorithm
+run time, so ``spark.conf.set(...)`` takes effect per run.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+# Where iterative algorithms place their parquet/bucketed checkpoints when
+# the builder did not set one (reference: graphframes.checkpoint_dir).
+CHECKPOINT_DIR = "spark.graphframes.checkpointDir"
+
+# Use hash-bucketed sorted checkpoint tables so per-superstep joins elide
+# their Exchange (the reference's push_pre_sorted contract, §4 of SURVEY.md).
+BUCKETED_CHECKPOINTS = "spark.graphframes.bucketedCheckpoints"
+
+# The reference pins sort-merge join for out-of-core friendliness
+# (graphframes.prefer_smj, default true). On Spark the analogue is leaving
+# broadcast available but letting callers force SMJ behaviour by disabling
+# the broadcast threshold; kept as a documented knob.
+PREFER_SMJ = "spark.graphframes.preferSortMergeJoin"
+
+
+def _get(spark: SparkSession, key: str, default: Optional[str]) -> Optional[str]:
+    try:
+        return spark.conf.get(key, default)
+    except Exception:
+        return default
+
+
+def use_bucketed_checkpoints(spark: SparkSession) -> bool:
+    return str(_get(spark, BUCKETED_CHECKPOINTS, "true")).lower() == "true"
+
+
+def default_checkpoint_dir(spark: SparkSession) -> Optional[str]:
+    return _get(spark, CHECKPOINT_DIR, None)
+
+
+def prefer_smj(spark: SparkSession) -> bool:
+    return str(_get(spark, PREFER_SMJ, "false")).lower() == "true"
+
+
+def apply_session_prefs(spark: SparkSession) -> None:
+    """Apply the join-strategy preference the way the reference's
+    ``scoped_ctx`` does (options.rs:16-21): when ``preferSortMergeJoin`` is
+    set, disable auto-broadcast so every join streams (out-of-core mode)."""
+    if prefer_smj(spark):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")

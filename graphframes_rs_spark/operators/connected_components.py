@@ -27,17 +27,35 @@ Scale notes: each round shrinks the edge set geometrically; the heavy ops
 are two relabel joins + a distinct, all keyed on vertex ids (AQE handles
 skew from giant components). Edges and the mapping are checkpointed per
 round to truncate lineage.
+
+**Local-finish tail collapse**: geometric contraction means that after
+O(1) distributed rounds the surviving graph fits in a single task no
+matter the starting size (100 TB in, a few MB of contracted edges out).
+Distributed rounds then waste a full job cycle per ~1000 edges, so once
+the edge count drops below ``spark.graphframes.wcc.localFinishEdges``
+(default 1M, ≈ 16 MB) the remaining contraction runs as ONE single-task
+union-find over ``mapInPandas`` and the loop ends. Results are identical:
+the finisher emits a representative mapping exactly like a contraction
+round does, and back-propagation composes it the same way.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphframes_rs_spark import config as gf_config
 from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC, symmetrize_edges
 from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
 
 COMPONENT = "component"
+
+LOCAL_FINISH_EDGES = "spark.graphframes.wcc.localFinishEdges"
+DEFAULT_LOCAL_FINISH_EDGES = 1_000_000
 
 
 def _compute_reps(edges: DataFrame, seed: int) -> DataFrame:
@@ -53,6 +71,43 @@ def _compute_reps(edges: DataFrame, seed: int) -> DataFrame:
             h(F.col("v")) < F.col("nbr.h"), F.col("v")
         ).otherwise(F.col("nbr.u")).alias("rep"),
     )
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """[v, rep]: exact connected components of a SMALL edge frame via
+    single-task union-find (rep = minimum member id). The tail finisher —
+    one task, no further rounds, no per-round checkpoints."""
+
+    def uf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf[SRC].to_list(), pdf[DST].to_list()):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by min: the root is always the component's
+                    # minimum id, so rep ids match min-label semantics
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+        if parent:
+            vs = list(parent.keys())
+            yield pd.DataFrame({"v": vs, "rep": [find(x) for x in vs]})
+
+    return edges.select(SRC, DST).repartition(1).mapInPandas(uf, "v long, rep long")
 
 
 def _relabel_edges(edges: DataFrame, reps: DataFrame) -> DataFrame:
@@ -114,9 +169,23 @@ class ConnectedComponentsBuilder:
         # join work Σ|reps_i| ≈ 2|V| instead of rounds·|V| (the same reason
         # the reference back-propagates instead of folding forward,
         # connected_components.rs:107-171).
+        local_cut = int(
+            spark.conf.get(LOCAL_FINISH_EDGES, str(DEFAULT_LOCAL_FINISH_EDGES))
+        )
         reps_frames = []
         iteration = 0
-        while not edges.isEmpty():
+        while True:
+            n_edges = edges.count()
+            if n_edges == 0:
+                break
+            if n_edges <= local_cut:
+                # tail collapse: finish the contracted graph in one task
+                reps = reps_ckpt.push_partitioned(
+                    _local_components(edges), "rep", shuffle_n, f"reps_{iteration}"
+                )
+                reps_frames.append(reps)
+                iteration += 1
+                break
             seed = self.random_seed + iteration
             reps = reps_ckpt.push_partitioned(
                 _compute_reps(edges, seed), "rep", shuffle_n, f"reps_{iteration}"

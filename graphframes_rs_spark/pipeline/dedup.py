@@ -117,6 +117,11 @@ def minhash_lsh_candidates(
     banded = band_frames[0]
     for fr in band_frames[1:]:
         banded = banded.unionByName(fr)
+    # NOTE on the self-join: both sides shuffle on (band, bucket), so
+    # Spark's ReusedExchange computes the signature pipeline once and reads
+    # the shuffle twice — an explicit persist() here measured *slower*
+    # (cache-manager entries outlive the query and pressure later ones).
+    # At cluster scale, checkpoint the signatures table to storage instead.
     a = banded.alias("a")
     bb = banded.alias("b")
     return (
@@ -200,23 +205,36 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """[id_a, id_b, cosine]: pairs above a cosine threshold (brute force;
-    at scale, pre-bucket with the LSH in similarity.py and feed buckets
-    here)."""
-    from graphframes_rs_spark.pipeline.similarity import cosine_expr
+    """[id_a, id_b, cosine]: pairs above a cosine threshold.
 
-    norm = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    Two stages: (1) blocked numpy/BLAS gram matrices generate candidates
+    with cosine >= threshold - 1e-9 (O(n^2/B) work per task, B = replication
+    dial — see similarity.blocked_cosine_candidates); (2) candidates are
+    re-scored with the exact sequential-fold SQL cosine and re-thresholded,
+    so results are bit-identical to a brute-force cross join (and to the
+    DuckDB oracle) while never materializing the n^2 pair set.
+    """
+    from graphframes_rs_spark.pipeline.similarity import (
+        blocked_cosine_candidates,
+        cosine_expr,
     )
-    a = norm.alias("a")
-    b = norm.alias("b")
+
+    norm = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = blocked_cosine_candidates(
+        embeddings, threshold, vec_col=vec_col, id_col=id_col, n_blocks=n_blocks
+    )
+    va = norm.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
+    vb = norm.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

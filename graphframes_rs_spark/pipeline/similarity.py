@@ -8,15 +8,28 @@
   top-k on the (much smaller) candidate set. The 100 TB path: bucket
   cardinality 2^p bounds every bucket join.
 
-All vector math is SQL higher-order functions (``zip_with`` dot product,
-``aggregate`` norms) — JVM-side, no Python workers.
+* ``blocked_cosine_candidates`` — all-pairs-over-threshold candidate
+  generation via block-partitioned gram matrices: vectors are hashed into B
+  blocks, every block pair is computed as ONE numpy/BLAS matrix multiply
+  inside ``applyInPandas``. Work per task is (n/B)^2·d flops on Arrow
+  batches; replication factor is B — both dials a cluster can turn
+  independently of total data size. Callers re-score candidates with the
+  exact sequential-fold SQL cosine, so approximate float ordering inside
+  BLAS never leaks into results.
+
+Exact vector math is SQL higher-order functions (``zip_with`` dot product,
+``aggregate`` norms) — JVM-side, no Python workers, and the left-fold
+summation order matches DuckDB's ``list_reduce`` bit-for-bit.
 """
 
 from __future__ import annotations
 
 import math
 import random
-from typing import List
+from typing import Iterable, List, Tuple
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -69,6 +82,79 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def blocked_cosine_candidates(
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 16,
+    slack: float = 1e-9,
+) -> DataFrame:
+    """[id_a, id_b] (id_a < id_b) with cosine >= threshold - slack.
+
+    The scale path for all-pairs similarity: rows are hashed into
+    ``n_blocks`` blocks; each row is replicated once per block pair it
+    participates in (factor B), and every (lo, hi) block-pair group computes
+    its full gram matrix with one BLAS matmul. Shuffle volume is B·|data|;
+    per-task memory is (n/B)^2 floats — at 100 TB you raise B so tasks stay
+    executor-sized, instead of ever materializing the n^2 cross join.
+
+    ``slack`` absorbs the (≤1e-14) difference between BLAS pairwise
+    summation and the exact sequential fold used for re-scoring; callers
+    MUST re-score candidates exactly and re-apply the threshold.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    keyed = base.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("other"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("b_lo"),
+        F.greatest("blk", "other").alias("b_hi"),
+    )
+    cut = float(threshold) - slack
+
+    empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                          "id_b": pd.array([], dtype="int64")})
+
+    def gram(key: Tuple[int, int], pdf: pd.DataFrame) -> pd.DataFrame:
+        b_lo, b_hi = key
+        left = pdf[pdf["blk"] == b_lo]
+        right = pdf[pdf["blk"] == b_hi] if b_hi != b_lo else left
+        if left.empty or right.empty:
+            return empty
+        la = np.stack(left["v"].to_numpy())
+        ra = np.stack(right["v"].to_numpy())
+        la = la / np.linalg.norm(la, axis=1, keepdims=True)
+        ra = ra / np.linalg.norm(ra, axis=1, keepdims=True)
+        g = la @ ra.T
+        ids_l = left["id"].to_numpy()
+        ids_r = right["id"].to_numpy()
+        ii, jj = np.nonzero(g >= cut)
+        if ii.size == 0:
+            return empty
+        id_a = ids_l[ii]
+        id_b = ids_r[jj]
+        if b_lo == b_hi:
+            # diagonal group: gram holds both (x,y) and (y,x) + self-pairs
+            keep = id_a < id_b
+            id_a, id_b = id_a[keep], id_b[keep]
+        else:
+            # distinct blocks: each pair appears exactly once; orient it
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    return keyed.groupBy("b_lo", "b_hi").applyInPandas(gram, "id_a long, id_b long")
 
 
 def hyperplanes(dim: int, planes: int, seed: int = 42) -> List[List[float]]:

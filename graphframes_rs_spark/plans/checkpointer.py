@@ -20,7 +20,7 @@ import os
 import shutil
 import tempfile
 import uuid
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,7 +35,13 @@ class ParquetCheckpointer:
         self.directory = directory
         os.makedirs(self.directory, exist_ok=True)
         self._seq = 0
-        self._paths: List[str] = []
+        self._uid = uuid.uuid4().hex[:10]
+        # (path, table_name_or_None) per live checkpoint, oldest first
+        self._entries: List[Tuple[str, Optional[str]]] = []
+
+    @property
+    def _paths(self) -> List[str]:
+        return [p for p, _ in self._entries]
 
     def push(self, df: DataFrame, name: str = "state") -> DataFrame:
         """Materialize ``df`` to parquet and return a fresh scan of it.
@@ -55,7 +61,7 @@ class ParquetCheckpointer:
         if not any(f.endswith(".parquet") for f in os.listdir(path)):
             shutil.rmtree(path, ignore_errors=True)
             return self.spark.createDataFrame([], df.schema)
-        self._paths.append(path)
+        self._entries.append((path, None))
         return self.spark.read.parquet(path)
 
     def push_partitioned(
@@ -64,35 +70,82 @@ class ParquetCheckpointer:
         """Checkpoint hash-partitioned by ``key`` — the files come back
         clustered by the join key so the next superstep's shuffle reads are
         local-ish. (The shuffle itself is not elided without bucketed-table
-        metadata; see the reference's ``push_pre_sorted``,
-        src/memory/hash_partitioned.rs:36-137, and README notes on the
-        bucketed variant.)"""
+        metadata; for that use :meth:`push_bucketed`.)"""
         return self.push(df.repartition(num_partitions, key), name)
 
+    def push_bucketed(
+        self, df: DataFrame, key: str, num_buckets: int, name: str = "state"
+    ) -> DataFrame:
+        """Checkpoint as a hash-BUCKETED, per-bucket-sorted parquet table and
+        return a scan that *declares* ``HashPartitioning(key, num_buckets)``.
+
+        This is the Spark-native form of the reference's shuffle-free
+        sorted-merge iteration (``push_pre_sorted`` + the partitioning-aware
+        re-read TableProvider, src/memory/hash_partitioned.rs:36-360): a join
+        of two such checkpoints on their bucket keys with matching bucket
+        counts is planned as SMJ with NO Exchange on either side, so the
+        per-superstep join of an iterative algorithm stops re-shuffling state
+        that was already hash-placed when it was written. The invariant the
+        reference documents (writer N == reader N == session partitions,
+        parquet_checkpointer.rs:108-119) maps to bucket metadata here, which
+        Spark enforces for us.
+
+        Requires a catalog (any in-memory-catalog session works); rows are
+        also sorted within buckets so enabling
+        ``spark.sql.legacy.bucketedTableScan.outputOrdering`` can elide the
+        SMJ sort too.
+        """
+        table = f"gf_ckpt_{self._uid}_{self._seq}_{name}".lower()
+        path = os.path.join(self.directory, f"{self._seq:05d}_{name}")
+        self._seq += 1
+        (
+            # repartition on the key first: Spark's repartition and bucketing
+            # use the same Murmur3 hash family, so each task then holds
+            # exactly one bucket's rows and writes exactly one file — the
+            # reference's one-file-per-bucket layout (hash_partitioned.rs).
+            df.repartition(num_buckets, key)
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        self._entries.append((path, table))
+        return self.spark.table(table)
+
     # -- eviction bookkeeping (parquet_checkpointer.rs:134-165) -------------
+    def _delete(self, entry: Tuple[str, Optional[str]]) -> None:
+        path, table = entry
+        if table is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+
     def evict(self, n: int = 1) -> None:
         """Delete the ``n`` oldest checkpoints."""
-        for path in self._paths[:n]:
-            shutil.rmtree(path, ignore_errors=True)
-        self._paths = self._paths[n:]
+        for entry in self._entries[:n]:
+            self._delete(entry)
+        self._entries = self._entries[n:]
 
     def evict_all_but_latest(self, n: int = 1) -> None:
-        if len(self._paths) > n:
-            self.evict(len(self._paths) - n)
+        if len(self._entries) > n:
+            self.evict(len(self._entries) - n)
 
     def remove_last(self, n: int = 1) -> None:
         """Forget (and delete) the n most recent checkpoints."""
         if n <= 0:
             return
-        for path in self._paths[-n:]:
-            shutil.rmtree(path, ignore_errors=True)
-        self._paths = self._paths[: len(self._paths) - n]
+        for entry in self._entries[-n:]:
+            self._delete(entry)
+        self._entries = self._entries[: len(self._entries) - n]
 
     def purge(self) -> None:
+        for entry in self._entries:
+            self._delete(entry)
         shutil.rmtree(self.directory, ignore_errors=True)
-        self._paths = []
+        self._entries = []
         os.makedirs(self.directory, exist_ok=True)
 
     @property
     def num_checkpoints(self) -> int:
-        return len(self._paths)
+        return len(self._entries)

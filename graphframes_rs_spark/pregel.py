@@ -40,6 +40,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graphframes_rs_spark import config as gf_config
 from graphframes_rs_spark.graphframe import DST, ID, SRC
 from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
 
@@ -198,6 +199,19 @@ class PregelBuilder:
         rotating = ParquetCheckpointer(spark, base + "/rotating")
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+        # Bucketed checkpoints (spark.graphframes.bucketedCheckpoints,
+        # default on): state and edges come back declaring
+        # HashPartitioning(key, N), so the per-superstep state⋈edges SMJ
+        # runs with no Exchange on either side — the reference's
+        # shuffle-free sorted-merge iteration (SURVEY.md §4) in native
+        # Spark bucket metadata.
+        if gf_config.use_bucketed_checkpoints(spark):
+            def _push(pool, df, key, name):
+                return pool.push_bucketed(df, key, shuffle_n, name)
+        else:
+            def _push(pool, df, key, name):
+                return pool.push_partitioned(df, key, shuffle_n, name)
+
         # -- init state (pregel.rs:266-270, 326-348) ------------------------
         state = self.graph.vertices
         for name, init, _ in self._vertex_columns:
@@ -208,15 +222,13 @@ class PregelBuilder:
         if self._voting is not None:
             v_name, _ = self._voting
             state = state.withColumn(v_name, F.lit(True))
-        state = rotating.push_partitioned(state, ID, shuffle_n, "state")
+        state = _push(rotating, state, ID, "state")
 
         # -- offload edges once, partitioned by src (pregel.rs:351-368) -----
         edge_proj = [F.col(SRC), F.col(DST)] + [
             F.col(c).alias(_EDGE_PREFIX + c) for c in self._edge_columns
         ]
-        edges = pinned.push_partitioned(
-            self.graph.edges.select(*edge_proj), SRC, shuffle_n, "edges"
-        )
+        edges = _push(pinned, self.graph.edges.select(*edge_proj), SRC, "edges")
         n_edge_ckpts = pinned.num_checkpoints  # 0 if the edge frame was empty
 
         needs_dst = not self._skip_dest_state
@@ -302,7 +314,7 @@ class PregelBuilder:
                 new_state = joined.select(*select_exprs)
 
                 # 6. checkpoint (truncate lineage), evict older state
-                state = rotating.push_partitioned(new_state, ID, shuffle_n, "state")
+                state = _push(rotating, new_state, ID, "state")
                 rotating.evict_all_but_latest(1)
                 iteration += 1
 

@@ -1,0 +1,51 @@
+"""CLI runner test (reference main.rs:38-127 dispatch semantics)."""
+
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def graph_parquet(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_graph")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT CAST(range AS BIGINT) AS id FROM range(6)) "
+        f"TO '{d}/v.parquet' (FORMAT PARQUET)"
+    )
+    # two components: 0-1-2 chain, 3-4-5 chain; edge file uses the
+    # source/target naming the CLI must rename (main.rs:75-81)
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(1 AS BIGINT)), "
+        f"(1, 2), (3, 4), (4, 5)) t(source, target)) "
+        f"TO '{d}/e.parquet' (FORMAT PARQUET)"
+    )
+    return d
+
+
+def test_cli_wcc_end_to_end(graph_parquet, tmp_path):
+    out = tmp_path / "wcc_out"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "graphframes_rs_spark",
+            f"{graph_parquet}/v.parquet",
+            f"{graph_parquet}/e.parquet",
+            "wcc",
+            "42",
+            str(out),
+            "--partitions",
+            "4",
+            "--cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = duckdb.sql(f"SELECT id, component FROM '{out}/*.parquet' ORDER BY id").fetchall()
+    assert rows == [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)]

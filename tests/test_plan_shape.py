@@ -1,0 +1,105 @@
+"""Plan-shape regression tests — the performance contracts.
+
+Mirrors reference test layer 5 (SURVEY.md §5): the reference asserts its
+checkpoint-join plans contain SortMergeJoinExec and do NOT contain
+RepartitionExec/SortExec (parquet_checkpointer.rs:420-466,
+hash_partitioned.rs:647-705). The Spark equivalents asserted here:
+
+* a join of two bucketed checkpoints on their bucket keys is an SMJ with
+  ZERO shuffle Exchange (bucket metadata replaces RepartitionExec);
+* scans of bucketed checkpoints report ``Bucketed: true`` and push filters;
+* relational queries push filters/projection into the parquet scan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+
+@pytest.fixture()
+def ck(spark, tmp_path):
+    c = ParquetCheckpointer(spark, str(tmp_path / "ck"))
+    yield c
+    c.purge()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_elides_exchange(spark, ck):
+    """The per-superstep contract: state ⋈ edges with both sides bucketed
+    on the join key runs as SMJ with no shuffle on either side."""
+    state = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") * 2).alias("x")
+    )
+    edges = spark.range(0, 40_000).select(
+        (F.col("id") % 10_000).alias("src"), ((F.col("id") * 7) % 10_000).alias("dst")
+    )
+    s = ck.push_bucketed(state, "id", 4, "state")
+    e = ck.push_bucketed(edges, "src", 4, "edges")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast: at scale neither side fits; SMJ is the plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _executed_plan(s.join(e, s["id"] == e["src"], "inner"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_bucketed_scan_pushdown(spark, ck):
+    """Filters reach the bucketed checkpoint scan. (A standalone scan with
+    no join may legitimately coalesce buckets — autoBucketedScan — so only
+    the join test asserts 'Bucketed: true'.)"""
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = ck.push_bucketed(df, "id", 4, "t")
+    plan = _executed_plan(out.filter(F.col("id") > 500).select("id"))
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,500)]" in plan, plan
+    assert "ReadSchema: struct<id:bigint>" in plan, plan
+
+
+def test_parquet_scan_prunes_columns(spark, ck):
+    """Projection pruning reaches the scan: a 2-column projection must not
+    read all columns (the '100 TB scan hygiene' contract)."""
+    df = spark.range(0, 100).select(
+        "id",
+        (F.col("id") * 2).alias("a"),
+        (F.col("id") * 3).alias("b"),
+        (F.col("id") * 4).alias("c"),
+    )
+    out = ck.push(df, "wide")
+    plan = _executed_plan(out.select("id", "b"))
+    assert "ReadSchema: struct<id:bigint,b:bigint>" in plan, plan
+
+
+def test_pregel_superstep_join_is_shuffle_free(spark, tmp_path):
+    """End-to-end: with bucketed checkpoints on (the default), the Pregel
+    state⋈edges triplet join itself plans with no Exchange on the state or
+    edge scan side (message aggregation still shuffles — that IS delivery)."""
+    from graphframes_rs_spark import GraphFrame, MessageDirection, Pregel
+
+    v = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    pregel = (
+        GraphFrame(v, e)
+        .pregel()
+        .max_iterations(2)
+        .add_vertex_column("x", F.lit(0), F.coalesce(Pregel.msg(), F.lit(0)))
+        .add_message(Pregel.src("x") + 1, MessageDirection.SRC_TO_DST)
+        .add_aggregate_expr(F.max(Pregel.msg()))
+        .skip_dest_state()
+        .set_checkpoint_dir(str(tmp_path / "ck"))
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        result = pregel.run()
+        assert result.count() == 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
