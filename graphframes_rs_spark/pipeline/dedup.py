@@ -117,21 +117,21 @@ def minhash_lsh_candidates(
     banded = band_frames[0]
     for fr in band_frames[1:]:
         banded = banded.unionByName(fr)
-    # NOTE on the self-join: both sides shuffle on (band, bucket), so
-    # Spark's ReusedExchange computes the signature pipeline once and reads
-    # the shuffle twice — an explicit persist() here measured *slower*
-    # (cache-manager entries outlive the query and pressure later ones).
-    # At cluster scale, checkpoint the signatures table to storage instead.
-    a = banded.alias("a")
-    bb = banded.alias("b")
+    # Pair generation via bucket membership lists rather than a self-join:
+    # a self-join would recompute the whole signature pipeline once per side
+    # (measured: no ReusedExchange fires), while this computes it once and
+    # shuffles only (band, bucket, doc_id). Pair count per bucket is
+    # |bucket|^2 either way; a degenerate giant bucket concentrates in one
+    # task here, but such a bucket means the band itself is degenerate —
+    # at scale, drop or re-band buckets above a size cap before exploding.
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        members.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
+        .select("doc_a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"))
         .distinct()
     )
 
@@ -149,17 +149,22 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Inverted index as posting lists (shingle -> sorted doc ids), pairs by
+    # in-array explosion: one scan of the shingle pipeline instead of the
+    # self-join's two (no ReusedExchange fires for the join form). Posting
+    # lists of stop-shingles concentrate |list|^2 pair rows in one task —
+    # identical blowup to the self-join, which shuffles the same shingle to
+    # the same partition; at scale, cap or drop ultra-common shingles first.
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    ).filter(F.size("ds") > 1)
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        postings.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
