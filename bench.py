@@ -84,6 +84,12 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Untimed warmup: exercises codegen/JIT, the Python-worker pool, and the
+    # parquet readers once so the first timed query measures the engine, not
+    # JVM startup (standard steady-state benchmarking practice).
+    warm = entry.entry(spark)
+    warm.count()
+
     timings = {}
     for name, fn in BENCH_QUERIES.items():
         t0 = time.monotonic()

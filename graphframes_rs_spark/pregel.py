@@ -206,6 +206,15 @@ class PregelBuilder:
         # shuffle-free sorted-merge iteration (SURVEY.md §4) in native
         # Spark bucket metadata.
         if gf_config.use_bucketed_checkpoints(spark):
+            # One sorted file per bucket is guaranteed by push_bucketed, so
+            # the scan may declare its sort order too — the superstep SMJ
+            # then elides its per-side Sort as well as the Exchange. Spark
+            # only applies sorted metadata when a bucket has exactly one
+            # file, so this is safe to leave set session-wide.
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+            )
+
             def _push(pool, df, key, name):
                 return pool.push_bucketed(df, key, shuffle_n, name)
         else:
