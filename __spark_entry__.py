@@ -246,6 +246,17 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, queries, k=ANN_K, nlist=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     out = ev.tumbling_counts(events, "1 hour")
@@ -329,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
         "pricing_summary": _q_pricing_summary,

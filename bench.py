@@ -61,6 +61,7 @@ BENCH_QUERIES = {
     "embedding_neardup": entry.queries()["embedding_neardup"],
     "ann_topk": entry.queries()["ann_topk"],
     "ann_lsh": entry.queries()["ann_lsh"],
+    "ann_ivf": entry.queries()["ann_ivf"],
     "events_hourly": entry.queries()["events_hourly"],
     "sessions": entry.queries()["sessions"],
 }

@@ -179,6 +179,75 @@ def lsh_bucket_expr(vec: Column, planes: List[List[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Classic IVF-flat: ``nlist`` centroids are fit with Spark MLlib KMeans
+    (seeded), every base vector is assigned to its nearest centroid (one
+    pass), and a query only scans the ``nprobe`` lists whose centroids are
+    closest to it — exact cosine + top-k on that ~nprobe/nlist fraction of
+    the data. The centroid table is tiny and driver-resident; the base
+    assignment is a bounded pandas-UDF matmul per Arrow batch; candidate
+    matching is ONE equi-join on the list id. Versus LSH (``lsh_topk``):
+    data-adaptive partitions, better recall on clustered corpora, and the
+    nlist/nprobe dials map directly to scan fraction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+
+    train = base.select(array_to_vector("nv").alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, d)
+
+    @pandas_udf("int")
+    def nearest_center(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    probe_n = min(nprobe, nlist)
+
+    @pandas_udf("array<int>")
+    def probe_centers(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d2, axis=1)[:, :probe_n].astype("int32")
+        return pd.Series(list(idx))
+
+    listed = base.withColumn("list_id", nearest_center(F.col("nv")))
+    probed = q.select(
+        "query_id", "qv", F.explode(probe_centers(F.col("qv"))).alias("list_id")
+    )
+    cands = listed.join(F.broadcast(probed), "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _all_bucket_udf(planes_by_table: List[List[List[float]]]):
     """Vectorized pandas UDF: embedding -> array of one bucket id per table.
 

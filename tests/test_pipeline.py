@@ -141,3 +141,19 @@ def test_lsh_topk_recall_against_bruteforce(spark, embeddings):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_ivf_topk_recall_against_bruteforce(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.ivf_topk(embeddings, queries, k=5, nlist=8, nprobe=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # every reported neighbour is ranked by true cosine within its query
+    rows = approx.collect()
+    for qid in {r["query_id"] for r in rows}:
+        sims = [r["cosine"] for r in sorted(
+            (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)

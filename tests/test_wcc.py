@@ -46,3 +46,23 @@ def test_seed_independence_of_labels(spark, ckpt_dir):
     a = _wcc(spark, ckpt_dir + "a", vertices, edges, random_seed=1)
     b = _wcc(spark, ckpt_dir + "b", vertices, edges, random_seed=999)
     assert a == b == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+
+
+def test_distributed_contraction_path(spark, ckpt_dir):
+    """Force the distributed contraction rounds (local finisher disabled by
+    a zero threshold) and check they produce the same components as the
+    default local-finish path — a long chain needs several rounds."""
+    from graphframes_rs_spark.operators.connected_components import (
+        LOCAL_FINISH_EDGES,
+    )
+
+    vertices = list(range(0, 40))
+    edges = [(i, i + 1) for i in range(0, 19)] + [(i, i + 1) for i in range(20, 39)]
+    expected = {i: (0 if i < 20 else 20) for i in vertices}
+    spark.conf.set(LOCAL_FINISH_EDGES, "0")
+    try:
+        out = _wcc(spark, ckpt_dir, vertices, edges)
+    finally:
+        spark.conf.unset(LOCAL_FINISH_EDGES)
+    assert out == expected
+    assert _wcc(spark, ckpt_dir + "l", vertices, edges) == expected
