@@ -42,6 +42,30 @@ def kcore_merge_expr(msgs: Column, core: Column) -> Column:
     return F.when(msgs.isNull(), F.coalesce(core, F.lit(0))).otherwise(merged)
 
 
+def kcore_merge_pairs_expr(pairs: Column, core: Column) -> Column:
+    """kcore_merge over a (value, cnt) histogram instead of raw estimates —
+    the count-compressed message form. With distinct values e sorted
+    descending and cum(e) = Σ cnt over values >= e, the H-index equals
+    max_e min(e, cum(e)) (ties fold into the counts), computed as one
+    left-fold over the sorted pairs. Shuffle volume per vertex is its
+    distinct-estimate count, not its degree — the hub-vertex dial."""
+    sorted_desc = F.sort_array(pairs, asc=False)
+    fold = F.aggregate(
+        sorted_desc,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("h")
+        ),
+        lambda acc, p: F.struct(
+            (acc["cum"] + p["cnt"]).alias("cum"),
+            F.greatest(
+                acc["h"], F.least(p["value"], acc["cum"] + p["cnt"])
+            ).alias("h"),
+        ),
+    )
+    merged = F.least(F.coalesce(core, F.lit(0)), fold["h"])
+    return F.when(pairs.isNull(), F.coalesce(core, F.lit(0))).otherwise(merged)
+
+
 class KCoreBuilder:
     def __init__(self, graph: GraphFrame):
         self.graph = graph
@@ -72,12 +96,13 @@ class KCoreBuilder:
         )
         prep = GraphFrame(vertices, prepared_edges)
 
-        new_core = kcore_merge_expr(Pregel.msg(), F.col(KCORE))
+        new_core = kcore_merge_pairs_expr(Pregel.msg(), F.col(KCORE))
         builder = (
             prep.pregel()
             .add_vertex_column(KCORE, F.col("degree"), new_core)
             .add_message(Pregel.src(KCORE), MessageDirection.SRC_TO_DST)
             .add_aggregate_expr(F.collect_list(Pregel.msg()))
+            .with_count_compressed_messages()
             .with_vertex_voting("active", F.col(KCORE) != new_core)
             .skip_dest_state()
         )

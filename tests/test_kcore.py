@@ -58,3 +58,39 @@ def test_hierarchy_bands(spark, ckpt_dir):
         assert 2 <= out[m] <= 3, f"mid vertex {m}"
     for o in range(10, 15):
         assert out[o] == 1, f"outer vertex {o}"
+
+
+def test_kcore_merge_pairs_matches_raw(spark):
+    """The histogram fold must equal the raw H-index merge on multisets."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.operators.k_core import (
+        kcore_merge_expr,
+        kcore_merge_pairs_expr,
+    )
+
+    cases = [
+        ([3, 3, 2, 1], 5),
+        ([5, 4, 4, 2], 9),
+        ([1, 1, 1], 2),
+        ([7], 3),
+        ([2, 2, 2, 2, 2], 2),
+        ([], 4),
+    ]
+    rows = []
+    for i, (msgs, core) in enumerate(cases):
+        hist = {}
+        for m in msgs:
+            hist[m] = hist.get(m, 0) + 1
+        rows.append((i, msgs, [{"value": v, "cnt": c} for v, c in hist.items()], core))
+    df = spark.createDataFrame(
+        rows,
+        "id long, msgs array<long>, pairs array<struct<value: long, cnt: long>>, core long",
+    )
+    out = df.select(
+        "id",
+        kcore_merge_expr(F.col("msgs"), F.col("core")).alias("raw"),
+        kcore_merge_pairs_expr(F.col("pairs"), F.col("core")).alias("packed"),
+    ).collect()
+    for r in out:
+        assert r["raw"] == r["packed"], f"case {r['id']}: {r['raw']} != {r['packed']}"
