@@ -45,7 +45,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graphframes_rs_spark import config as gf_config
@@ -157,11 +157,15 @@ class ConnectedComponentsBuilder:
         # them newest-to-oldest), so they live in their own pinned pool.
         reps_ckpt = ParquetCheckpointer(spark, ckpt.directory + "/reps")
 
-        # prepare: drop self-loops, symmetrize, dedup (cc.rs "prepare" step)
+        # prepare: drop self-loops, symmetrize, dedup (cc.rs "prepare" step).
+        # Edge counts ride the checkpoint writes as observe() metrics — loop
+        # control never pays a separate count job over the edge set.
+        obs = Observation()
         edges = symmetrize_edges(
             self.graph.edges.select(SRC, DST), deduplicate=True
-        )
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         edges = ckpt.push_partitioned(edges, SRC, shuffle_n, "edges")
+        n_edges = obs.get["n"]
 
         # ---- forward contraction ----
         # Per round only the (geometrically shrinking) reps frame is stored;
@@ -175,7 +179,6 @@ class ConnectedComponentsBuilder:
         reps_frames = []
         iteration = 0
         while True:
-            n_edges = edges.count()
             if n_edges == 0:
                 break
             if n_edges <= local_cut:
@@ -191,11 +194,16 @@ class ConnectedComponentsBuilder:
                 _compute_reps(edges, seed), "rep", shuffle_n, f"reps_{iteration}"
             )
             reps_frames.append(reps)
+            obs = Observation()
             new_edges = ckpt.push_partitioned(
-                _relabel_edges(edges, reps), SRC, shuffle_n, "edges"
+                _relabel_edges(edges, reps).observe(obs, F.count(F.lit(1)).alias("n")),
+                SRC,
+                shuffle_n,
+                "edges",
             )
             ckpt.evict_all_but_latest(1)
             edges = new_edges
+            n_edges = obs.get["n"]
             iteration += 1
 
         self.iterations_ = iteration

@@ -25,7 +25,7 @@ reference's invariant-style test strategy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC, symmetrize_edges
@@ -68,10 +68,16 @@ class MISBuilder:
 
         mis = ckpt.push(mis, "mis")
         state = ckpt.push_partitioned(state, ID, shuffle_n, "state")
-        edges = ckpt.push_partitioned(edges, SRC, shuffle_n, "edges")
+        # edge counts ride the checkpoint writes (observe) — loop control
+        # never pays a separate count/isEmpty job over the edge frame
+        obs = Observation()
+        edges = ckpt.push_partitioned(
+            edges.observe(obs, F.count(F.lit(1)).alias("n")), SRC, shuffle_n, "edges"
+        )
+        n_edges = obs.get["n"]
 
         iteration = 0
-        while iteration < self.max_iter and not edges.isEmpty():
+        while iteration < self.max_iter and n_edges > 0:
             seed = self.random_seed + iteration
 
             # nominate with prob p, deterministic per (seed, id): map the
@@ -148,15 +154,22 @@ class MISBuilder:
             # checkpoint new state before evicting old
             mis = ckpt.push(new_mis, "mis")
             state = ckpt.push_partitioned(survivors, ID, shuffle_n, "state")
-            edges = ckpt.push_partitioned(new_edges, SRC, shuffle_n, "edges")
+            obs = Observation()
+            edges = ckpt.push_partitioned(
+                new_edges.observe(obs, F.count(F.lit(1)).alias("n")),
+                SRC,
+                shuffle_n,
+                "edges",
+            )
             ckpt.evict_all_but_latest(3)
+            n_edges = obs.get["n"]
             iteration += 1
 
         self.iterations_ = iteration
         # Safety-cap fallback: any leftover actives are swept in greedily and
         # deterministically (min-id first) — converges because each pass
         # admits at least one vertex per surviving neighbourhood.
-        while not edges.isEmpty():
+        while n_edges > 0:
             reps = (
                 edges.groupBy(F.col(SRC).alias(ID))
                 .agg(F.min(DST).alias("min_nbr"))
@@ -181,7 +194,14 @@ class MISBuilder:
             state = ckpt.push_partitioned(
                 survivors.join(still_connected, ID, "left_semi"), ID, shuffle_n, "state"
             )
-            edges = ckpt.push_partitioned(new_edges, SRC, shuffle_n, "edges")
+            obs = Observation()
+            edges = ckpt.push_partitioned(
+                new_edges.observe(obs, F.count(F.lit(1)).alias("n")),
+                SRC,
+                shuffle_n,
+                "edges",
+            )
             ckpt.evict_all_but_latest(3)
+            n_edges = obs.get["n"]
 
         return mis.select(ID)

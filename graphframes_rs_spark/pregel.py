@@ -37,7 +37,7 @@ import enum
 from functools import reduce
 from typing import Callable, Dict, List, Optional, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graphframes_rs_spark import config as gf_config
@@ -383,14 +383,24 @@ class PregelBuilder:
                         select_exprs.append(F.col(c))
                 new_state = joined.select(*select_exprs)
 
-                # 6. checkpoint (truncate lineage), evict older state
+                # 6+7. checkpoint (truncate lineage) with the voting count
+                # observed DURING the write — the reference pays a second
+                # action per superstep for voting (pregel.rs:504-518); an
+                # observe() metric rides the write job instead, so voting
+                # costs zero extra jobs and zero extra state scans.
+                obs = None
+                if self._voting is not None:
+                    obs = Observation()
+                    new_state = new_state.observe(
+                        obs,
+                        F.sum(F.col(self._voting[0]).cast("long")).alias("active"),
+                    )
                 state = _push(rotating, new_state, ID, "state")
                 rotating.evict_all_but_latest(1)
                 iteration += 1
 
-                # 7. voting / early exit (pregel.rs:504-518)
-                if self._voting is not None:
-                    active = state.filter(F.col(self._voting[0])).count()
+                if obs is not None:
+                    active = obs.get["active"] or 0
                     if active == 0:
                         break
 
