@@ -150,6 +150,7 @@ class ConnectedComponentsBuilder:
         component. Component ids are minimum original member ids when
         ``use_labels_as_components`` (default), else representative ids."""
         spark = self.graph.vertices.sparkSession
+        gf_config.apply_session_prefs(spark)
         ckpt = ParquetCheckpointer(spark, self._checkpoint_dir)
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 

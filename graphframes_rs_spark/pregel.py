@@ -212,6 +212,9 @@ class PregelBuilder:
         max_iter = self._max_iterations if self._max_iterations is not None else 2**31
 
         spark = self.graph.vertices.sparkSession
+        # out-of-core mode: honour spark.graphframes.preferSortMergeJoin the
+        # way the reference's scoped_ctx honours graphframes.prefer_smj
+        gf_config.apply_session_prefs(spark)
         # Two checkpoint pools: `pinned` holds the edges offload (must stay
         # live for the whole run) and the final state; `rotating` holds the
         # per-superstep states, evicted as the loop advances.
