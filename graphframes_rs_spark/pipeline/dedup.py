@@ -96,10 +96,22 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, k: int = 16, bands: int = 4
+    signatures: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """[doc_a, doc_b] candidate near-dup pairs: docs sharing at least one
-    LSH band bucket (band key = rolling combination of the band's rows)."""
+    LSH band bucket (band key = rolling combination of the band's rows).
+
+    Candidate output is Σ_buckets |bucket|², so a corpus dense in duplicate
+    clusters produces quadratically many pairs per cluster — measured: a
+    10×-duplicated 50k-doc corpus emits ~300k pairs and pair
+    materialization dominates. ``max_bucket_size`` is the scale dial:
+    buckets above it are dropped from candidate generation (standard LSH
+    practice — a bucket that big means the band is degenerate for those
+    docs, and downstream exact verification would reject or a dedup
+    clusterer would union-find them anyway). Default None = exact."""
     rows = k // bands
     band_frames = []
     for b in range(bands):
@@ -129,6 +141,8 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ds") <= max_bucket_size)
     return (
         members.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
         .select("doc_a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"))
@@ -141,10 +155,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """[doc_a, doc_b, jaccard]: pairs with word-n-gram Jaccard >= threshold,
-    via a shingle inverted-index self-join (common-shingle counting), never
-    materializing the doc×doc cross product."""
+    via a shingle inverted index (common-shingle counting), never
+    materializing the doc×doc cross product.
+
+    Exact by default. Pair-generation work is Σ_shingles df(s)², dominated
+    by ultra-common shingles that contribute candidates with near-zero
+    Jaccard. ``max_doc_freq`` drops shingles appearing in more than that
+    many docs from CANDIDATE GENERATION ONLY — with it set, reported
+    jaccard values undercount by the dropped shingles, so treat the output
+    as a candidate filter and re-verify exact where that matters. This is
+    the dial that keeps the operator output-bound instead of
+    stop-shingle-bound on web-scale corpora."""
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
@@ -158,6 +182,8 @@ def ngram_jaccard_pairs(
     postings = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     ).filter(F.size("ds") > 1)
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ds") <= max_doc_freq)
     common = (
         postings.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
         .select(

@@ -157,3 +157,31 @@ def test_ivf_topk_recall_against_bruteforce(spark, embeddings):
         sims = [r["cosine"] for r in sorted(
             (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"])]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_bucket_and_docfreq_caps(spark, docs):
+    """The scale dials only ever REMOVE candidate pairs, never invent them."""
+    sigs = dedup.minhash_signatures(docs, k=8)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(sigs, k=8, bands=4).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(
+            sigs, k=8, bands=4, max_bucket_size=2
+        ).collect()
+    }
+    assert capped <= full
+
+    jfull = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    jcap = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.1, max_doc_freq=3
+        ).collect()
+    }
+    assert jcap <= jfull
