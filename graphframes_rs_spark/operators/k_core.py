@@ -83,9 +83,24 @@ class KCoreBuilder:
 
     def run(self) -> DataFrame:
         """Returns DataFrame[id, kcore] (isolated vertices => 0)."""
-        prepared_edges = symmetrize_edges(
-            self.graph.edges.select(SRC, DST), deduplicate=True
+        from graphframes_rs_spark import config as gf_config
+        from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+        spark = self.graph.vertices.sparkSession
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # Materialize the prepared (symmetrized, deduped) edge set ONCE and
+        # derive both the seed degrees and the Pregel iteration from the same
+        # scan — otherwise the symmetrize+distinct pipeline runs twice (once
+        # per consumer), a full extra pass over the edge set at scale. With
+        # bucketed checkpoints the degrees groupBy(src) is also exchange-free.
+        prep_ckpt = ParquetCheckpointer(
+            spark, None if self._checkpoint_dir is None else self._checkpoint_dir + "/prep"
         )
+        raw = symmetrize_edges(self.graph.edges.select(SRC, DST), deduplicate=True)
+        if gf_config.use_bucketed_checkpoints(spark):
+            prepared_edges = prep_ckpt.push_bucketed(raw, SRC, shuffle_n, "edges")
+        else:
+            prepared_edges = prep_ckpt.push_partitioned(raw, SRC, shuffle_n, "edges")
         degrees = prepared_edges.groupBy(F.col(SRC).alias(ID)).agg(
             F.count(F.lit(1)).alias("degree")
         )
@@ -105,6 +120,7 @@ class KCoreBuilder:
             .with_count_compressed_messages()
             .with_vertex_voting("active", F.col(KCORE) != new_core)
             .skip_dest_state()
+            .with_materialized_edges()
         )
         if self._checkpoint_dir:
             builder = builder.set_checkpoint_dir(self._checkpoint_dir)
@@ -113,4 +129,5 @@ class KCoreBuilder:
 
         out = builder.run().select(ID, KCORE)
         self.iterations_ = builder.iterations_
+        prep_ckpt.purge()  # Pregel re-materialized the result; prep can go
         return out

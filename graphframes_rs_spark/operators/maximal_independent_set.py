@@ -60,7 +60,19 @@ class MISBuilder:
         ckpt = ParquetCheckpointer(spark, self._checkpoint_dir)
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-        edges = symmetrize_edges(self.graph.edges.select(SRC, DST), deduplicate=True)
+        # Materialize the symmetrized edge set FIRST; the isolated-vertex
+        # split below then reads the checkpoint scan instead of recomputing
+        # symmetrize+distinct a second time. Edge counts ride the write
+        # (observe) — loop control never pays a separate count job.
+        obs = Observation()
+        edges = ckpt.push_partitioned(
+            symmetrize_edges(self.graph.edges.select(SRC, DST), deduplicate=True)
+            .observe(obs, F.count(F.lit(1)).alias("n")),
+            SRC,
+            shuffle_n,
+            "edges",
+        )
+        n_edges = obs.get["n"]
         # active state: [id, p]
         state = self.graph.vertices.select(ID, F.lit(0.5).alias("p"))
 
@@ -71,13 +83,6 @@ class MISBuilder:
 
         mis = ckpt.push(mis, "mis")
         state = ckpt.push_partitioned(state, ID, shuffle_n, "state")
-        # edge counts ride the checkpoint writes (observe) — loop control
-        # never pays a separate count/isEmpty job over the edge frame
-        obs = Observation()
-        edges = ckpt.push_partitioned(
-            edges.observe(obs, F.count(F.lit(1)).alias("n")), SRC, shuffle_n, "edges"
-        )
-        n_edges = obs.get["n"]
 
         iteration = 0
         while iteration < self.max_iter and n_edges > 0:

@@ -98,6 +98,7 @@ class PregelBuilder:
         self._voting: Optional[Tuple[str, Column]] = None
         self._participation: Optional[Tuple[str, Column, Column]] = None
         self._skip_dest_state = False
+        self._edges_materialized = False
         self._count_compressed: set = set()
         self._checkpoint_dir: Optional[str] = None
         self._keep_internal_columns = False
@@ -175,6 +176,19 @@ class PregelBuilder:
         partial aggregation already combines sums map-side).
         """
         self._count_compressed.update(names or [DEFAULT_MSG])
+        return self
+
+    def with_materialized_edges(self) -> "PregelBuilder":
+        """Caller contract: the graph's edge frame is ALREADY materialized
+        (checkpointed/bucketed by ``src``) and projected to src/dst + any
+        declared edge columns, so the engine must not offload it again.
+        Use when the algorithm derives prep state (degrees, seeds) from the
+        same prepared edge set — sharing one materialization instead of
+        recomputing the prep pipeline once per consumer. The per-superstep
+        join still sees hash-placed, sorted edges if the caller used
+        ``push_bucketed`` (the degrees groupBy then also runs exchange-free
+        off the same scan)."""
+        self._edges_materialized = True
         return self
 
     def skip_dest_state(self) -> "PregelBuilder":
@@ -260,11 +274,19 @@ class PregelBuilder:
         state = _push(rotating, state, ID, "state")
 
         # -- offload edges once, partitioned by src (pregel.rs:351-368) -----
-        edge_proj = [F.col(SRC), F.col(DST)] + [
-            F.col(c).alias(_EDGE_PREFIX + c) for c in self._edge_columns
-        ]
-        edges = _push(pinned, self.graph.edges.select(*edge_proj), SRC, "edges")
-        n_edge_ckpts = pinned.num_checkpoints  # 0 if the edge frame was empty
+        if self._edges_materialized:
+            if self._edge_columns:
+                raise ValueError(
+                    "with_materialized_edges requires plain src/dst edges "
+                    "(no add_edge_column declarations)"
+                )
+            edges = self.graph.edges.select(SRC, DST)
+        else:
+            edge_proj = [F.col(SRC), F.col(DST)] + [
+                F.col(c).alias(_EDGE_PREFIX + c) for c in self._edge_columns
+            ]
+            edges = _push(pinned, self.graph.edges.select(*edge_proj), SRC, "edges")
+        n_edge_ckpts = pinned.num_checkpoints  # 0 if edges pre-materialized/empty
 
         needs_dst = not self._skip_dest_state
         iteration = 0
