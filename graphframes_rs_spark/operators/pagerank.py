@@ -54,15 +54,35 @@ class PageRankBuilder:
 
     def run(self) -> DataFrame:
         """Returns DataFrame[id, pagerank] normalized to sum 1."""
+        from graphframes_rs_spark import config as gf_config
+        from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
         alpha = 1.0 - self.reset_prob
+        spark = self.graph.vertices.sparkSession
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+        # Materialize the edge projection once; the out-degree seed and the
+        # Pregel iteration both read the same checkpointed scan (with
+        # bucketed checkpoints the degree groupBy(src) is exchange-free).
+        prep_ckpt = ParquetCheckpointer(
+            spark,
+            None if self._checkpoint_dir is None else self._checkpoint_dir + "/prep",
+        )
+        raw = self.graph.edges.select(SRC, "dst")
+        if gf_config.use_bucketed_checkpoints(spark):
+            edges = prep_ckpt.push_bucketed(raw, SRC, shuffle_n, "edges")
+        else:
+            edges = prep_ckpt.push_partitioned(raw, SRC, shuffle_n, "edges")
 
         # PageRank needs out-degrees to split the delta over out-edges.
         # Vertices with no out-edges keep out_degree NULL; they never emit a
         # message (the join against edges produces no triplet rows for them),
         # so the NULL never reaches an expression.
-        degrees = self.graph.out_degrees
+        degrees = edges.groupBy(F.col(SRC).alias(ID)).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
         vertices = self.graph.vertices.select(ID).join(degrees, ID, "left")
-        prep = GraphFrame(vertices, self.graph.edges.select(SRC, "dst"))
+        prep = GraphFrame(vertices, edges)
 
         new_delta = F.lit(alpha) * F.coalesce(Pregel.msg(), F.lit(0.0))
         builder = (
@@ -77,6 +97,7 @@ class PageRankBuilder:
             .add_aggregate_expr(F.sum(Pregel.msg()))
             .with_participation_column("participates", F.lit(True), new_delta > F.lit(self.tol))
             .skip_dest_state()
+            .with_materialized_edges()
         )
         if self._checkpoint_dir:
             builder = builder.set_checkpoint_dir(self._checkpoint_dir)
@@ -85,12 +106,13 @@ class PageRankBuilder:
         else:
             builder = builder.with_vertex_voting("active", new_delta > F.lit(self.tol))
 
-        raw = builder.run()
+        out = builder.run()
         self.iterations_ = builder.iterations_
+        prep_ckpt.purge()  # Pregel re-materialized the result; prep can go
 
         # Normalization: 1-row global sum broadcast-joined against every row.
-        total = raw.agg(F.sum(PAGERANK).alias("__pr_sum"))
+        total = out.agg(F.sum(PAGERANK).alias("__pr_sum"))
         return (
-            raw.crossJoin(F.broadcast(total))
+            out.crossJoin(F.broadcast(total))
             .select(F.col(ID), (F.col(PAGERANK) / F.col("__pr_sum")).alias(PAGERANK))
         )

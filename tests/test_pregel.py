@@ -189,3 +189,24 @@ def test_validation_errors(spark):
         g.pregel().add_message(F.lit(1), MessageDirection.SRC_TO_DST).add_aggregate_expr(
             F.sum(Pregel.msg())
         ).run()
+
+
+def test_materialized_edges_rejects_edge_columns(spark):
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark import GraphFrame, MessageDirection, Pregel
+
+    v = spark.createDataFrame([(0,), (1,)], "id long")
+    e = spark.createDataFrame([(0, 1, 2.0)], "src long, dst long, w double")
+    b = (
+        GraphFrame(v, e)
+        .pregel()
+        .max_iterations(1)
+        .add_vertex_column("x", F.lit(0), F.coalesce(Pregel.msg(), F.lit(0)))
+        .add_edge_column("w")
+        .add_message(Pregel.src("x") + 1, MessageDirection.SRC_TO_DST)
+        .add_aggregate_expr(F.max(Pregel.msg()))
+        .with_materialized_edges()
+    )
+    with pytest.raises(ValueError, match="materialized_edges"):
+        b.run()
