@@ -191,6 +191,17 @@ def _q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", txt.rolling_hash(F.col("text")).alias("fingerprint"))
 
 
+def _q_doc_normalize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(txt.normalize_text(c)).alias("norm_hash"),
+        txt.url_count(c).alias("n_urls"),
+        txt.email_count(c).alias("n_emails"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs)
@@ -332,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang": _q_doc_lang,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_normalize": _q_doc_normalize,
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
@@ -554,6 +566,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint": (
             f"SELECT doc_id, {fingerprint} AS fingerprint FROM documents"
+        ),
+        "doc_normalize": (
+            "SELECT doc_id, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash, "
+            "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails "
+            "FROM documents"
         ),
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "

@@ -115,6 +115,27 @@ def rolling_hash(col: Column) -> Column:
     )
 
 
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+
+
+def url_count(col: Column) -> Column:
+    """Number of http(s) URLs in the text (pre-dedup/PII signal)."""
+    return F.size(F.regexp_extract_all(col, F.lit(URL_RE), 0)).cast("long")
+
+
+def email_count(col: Column) -> Column:
+    """Number of email-shaped tokens in the text (PII signal)."""
+    return F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical dedup-key form: lowercase, collapse whitespace runs, trim.
+    Exact dedup over ``md5(normalize_text(text))`` catches
+    case/whitespace-only near-copies that raw ``content_hash`` misses."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
 def content_hash(col: Column) -> Column:
     """128-bit content hash as hex (exact-dedup key)."""
     return F.md5(col)
