@@ -202,6 +202,14 @@ def _q_doc_normalize(spark, sf_dir):
     )
 
 
+def _q_vocab_stats(spark, sf_dir):
+    return txt.vocab_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _q_token_topk(spark, sf_dir):
+    return txt.token_topk(load_table(spark, sf_dir, "documents"), k=20)
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_duplicates(docs)
@@ -344,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang": _q_doc_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_normalize": _q_doc_normalize,
+        "vocab_stats": _q_vocab_stats,
+        "token_topk": _q_token_topk,
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
@@ -574,6 +584,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails "
             "FROM documents"
+        ),
+        "vocab_stats": (
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_tokens "
+            "FROM (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents)"
+        ),
+        "token_topk": (
+            "WITH c AS (SELECT unnest(string_split(lower(text), ' ')) AS token "
+            "FROM documents), "
+            "g AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY token), "
+            "r AS (SELECT *, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) "
+            "AS rank FROM g) "
+            "SELECT token, n, rank FROM r WHERE rank <= 20"
         ),
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "

@@ -147,6 +147,42 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def vocab_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus vocabulary summary: [n_docs, n_tokens, n_distinct_tokens].
+
+    Exact distinct count (one explode + distinct-agg shuffle). At the
+    100 TB tier swap ``countDistinct`` for ``approx_count_distinct``
+    (HLL++, no exact-distinct shuffle) — same query shape."""
+    tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    return docs.select(
+        F.count(F.lit(1)).alias("n_docs"),
+    ).crossJoin(
+        tok.agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("t").alias("n_distinct_tokens"),
+        )
+    )
+
+
+def token_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """[token, n] the k most frequent lowercase tokens (deterministic
+    tie-break on token). The heavy-hitter query: one explode, one combine-
+    enabled groupBy, top-k via window — no driver-side collection."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("token", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     c = F.col(text_col)
