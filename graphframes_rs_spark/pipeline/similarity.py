@@ -213,8 +213,15 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
 
-    train = base.select(array_to_vector("nv").alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
+    # KMeans iterates over the training frame; cache it for the fit and
+    # release immediately (MLlib itself warns on uncached input). At scale,
+    # fit on a bounded sample instead — centroid quality needs ~100·nlist
+    # points, not the full corpus.
+    train = base.select(array_to_vector("nv").alias("features")).cache()
+    try:
+        model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
+    finally:
+        train.unpersist()
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, d)
 
     @pandas_udf("int")
