@@ -290,148 +290,145 @@ class PregelBuilder:
 
         needs_dst = not self._skip_dest_state
         iteration = 0
-        try:
-            while iteration < max_iter:
-                state_cols = state.columns
+        while iteration < max_iter:
+            state_cols = state.columns
 
-                # 1. source-side projection (+ pre-join participation prune)
-                src_side = state.select(
-                    *[F.col(c).alias(_SRC_PREFIX + c) for c in state_cols]
+            # 1. source-side projection (+ pre-join participation prune)
+            src_side = state.select(
+                *[F.col(c).alias(_SRC_PREFIX + c) for c in state_cols]
+            )
+            if self._participation is not None and self._skip_dest_state:
+                src_side = src_side.filter(
+                    F.col(_SRC_PREFIX + self._participation[0])
                 )
-                if self._participation is not None and self._skip_dest_state:
-                    src_side = src_side.filter(
-                        F.col(_SRC_PREFIX + self._participation[0])
-                    )
 
-                # 2. triplet assembly
-                trip = src_side.join(
-                    edges, src_side[_SRC_PREFIX + ID] == edges[SRC], "inner"
+            # 2. triplet assembly
+            trip = src_side.join(
+                edges, src_side[_SRC_PREFIX + ID] == edges[SRC], "inner"
+            )
+            if needs_dst:
+                dst_side = state.select(
+                    *[F.col(c).alias(_DST_PREFIX + c) for c in state_cols]
                 )
-                if needs_dst:
-                    dst_side = state.select(
-                        *[F.col(c).alias(_DST_PREFIX + c) for c in state_cols]
-                    )
-                    trip = trip.join(
-                        dst_side, trip[DST] == dst_side[_DST_PREFIX + ID], "inner"
-                    )
-                    if self._participation is not None:
-                        p = self._participation[0]
-                        trip = trip.filter(
-                            F.col(_SRC_PREFIX + p) | F.col(_DST_PREFIX + p)
-                        )
-
-                # 3. per-message projection, combined by name
-                msg_frames = []  # (frame, {names held}) pairs
-                for name, expr, direction in self._messages:
-                    if direction in (
-                        MessageDirection.SRC_TO_DST,
-                        MessageDirection.BIDIRECTIONAL,
-                    ):
-                        msg_frames.append(
-                            (
-                                trip.select(
-                                    F.col(DST).alias(ID), expr.alias(_MSG_PREFIX + name)
-                                ),
-                                {name},
-                            )
-                        )
-                    if direction in (
-                        MessageDirection.DST_TO_SRC,
-                        MessageDirection.BIDIRECTIONAL,
-                    ):
-                        msg_frames.append(
-                            (
-                                trip.select(
-                                    F.col(SRC).alias(ID), expr.alias(_MSG_PREFIX + name)
-                                ),
-                                {name},
-                            )
-                        )
-                # 4. message aggregation (one shuffle on id). Count-compressed
-                # names aggregate in two stages — groupBy(id, value).count()
-                # combines duplicates map-side, then groupBy(id) applies the
-                # user aggregate over struct(value, cnt) — and are joined
-                # back onto the plain aggregate frame by id.
-                plain_names = [n for n in msg_names if n not in self._count_compressed]
-                packed_names = [n for n in msg_names if n in self._count_compressed]
-
-                msgs = None
-                if plain_names:
-                    plain_frames = [
-                        f for f, names in msg_frames if any(n in plain_names for n in names)
-                    ]
-                    combined = reduce(
-                        lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                        plain_frames,
-                    )
-                    agg_exprs = [
-                        self._aggregates[n].alias(_MSG_PREFIX + n) for n in plain_names
-                    ]
-                    msgs = combined.groupBy(ID).agg(*agg_exprs)
-                for n in packed_names:
-                    frames = [f for f, names in msg_frames if n in names]
-                    combined = reduce(
-                        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
-                    )
-                    col = _MSG_PREFIX + n
-                    packed = (
-                        combined.groupBy(ID, col)
-                        .agg(F.count(F.lit(1)).alias("__pregel_cnt"))
-                        .select(
-                            ID,
-                            F.struct(
-                                F.col(col).alias("value"),
-                                F.col("__pregel_cnt").alias("cnt"),
-                            ).alias(col),
-                        )
-                        .groupBy(ID)
-                        .agg(self._aggregates[n].alias(col))
-                    )
-                    msgs = packed if msgs is None else msgs.join(packed, ID, "full")
-
-                # 5. delivery: left join (no message -> NULL) + update select
-                joined = state.join(
-                    msgs.withColumnRenamed(ID, "__pregel_msg_id"),
-                    state[ID] == F.col("__pregel_msg_id"),
-                    "left",
+                trip = trip.join(
+                    dst_side, trip[DST] == dst_side[_DST_PREFIX + ID], "inner"
                 )
-                update_for = {name: upd for name, _, upd in self._vertex_columns}
-                select_exprs = []
-                for c in state_cols:
-                    if c in update_for:
-                        select_exprs.append(update_for[c].alias(c))
-                    elif self._participation is not None and c == self._participation[0]:
-                        select_exprs.append(self._participation[2].alias(c))
-                    elif self._voting is not None and c == self._voting[0]:
-                        select_exprs.append(self._voting[1].alias(c))
-                    else:
-                        select_exprs.append(F.col(c))
-                new_state = joined.select(*select_exprs)
-
-                # 6+7. checkpoint (truncate lineage) with the voting count
-                # observed DURING the write — the reference pays a second
-                # action per superstep for voting (pregel.rs:504-518); an
-                # observe() metric rides the write job instead, so voting
-                # costs zero extra jobs and zero extra state scans.
-                obs = None
-                if self._voting is not None:
-                    obs = Observation()
-                    new_state = new_state.observe(
-                        obs,
-                        F.sum(F.col(self._voting[0]).cast("long")).alias("active"),
+                if self._participation is not None:
+                    p = self._participation[0]
+                    trip = trip.filter(
+                        F.col(_SRC_PREFIX + p) | F.col(_DST_PREFIX + p)
                     )
-                state = _push(rotating, new_state, ID, "state")
-                rotating.evict_all_but_latest(1)
-                iteration += 1
 
-                if obs is not None:
-                    active = obs.get["active"] or 0
-                    if active == 0:
-                        break
+            # 3. per-message projection, combined by name
+            msg_frames = []  # (frame, {names held}) pairs
+            for name, expr, direction in self._messages:
+                if direction in (
+                    MessageDirection.SRC_TO_DST,
+                    MessageDirection.BIDIRECTIONAL,
+                ):
+                    msg_frames.append(
+                        (
+                            trip.select(
+                                F.col(DST).alias(ID), expr.alias(_MSG_PREFIX + name)
+                            ),
+                            {name},
+                        )
+                    )
+                if direction in (
+                    MessageDirection.DST_TO_SRC,
+                    MessageDirection.BIDIRECTIONAL,
+                ):
+                    msg_frames.append(
+                        (
+                            trip.select(
+                                F.col(SRC).alias(ID), expr.alias(_MSG_PREFIX + name)
+                            ),
+                            {name},
+                        )
+                    )
+            # 4. message aggregation (one shuffle on id). Count-compressed
+            # names aggregate in two stages — groupBy(id, value).count()
+            # combines duplicates map-side, then groupBy(id) applies the
+            # user aggregate over struct(value, cnt) — and are joined
+            # back onto the plain aggregate frame by id.
+            plain_names = [n for n in msg_names if n not in self._count_compressed]
+            packed_names = [n for n in msg_names if n in self._count_compressed]
 
-            self.iterations_ = iteration
-        finally:
-            pass
+            msgs = None
+            if plain_names:
+                plain_frames = [
+                    f for f, names in msg_frames if any(n in plain_names for n in names)
+                ]
+                combined = reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                    plain_frames,
+                )
+                agg_exprs = [
+                    self._aggregates[n].alias(_MSG_PREFIX + n) for n in plain_names
+                ]
+                msgs = combined.groupBy(ID).agg(*agg_exprs)
+            for n in packed_names:
+                frames = [f for f, names in msg_frames if n in names]
+                combined = reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+                )
+                col = _MSG_PREFIX + n
+                packed = (
+                    combined.groupBy(ID, col)
+                    .agg(F.count(F.lit(1)).alias("__pregel_cnt"))
+                    .select(
+                        ID,
+                        F.struct(
+                            F.col(col).alias("value"),
+                            F.col("__pregel_cnt").alias("cnt"),
+                        ).alias(col),
+                    )
+                    .groupBy(ID)
+                    .agg(self._aggregates[n].alias(col))
+                )
+                msgs = packed if msgs is None else msgs.join(packed, ID, "full")
+
+            # 5. delivery: left join (no message -> NULL) + update select
+            joined = state.join(
+                msgs.withColumnRenamed(ID, "__pregel_msg_id"),
+                state[ID] == F.col("__pregel_msg_id"),
+                "left",
+            )
+            update_for = {name: upd for name, _, upd in self._vertex_columns}
+            select_exprs = []
+            for c in state_cols:
+                if c in update_for:
+                    select_exprs.append(update_for[c].alias(c))
+                elif self._participation is not None and c == self._participation[0]:
+                    select_exprs.append(self._participation[2].alias(c))
+                elif self._voting is not None and c == self._voting[0]:
+                    select_exprs.append(self._voting[1].alias(c))
+                else:
+                    select_exprs.append(F.col(c))
+            new_state = joined.select(*select_exprs)
+
+            # 6+7. checkpoint (truncate lineage) with the voting count
+            # observed DURING the write — the reference pays a second
+            # action per superstep for voting (pregel.rs:504-518); an
+            # observe() metric rides the write job instead, so voting
+            # costs zero extra jobs and zero extra state scans.
+            obs = None
+            if self._voting is not None:
+                obs = Observation()
+                new_state = new_state.observe(
+                    obs,
+                    F.sum(F.col(self._voting[0]).cast("long")).alias("active"),
+                )
+            state = _push(rotating, new_state, ID, "state")
+            rotating.evict_all_but_latest(1)
+            iteration += 1
+
+            if obs is not None:
+                active = obs.get["active"] or 0
+                if active == 0:
+                    break
+
+        self.iterations_ = iteration
 
         drop_cols = []
         if not self._keep_internal_columns:

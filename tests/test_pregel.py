@@ -210,3 +210,28 @@ def test_materialized_edges_rejects_edge_columns(spark):
     )
     with pytest.raises(ValueError, match="materialized_edges"):
         b.run()
+
+
+def test_bidirectional_message_undirected_degree(spark, ckpt_dir):
+    """BIDIRECTIONAL emits to both endpoints: one superstep of counting
+    1-per-edge messages yields the undirected degree."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark import GraphFrame, MessageDirection, Pregel
+
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    # path 0-1-2 plus pendant 2-3: degrees 1,2,2,1
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = (
+        GraphFrame(v, e)
+        .pregel()
+        .max_iterations(1)
+        .add_vertex_column(
+            "deg", F.lit(0), F.coalesce(Pregel.msg(), F.lit(0)).cast("long")
+        )
+        .add_message(F.lit(1), MessageDirection.BIDIRECTIONAL)
+        .add_aggregate_expr(F.sum(Pregel.msg()))
+        .set_checkpoint_dir(ckpt_dir)
+        .run()
+    )
+    assert {r["id"]: r["deg"] for r in out.collect()} == {0: 1, 1: 2, 2: 2, 3: 1}
