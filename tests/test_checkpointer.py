@@ -28,3 +28,27 @@ def test_empty_dataframe_push(spark, tmp_path):
     out = ck.push(df, "s")
     assert out.count() == 0
     assert out.schema == df.schema
+
+
+def test_remove_last_and_bucketed_roundtrip(spark, tmp_path):
+    ck = ParquetCheckpointer(spark, str(tmp_path / "ck3"))
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)], "id long, v long")
+    out = ck.push_bucketed(df, "id", 2, "b")
+    assert sorted(r["id"] for r in out.collect()) == list(range(10))
+    ck.push(out.filter("id < 5"), "s")
+    assert ck.num_checkpoints == 2
+    ck.remove_last(1)
+    assert ck.num_checkpoints == 1
+    # the remaining (bucketed) checkpoint is still readable
+    assert out.count() == 10
+    ck.purge()
+    assert ck.num_checkpoints == 0
+
+
+def test_bucketed_empty_dataframe(spark, tmp_path):
+    ck = ParquetCheckpointer(spark, str(tmp_path / "ck4"))
+    df = spark.createDataFrame([], "id long, v long")
+    out = ck.push_bucketed(df, "id", 2, "empty")
+    assert out.count() == 0
+    assert out.schema == df.schema
+    ck.purge()
