@@ -9,8 +9,8 @@ superstep = project src state  →  inner-join edges on src
           →  groupBy(id).agg(aggregates)            # message delivery
           →  left-join back onto state              # null = no message
           →  apply update expressions in one select
-          →  parquet checkpoint (lineage truncation)
-          →  voting count / early exit
+          →  checkpoint (lineage truncation) with the voting count
+             riding the write as an observe() metric → early exit
 
 Differences from the reference that are deliberate Spark-first choices:
   * message frames are combined with ``unionByName(allowMissingColumns=True)``
@@ -18,8 +18,10 @@ Differences from the reference that are deliberate Spark-first choices:
     workaround (pregel.rs:440-464) is unnecessary;
   * per-superstep lineage truncation uses a parquet round-trip through
     :class:`ParquetCheckpointer` (eviction keeps only the latest states);
-  * loop control lives in Python on the driver, convergence = voting
-    ``count() == 0`` or the iteration cap — same contract as the reference.
+  * loop control lives in Python on the driver, convergence = zero active
+    voters or the iteration cap — same contract as the reference, but the
+    active count is an ``observe()`` metric on the checkpoint write, not a
+    second action per superstep (the reference pays one, pregel.rs:504-509).
 
 Scale notes (100 TB design intent): the only shuffles per superstep are
 (1) the state⋈edges join on src, (2) the message groupBy on id, and
