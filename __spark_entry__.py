@@ -27,7 +27,9 @@ from graphframes_rs_spark.pipeline import text as txt
 from graphframes_rs_spark.sources.graphs import (
     customer_hierarchy_graph,
     lineitem_graph,
+    lineitem_triple_graph,
     named_hierarchy_graph,
+    weighted_hierarchy_graph,
 )
 from graphframes_rs_spark.sources.tables import load_table
 from graphframes_rs_spark.streaming import events as ev
@@ -158,6 +160,15 @@ def _q_wcc_big(spark, sf_dir):
 def _q_kcore_big(spark, sf_dir):
     g = lineitem_graph(spark, sf_dir)
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
+
+
+def _q_triangles(spark, sf_dir):
+    return lineitem_triple_graph(spark, sf_dir).triangle_count()
+
+
+def _q_weighted_sssp(spark, sf_dir):
+    g = weighted_hierarchy_graph(spark, sf_dir)
+    return g.weighted_shortest_paths(1001).set_checkpoint_dir(_ckpt()).run()
 
 
 def _q_doc_token_counts(spark, sf_dir):
@@ -347,6 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_forest": _q_mis_forest,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
+        "triangles": _q_triangles,
+        "weighted_sssp": _q_weighted_sssp,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_lang": _q_doc_lang,
@@ -554,6 +567,39 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT dst FROM e WHERE src <> dst) GROUP BY id) "
             "SELECT v.id, CAST(CASE WHEN COALESCE(d, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) "
             "AS kcore FROM v LEFT JOIN deg ON v.id = deg.id"
+        ),
+        "triangles": (
+            "WITH raw AS ("
+            "SELECT l_orderkey AS src, CAST(l_suppkey + 10000000 AS BIGINT) AS dst FROM lineitem "
+            "UNION ALL SELECT CAST(l_suppkey + 10000000 AS BIGINT), "
+            "CAST(l_partkey + 20000000 AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, CAST(l_partkey + 20000000 AS BIGINT) FROM lineitem), "
+            "canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "FROM raw WHERE src <> dst), "
+            "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+            "FROM canon e1 JOIN canon e2 ON e1.b = e2.a "
+            "JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+            "UNION ALL SELECT c FROM tri), "
+            "verts AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw), "
+            "cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY id) "
+            "SELECT verts.id, COALESCE(cnt.triangles, 0) AS triangles "
+            "FROM verts LEFT JOIN cnt USING (id)"
+        ),
+        "weighted_sssp": (
+            # closed form on the fixed-depth DAG: from customer 1001 only its
+            # nation and that nation's region are reachable; w = 1+(src+dst)%5
+            f"WITH v AS ({_VERTS_SMALL_SQL}), lm AS ("
+            "SELECT CAST(c_nationkey + 100 AS BIGINT) AS nid, "
+            "CAST(n_regionkey + 50 AS BIGINT) AS rid "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey = 1) "
+            "SELECT v.id, CASE "
+            "WHEN v.id = 1001 THEN 0.0 "
+            "WHEN v.id = (SELECT nid FROM lm) THEN 1.0 + (1001 + (SELECT nid FROM lm)) % 5 "
+            "WHEN v.id = (SELECT rid FROM lm) THEN "
+            "  (1.0 + (1001 + (SELECT nid FROM lm)) % 5) "
+            "  + (1.0 + ((SELECT nid FROM lm) + (SELECT rid FROM lm)) % 5) "
+            "ELSE CAST('infinity' AS DOUBLE) END AS dist FROM v"
         ),
         "doc_token_counts": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

@@ -44,6 +44,7 @@ BENCH_QUERIES = {
     "wcc_big": entry.queries()["wcc_big"],
     "kcore_big": entry.queries()["kcore_big"],
     "bfs_big": _bench_bfs_big,
+    "triangles": entry.queries()["triangles"],
     # relational core
     "in_degrees": entry.queries()["in_degrees"],
     "triplets": entry.queries()["triplets"],

@@ -187,3 +187,15 @@ class GraphFrame:
         from graphframes_rs_spark.operators.maximal_independent_set import MISBuilder
 
         return MISBuilder(self)
+
+    def triangle_count(self) -> DataFrame:
+        from graphframes_rs_spark.operators.triangles import triangle_count
+
+        return triangle_count(self)
+
+    def weighted_shortest_paths(
+        self, source: int, weight_col: str = "weight"
+    ) -> "WeightedSSSPBuilder":
+        from graphframes_rs_spark.operators.weighted_sssp import WeightedSSSPBuilder
+
+        return WeightedSSSPBuilder(self, source, weight_col)

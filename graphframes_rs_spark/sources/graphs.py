@@ -39,6 +39,44 @@ def lineitem_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
     return GraphFrame(vertices, edges)
 
 
+PART_OFFSET = 20_000_000
+
+
+def lineitem_triple_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    """Triangle-rich graph: every lineitem row contributes the three edges
+    (order, supplier), (supplier, part), (order, part) — so each distinct
+    (order, supplier, part) triple closes a triangle. Supplier/part ids are
+    offset to keep the three id spaces disjoint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long")
+    s = (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).cast("long")
+    p = (F.col("l_partkey") + F.lit(PART_OFFSET)).cast("long")
+    edges = (
+        li.select(o.alias("src"), s.alias("dst"))
+        .unionByName(li.select(s.alias("src"), p.alias("dst")))
+        .unionByName(li.select(o.alias("src"), p.alias("dst")))
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return GraphFrame(vertices, edges)
+
+
+def weighted_hierarchy_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    """Customer hierarchy DAG with a deterministic synthetic edge weight
+    ``1 + (src + dst) % 5`` — fixed depth, so weighted SSSP from a customer
+    has a closed-form SQL answer for the oracle."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    edges = g.edges.select(
+        "src",
+        "dst",
+        (F.lit(1.0) + (F.col("src") + F.col("dst")) % 5).alias("weight"),
+    )
+    return GraphFrame(g.vertices, edges)
+
+
 def customer_hierarchy_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
