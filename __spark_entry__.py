@@ -162,6 +162,11 @@ def _q_kcore_big(spark, sf_dir):
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
 
 
+def _q_label_propagation(spark, sf_dir):
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return g.label_propagation().max_iterations(5).set_checkpoint_dir(_ckpt()).run()
+
+
 def _q_triangles(spark, sf_dir):
     return lineitem_triple_graph(spark, sf_dir).triangle_count()
 
@@ -360,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
         "weighted_sssp": _q_weighted_sssp,
+        "label_propagation": _q_label_propagation,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_lang": _q_doc_lang,

@@ -188,6 +188,13 @@ class GraphFrame:
 
         return MISBuilder(self)
 
+    def label_propagation(self) -> "LabelPropagationBuilder":
+        from graphframes_rs_spark.operators.label_propagation import (
+            LabelPropagationBuilder,
+        )
+
+        return LabelPropagationBuilder(self)
+
     def triangle_count(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import triangle_count
 
