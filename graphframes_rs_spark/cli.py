@@ -93,28 +93,30 @@ def main(argv=None) -> int:
 
     if args.algorithm == "pagerank":
         builder = g.page_rank().with_tol(float(args.param)).set_checkpoint_dir(ckpt)
-        if args.max_iterations is not None:
-            builder = builder.max_iterations(args.max_iterations)
-        result = builder.run()
     elif args.algorithm == "wcc":
-        result = (
+        # the WCC contraction always runs to completion (it has no
+        # iteration cap) — reject the flag instead of silently ignoring it
+        if args.max_iterations is not None:
+            raise SystemExit("--max-iterations is not supported for wcc")
+        builder = (
             g.connected_components()
             .with_random_seed(int(args.param))
             .set_checkpoint_dir(ckpt)
-            .run()
         )
     elif args.algorithm == "bfs":
         landmarks = [int(x) for x in args.param.split(",") if x]
-        result = g.shortest_paths(landmarks).set_checkpoint_dir(ckpt).run()
+        builder = g.shortest_paths(landmarks).set_checkpoint_dir(ckpt)
     elif args.algorithm == "kcore":
-        result = g.k_core().set_checkpoint_dir(ckpt).run()
+        builder = g.k_core().set_checkpoint_dir(ckpt)
     else:  # mis
-        result = (
+        builder = (
             g.maximal_independent_set()
             .with_random_seed(int(args.param))
             .set_checkpoint_dir(ckpt)
-            .run()
         )
+    if args.max_iterations is not None and args.algorithm != "wcc":
+        builder = builder.max_iterations(args.max_iterations)
+    result = builder.run()
 
     result.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()

@@ -95,11 +95,15 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+DEFAULT_MAX_BUCKET_SIZE = 1024
+DEFAULT_MAX_DOC_FREQ = 1024
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     k: int = 16,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """[doc_a, doc_b] candidate near-dup pairs: docs sharing at least one
     LSH band bucket (band key = rolling combination of the band's rows).
@@ -111,7 +115,12 @@ def minhash_lsh_candidates(
     buckets above it are dropped from candidate generation (standard LSH
     practice — a bucket that big means the band is degenerate for those
     docs, and downstream exact verification would reject or a dedup
-    clusterer would union-find them anyway). Default None = exact."""
+    clusterer would union-find them anyway).
+
+    The cap defaults ON (``DEFAULT_MAX_BUCKET_SIZE`` = 1024, bounding any
+    single task at ~1M pair rows) so the degenerate-bucket blowup is never
+    the default behavior at scale; pass ``max_bucket_size=None`` to opt in
+    to exact-all-buckets output."""
     rows = k // bands
     band_frames = []
     for b in range(bands):
@@ -155,7 +164,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """[doc_a, doc_b, jaccard]: pairs with word-n-gram Jaccard >= threshold,
     via a shingle inverted index (common-shingle counting), never
@@ -168,7 +177,10 @@ def ngram_jaccard_pairs(
     jaccard values undercount by the dropped shingles, so treat the output
     as a candidate filter and re-verify exact where that matters. This is
     the dial that keeps the operator output-bound instead of
-    stop-shingle-bound on web-scale corpora."""
+    stop-shingle-bound on web-scale corpora; it defaults ON
+    (``DEFAULT_MAX_DOC_FREQ`` = 1024) so a stop-shingle can never
+    concentrate a quadratic posting list in one task by default — pass
+    ``max_doc_freq=None`` for exact similarity over every shingle."""
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )

@@ -214,10 +214,21 @@ def ivf_topk(
     )
 
     # KMeans iterates over the training frame; cache it for the fit and
-    # release immediately (MLlib itself warns on uncached input). At scale,
-    # fit on a bounded sample instead — centroid quality needs ~100·nlist
-    # points, not the full corpus.
-    train = base.select(array_to_vector("nv").alias("features")).cache()
+    # release immediately (MLlib itself warns on uncached input). The fit is
+    # sample-bounded: centroid quality needs ~100·nlist points, not the full
+    # corpus, so the multi-pass KMeans scan touches at most ``fit_sample``
+    # rows regardless of base size (one cheap count + one Bernoulli sample
+    # pass instead of maxIter full scans at 100 TB).
+    fit_sample = max(100 * nlist, 1)
+    n_base = base.count()
+    train = base
+    if n_base > fit_sample:
+        # oversample slightly so Bernoulli variance can't undershoot the target
+        train = base.sample(
+            withReplacement=False, fraction=min(1.0, 1.2 * fit_sample / n_base),
+            seed=seed,
+        )
+    train = train.select(array_to_vector("nv").alias("features")).cache()
     try:
         model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
     finally:

@@ -25,6 +25,24 @@ from typing import List, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _require_local_dir(directory: str) -> str:
+    """Checkpoint bookkeeping (listdir / rmtree) runs on the driver's local
+    filesystem, so remote URIs (hdfs://, s3a://, ...) would write parquet via
+    Spark but break the existence checks with FileNotFoundError. Reject them
+    up front with an actionable error; accept and strip a ``file:`` scheme."""
+    scheme, sep, rest = directory.partition("://")
+    if not sep:
+        return directory
+    if scheme == "file":
+        return rest if rest.startswith("/") else "/" + rest
+    raise ValueError(
+        f"ParquetCheckpointer requires a local-filesystem checkpoint dir; "
+        f"got '{directory}'. Remote stores ({scheme}://) are not supported "
+        f"by the driver-side eviction bookkeeping — mount the store locally "
+        f"or point spark.graphframes.checkpointDir at a local path."
+    )
+
+
 class ParquetCheckpointer:
     def __init__(self, spark: SparkSession, directory: Optional[str] = None):
         self.spark = spark
@@ -32,7 +50,7 @@ class ParquetCheckpointer:
             directory = os.path.join(
                 tempfile.gettempdir(), f"gf_ckpt_{uuid.uuid4().hex[:12]}"
             )
-        self.directory = directory
+        self.directory = _require_local_dir(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._seq = 0
         self._uid = uuid.uuid4().hex[:10]

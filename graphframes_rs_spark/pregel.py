@@ -157,7 +157,17 @@ class PregelBuilder:
 
     def add_named_aggregate_expr(self, name: str, expr: Column) -> "PregelBuilder":
         """Merge function for message ``name`` — an aggregate Column over
-        ``Pregel.msg(name)`` (e.g. ``F.sum(Pregel.msg())``)."""
+        ``Pregel.msg(name)`` (e.g. ``F.sum(Pregel.msg())``).
+
+        NULL-padding contract: with MULTIPLE named plain messages, the
+        per-name frames are assembled with
+        ``unionByName(allowMissingColumns=True)`` before one shared groupBy,
+        so rows originating from message A carry NULL in message B's column.
+        Aggregates must therefore ignore NULLs — ``min``/``max``/``sum``/
+        ``avg``/``collect_list`` all do; null-sensitive forms such as
+        ``F.count(F.lit(1))`` or ``F.first(ignorenulls=False)`` would see
+        the padding rows (use ``F.count(Pregel.msg(name))`` instead, which
+        counts only that message's own rows)."""
         self._aggregates[name] = expr
         return self
 

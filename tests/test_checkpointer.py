@@ -52,3 +52,18 @@ def test_bucketed_empty_dataframe(spark, tmp_path):
     assert out.count() == 0
     assert out.schema == df.schema
     ck.purge()
+
+
+def test_rejects_remote_uri_accepts_file_scheme(spark, tmp_path):
+    import pytest
+    from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+    with pytest.raises(ValueError, match="local-filesystem"):
+        ParquetCheckpointer(spark, "s3a://bucket/ckpt")
+    with pytest.raises(ValueError, match="local-filesystem"):
+        ParquetCheckpointer(spark, "hdfs://nn:8020/ckpt")
+    local = str(tmp_path / "via_file_scheme")
+    ckpt = ParquetCheckpointer(spark, "file://" + local)
+    assert ckpt.directory == local
+    df = ckpt.push(spark.range(3))
+    assert df.count() == 3

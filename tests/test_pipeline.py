@@ -185,3 +185,26 @@ def test_lsh_bucket_and_docfreq_caps(spark, docs):
         ).collect()
     }
     assert jcap <= jfull
+
+
+def test_degenerate_bucket_bounded_by_default(spark):
+    """2k identical docs form one giant LSH bucket / stop-shingle posting
+    list; the DEFAULT caps drop it (bounded task time) instead of emitting
+    ~2M quadratic pairs, and distinct docs are unaffected."""
+    n = 2000
+    rows = [(i, "all these documents are exactly the same text") for i in range(n)]
+    rows += [(n + 1, "one completely different document body here"),
+             (n + 2, "one completely different document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = dedup.minhash_signatures(df, k=8)
+    pairs = dedup.minhash_lsh_candidates(sigs, k=8, bands=4).collect()
+    ids = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    # giant-bucket members dropped; the small duplicate pair survives
+    assert (n + 1, n + 2) in {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert not any(i < n for i in ids)
+
+    jpairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    jids = {r["doc_a"] for r in jpairs} | {r["doc_b"] for r in jpairs}
+    assert (n + 1, n + 2) in {(r["doc_a"], r["doc_b"]) for r in jpairs}
+    assert not any(i < n for i in jids)
