@@ -294,6 +294,11 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash(docs, bits=32)
 
 
+def _q_simhash_neardups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, bits=32, max_hamming=3)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -447,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
+        "simhash_neardups": _q_simhash_neardups,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -838,6 +844,15 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE j >= {JACCARD_T}"
         ),
         "simhash": _simhash_sql(),
+        "simhash_neardups": (
+            # brute-force popcount over all pairs — the banded join must
+            # produce the identical set (pigeonhole guarantees no misses)
+            f"WITH s AS MATERIALIZED ({_simhash_sql()}) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
         "embedding_neardup": (
             "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "
             f"s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine "

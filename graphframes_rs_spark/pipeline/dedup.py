@@ -9,9 +9,11 @@ Five families, all shuffle-conscious and Python-free in the hot path:
                     on candidates. Scales as O(docs·k + collisions), never
                     O(docs²).
 * **simhash**     — per-token 60-bit hashes folded into a 32-bit signature
-                    by bitwise majority vote; near-dups = signatures within
-                    a small Hamming distance (joined on identical signature
-                    here; banded variants drop out of the same code).
+                    by bitwise majority vote; ``simhash_near_duplicates``
+                    finds pairs within a Hamming budget via the banded
+                    pigeonhole join (max_hamming+1 bands → any pair in
+                    budget collides on a whole band), exact popcount filter
+                    on candidates.
 * **n-gram Jaccard** — shingle inverted-index self-join; exact similarity
                     for corpora where candidate generation is affordable.
 * **embedding**   — cosine-over-threshold pairs on an embedding column
@@ -241,6 +243,71 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
             F.lit(0).cast("long")
         )
     return voted.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """[doc_a, doc_b, hamming]: near-duplicate pairs whose simhash
+    signatures differ in at most ``max_hamming`` bits, via the standard
+    banded Hamming join: the ``bits``-bit signature is split into
+    ``max_hamming + 1`` bands, so by pigeonhole any pair within the
+    Hamming budget collides on at least one whole band. Candidates are
+    band-bucket collisions (never all-pairs); the exact popcount filter
+    then makes the output identical to a brute-force scan.
+
+    Work is Σ_buckets |bucket|² like every LSH family; ``max_bucket_size``
+    (default ON) drops degenerate buckets — a band value shared by
+    thousands of docs means that band carries no signal for them."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    # distribute the leftover bits over the leading bands so every bit is
+    # covered (uneven widths preserve the pigeonhole guarantee)
+    widths = [width + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    sigs = simhash(docs, text_col=text_col, bits=bits)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias(f"b{i}")
+            for i in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "band_val")
+    )
+    members = (
+        banded.groupBy("band", "band_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ds") <= max_bucket_size)
+    pairs = (
+        members.select(F.posexplode("ds").alias("i", "a"), F.col("ds"))
+        .select(
+            "a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("b"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.distinct()
 
 
 def embedding_near_duplicates(

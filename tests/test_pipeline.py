@@ -208,3 +208,20 @@ def test_degenerate_bucket_bounded_by_default(spark):
     jids = {r["doc_a"] for r in jpairs} | {r["doc_b"] for r in jpairs}
     assert (n + 1, n + 2) in {(r["doc_a"], r["doc_b"]) for r in jpairs}
     assert not any(i < n for i in jids)
+
+
+def test_simhash_neardups_banded_equals_bruteforce(spark, docs):
+    """The banded pigeonhole join must equal the brute-force popcount scan."""
+    out = dedup.simhash_near_duplicates(docs, bits=32, max_hamming=4)
+    banded = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in out.collect()}
+
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, bits=32).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 4
+    }
+    assert banded == brute
+    assert brute, "fixture should contain at least one near-dup pair"
