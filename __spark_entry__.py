@@ -366,6 +366,21 @@ def _q_ann_ivf(spark, sf_dir):
     return _recall_gate(exact, approx)
 
 
+def _q_image_features(spark, sf_dir):
+    """Real-codec round trip: deterministic 8x6 PPM payloads are encoded
+    per document id, decoded by the pure-numpy P6 parser inside
+    mapInPandas, and reduced to per-channel means — which the oracle
+    reproduces analytically from the pixel formula (byte i of image m is
+    (m*31 + i*7) % 256)."""
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = mm.synthetic_ppm_media(ids, width=8, height=6)
+    return mm.image_features(media)
+
+
 def _q_events_hourly(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     out = ev.tumbling_counts(events, "1 hour")
@@ -457,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "image_features": _q_image_features,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
         "pricing_summary": _q_pricing_summary,
@@ -869,6 +885,17 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank "
             "FROM s) "
             f"SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {ANN_K}"
+        ),
+        "image_features": (
+            # analytic integration of the synthetic pixel formula: channel c
+            # of image m averages (m*31 + (3i+c)*7) % 256 over i in [0, 48)
+            "WITH px AS (SELECT doc_id, unnest(range(0, 48)) AS i FROM documents) "
+            "SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width, "
+            "CAST(6 AS BIGINT) AS height, "
+            "round(avg(CAST((doc_id * 31 + (3 * i + 0) * 7) % 256 AS DOUBLE)), 6) AS mean_r, "
+            "round(avg(CAST((doc_id * 31 + (3 * i + 1) * 7) % 256 AS DOUBLE)), 6) AS mean_g, "
+            "round(avg(CAST((doc_id * 31 + (3 * i + 2) * 7) % 256 AS DOUBLE)), 6) AS mean_b "
+            "FROM px GROUP BY doc_id"
         ),
         "events_hourly": (
             # epoch_ms // 1000 floors like Spark's timestamp->long cast

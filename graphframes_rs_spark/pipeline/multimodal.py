@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery is real and tested — schema contract, Arrow-batched
-``mapInPandas`` iteration, partition sizing, metadata propagation. The codec
-step itself is stubbed: decode libraries (PIL/ffmpeg/torchaudio) are not in
-this container, so ``decode=`` accepts either the deterministic fake
-(default, for tests) or raises ``NotImplementedError`` in ``strict`` mode to
-mark exactly where a real decoder plugs in.
+``mapInPandas`` iteration, partition sizing, metadata propagation. Two REAL
+codecs ship dependency-free: ``decode_ppm`` (binary P6 PPM images, pure
+numpy header parse + frombuffer) and ``decode_wav`` (PCM WAV via the stdlib
+``wave`` module), each with a feature extractor (``image_features`` /
+``audio_features``) that runs the decode inside ``mapInPandas``. Formats
+needing external libraries (JPEG/PNG/MP4/Opus) remain behind the
+``decode=`` plug point: the deterministic fake (default, for tests) or
+``NotImplementedError`` in ``strict`` mode marking where PIL/ffmpeg plug in.
 
 Schema contract:
     media(media_id: long, media_type: string, payload: binary,
@@ -107,6 +110,142 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# real codecs (dependency-free formats)
+# --------------------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, pixels: "np.ndarray") -> bytes:
+    """Binary P6 PPM encoder: pixels is a (height, width, 3) uint8 array."""
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixels shape {pixels.shape} != {(height, width, 3)}")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple:
+    """Real binary-PPM (P6) decoder: (width, height, (h, w, 3) uint8 array).
+    Handles the three whitespace-separated header fields and ``#`` comment
+    lines per the netpbm spec; no external libraries."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    n = width * height * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return width, height, raster.reshape(height, width, 3)
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """Real PCM WAV decoder via the stdlib ``wave`` module:
+    (sample_rate, (n_frames, n_channels) float64 array in [-1, 1])."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    return rate, x.reshape(-1, n_ch)
+
+
+def image_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """[media_id, width, height, mean_r, mean_g, mean_b]: real PPM decode +
+    per-channel means, Arrow-batched. Means are rounded to 6 so results are
+    reproducible bit-for-bit in plain SQL over the same pixel formula."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                w, h, px = decode_ppm(
+                    payload if isinstance(payload, bytes) else bytes(payload)
+                )
+                means = px.reshape(-1, 3).mean(axis=0)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "media_id long, width long, height long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def audio_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """[media_id, sample_rate, n_frames, rms]: real WAV decode + loudness."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_frames", "rms")}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                rate, x = decode_wav(
+                    payload if isinstance(payload, bytes) else bytes(payload)
+                )
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(x.shape[0])
+                out["rms"].append(round(float(np.sqrt((x ** 2).mean())), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, sample_rate long, n_frames long, rms double"
+    )
+
+
+def synthetic_ppm_media(
+    ids: DataFrame, id_col: str = "media_id", width: int = 8, height: int = 6
+) -> DataFrame:
+    """[media_id, payload]: deterministic PPM payloads for testing the real
+    decoder at scale — byte i of image m is ``(m*31 + i*7) % 256``, a
+    closed form a SQL oracle can integrate analytically."""
+    n_bytes = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_bytes, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_ppm(
+                    width,
+                    height,
+                    ((int(m) * 31 + i * 7) % 256)
+                    .astype(np.uint8)
+                    .reshape(height, width, 3),
+                )
+                for m in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

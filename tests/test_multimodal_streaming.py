@@ -113,3 +113,75 @@ def test_streaming_sessionize_runs(spark, tmp_path):
     rows = spark.sql("select * from stream_sessions").collect()
     assert len(rows) > 0
     assert all(r["session_end"] >= r["session_start"] for r in rows)
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    px = (np.arange(5 * 4 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
+    payload = mm.encode_ppm(5, 4, px)
+    w, h, out = mm.decode_ppm(payload)
+    assert (w, h) == (5, 4)
+    assert np.array_equal(out, px)
+    # netpbm comment lines between header fields must be skipped
+    commented = b"P6\n# a comment\n5 4\n# another\n255\n" + px.tobytes()
+    w2, h2, out2 = mm.decode_ppm(commented)
+    assert (w2, h2) == (5, 4) and np.array_equal(out2, px)
+
+
+def test_wav_codec_roundtrip():
+    import io
+    import wave
+
+    import numpy as np
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    t = np.arange(1600) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(sig.tobytes())
+    rate, x = mm.decode_wav(buf.getvalue())
+    assert rate == 16000 and x.shape == (1600, 1)
+    expected_rms = float(np.sqrt(((sig.astype(np.float64) / 32768.0) ** 2).mean()))
+    assert abs(float(np.sqrt((x ** 2).mean())) - expected_rms) < 1e-12
+
+
+def test_image_and_audio_features_distributed(spark):
+    import io
+    import wave
+
+    import numpy as np
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    ids = spark.range(16).select(F.col("id").alias("media_id"))
+    media = mm.synthetic_ppm_media(ids, width=8, height=6)
+    feats = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    assert len(feats) == 16
+    i = np.arange(8 * 6 * 3, dtype=np.int64)
+    for m in (0, 7, 15):
+        vals = (m * 31 + i * 7) % 256
+        assert feats[m]["width"] == 8 and feats[m]["height"] == 6
+        assert feats[m]["mean_r"] == round(float(vals[0::3].mean()), 6)
+        assert feats[m]["mean_b"] == round(float(vals[2::3].mean()), 6)
+
+    def wav_payload(m):
+        sig = (((np.arange(800) * (m + 3)) % 256 - 128) * 100).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(sig.tobytes())
+        return buf.getvalue()
+
+    rows = [(m, wav_payload(m)) for m in range(6)]
+    media_a = spark.createDataFrame(rows, "media_id long, payload binary")
+    arows = {r["media_id"]: r for r in mm.audio_features(media_a).collect()}
+    assert len(arows) == 6
+    assert all(r["sample_rate"] == 8000 and r["n_frames"] == 800 for r in arows.values())
+    assert all(0 < r["rms"] < 1 for r in arows.values())
