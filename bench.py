@@ -38,6 +38,82 @@ def _bench_bfs_big(spark, sf_dir):
     return g.shortest_paths(landmarks).set_checkpoint_dir(tempfile.mkdtemp()).run()
 
 
+def _bench_ann_lsh(spark, sf_dir):
+    # raw approximate operator at the driver entries' dials (the queries()
+    # twin additionally computes the exact baseline for its recall gate)
+    from graphframes_rs_spark.pipeline import similarity
+    from graphframes_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(
+        emb, q, k=entry.ANN_K,
+        planes_per_table=entry.LSH_PLANES, tables=entry.LSH_TABLES,
+    )
+
+
+def _bench_ann_ivf(spark, sf_dir):
+    from graphframes_rs_spark.pipeline import similarity
+    from graphframes_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, q, k=entry.ANN_K, nlist=entry.IVF_NLIST, nprobe=entry.IVF_NPROBE
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale proof: a deterministic random graph >=10x the sf0.1 lineitem graph
+# (6M edges vs 588k) through the two flagship iterative algorithms. Edges are
+# generated once (untimed setup) and read back from parquet like any table.
+# ---------------------------------------------------------------------------
+SCALE_EDGES = 6_000_000
+SCALE_VERTICES = 2_000_000
+_scale_paths = {}
+
+
+def _prepare_scale_graph(spark):
+    if "edges" in _scale_paths:
+        return
+    base = tempfile.mkdtemp(prefix="gf_scale_")
+    edges = spark.range(SCALE_EDGES).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(SCALE_VERTICES)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(SCALE_VERTICES)).alias("dst"),
+    )
+    edges.write.mode("overwrite").parquet(base + "/edges")
+    spark.range(SCALE_VERTICES).select(F.col("id")).write.mode("overwrite").parquet(
+        base + "/vertices"
+    )
+    _scale_paths["edges"] = base + "/edges"
+    _scale_paths["vertices"] = base + "/vertices"
+
+
+def _scale_graph(spark):
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    _prepare_scale_graph(spark)
+    return GraphFrame(
+        spark.read.parquet(_scale_paths["vertices"]),
+        spark.read.parquet(_scale_paths["edges"]),
+    )
+
+
+def _bench_scale_wcc(spark, sf_dir):
+    g = _scale_graph(spark)
+    return g.connected_components().set_checkpoint_dir(tempfile.mkdtemp()).run()
+
+
+def _bench_scale_pagerank(spark, sf_dir):
+    g = _scale_graph(spark)
+    pr = g.page_rank().max_iterations(5).set_checkpoint_dir(tempfile.mkdtemp())
+    return pr.run()
+
+
 BENCH_QUERIES = {
     # graph algorithms at scale (lineitem bipartite graph)
     "pagerank_big": _bench_pagerank_big,
@@ -61,10 +137,15 @@ BENCH_QUERIES = {
     "simhash": entry.queries()["simhash"],
     "embedding_neardup": entry.queries()["embedding_neardup"],
     "ann_topk": entry.queries()["ann_topk"],
-    "ann_lsh": entry.queries()["ann_lsh"],
-    "ann_ivf": entry.queries()["ann_ivf"],
+    "ann_lsh": _bench_ann_lsh,
+    "ann_ivf": _bench_ann_ivf,
+    "simhash_neardups": entry.queries()["simhash_neardups"],
+    "image_features": entry.queries()["image_features"],
     "events_hourly": entry.queries()["events_hourly"],
     "sessions": entry.queries()["sessions"],
+    # scale proof (6M-edge generated graph, ~10x the sf0.1 lineitem graph)
+    "scale_wcc_6m": _bench_scale_wcc,
+    "scale_pagerank_6m": _bench_scale_pagerank,
 }
 
 
@@ -91,6 +172,7 @@ def main():
     # JVM startup (standard steady-state benchmarking practice).
     warm = entry.entry(spark)
     warm.count()
+    _prepare_scale_graph(spark)  # untimed: input generation is not the query
 
     # The iterative graph algorithms run many short jobs and are the most
     # sensitive to JVM/GC state (observed ±40% across identical runs);
@@ -119,6 +201,10 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "scale_graph": {
+                    "edges": SCALE_EDGES,
+                    "vertices": SCALE_VERTICES,
+                },
             }
         )
     )

@@ -3,7 +3,10 @@
 Mirrors reference src/algorithm/centrality/k_core.rs:66-144 (after Mandal &
 Al Hasan, "A distributed k-core decomposition algorithm on Spark", IEEE Big
 Data 2017): symmetrize+dedup the graph, seed each core estimate with the
-undirected degree, then iterate
+undirected degree refined by one fused H-index round over neighbour degrees
+(computed during prep from the shared edge materialization — identical to
+the first Pregel superstep's output, one checkpoint round cheaper), then
+iterate
 
     core'(v) = kcore_merge(neighbour core estimates, core(v))
 
@@ -104,17 +107,50 @@ class KCoreBuilder:
         degrees = prepared_edges.groupBy(F.col(SRC).alias(ID)).agg(
             F.count(F.lit(1)).alias("degree")
         )
+        # Seed with superstep 1 already applied: core0 = min(degree,
+        # H(neighbour degrees)) is exactly what the first Pregel round would
+        # compute from degree seeds, but here it rides the prep scans (the
+        # edge materialization is shared) instead of paying a full superstep
+        # write round. Same count-compressed histogram shape as the loop.
+        nbr_deg = prepared_edges.join(
+            degrees.select(
+                F.col(ID).alias("__nd_id"), F.col("degree").alias("__nd_deg")
+            ),
+            F.col(DST) == F.col("__nd_id"),
+        )
+        seed_pairs = (
+            nbr_deg.groupBy(SRC, "__nd_deg")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .groupBy(SRC)
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("__nd_deg").alias("value"), F.col("__cnt").alias("cnt")
+                    )
+                ).alias("__pairs")
+            )
+            .select(
+                F.col(SRC).alias(ID),
+                F.col("__pairs"),
+            )
+        )
         vertices = (
             self.graph.vertices.select(ID)
             .join(degrees, ID, "left")
-            .select(ID, F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+            .join(seed_pairs, ID, "left")
+            .select(
+                ID,
+                kcore_merge_pairs_expr(
+                    F.col("__pairs"), F.coalesce(F.col("degree"), F.lit(0))
+                ).alias(KCORE),
+            )
         )
         prep = GraphFrame(vertices, prepared_edges)
 
         new_core = kcore_merge_pairs_expr(Pregel.msg(), F.col(KCORE))
         builder = (
             prep.pregel()
-            .add_vertex_column(KCORE, F.col("degree"), new_core)
+            .add_vertex_column(KCORE, F.col(KCORE), new_core)
             .add_message(Pregel.src(KCORE), MessageDirection.SRC_TO_DST)
             .add_aggregate_expr(F.collect_list(Pregel.msg()))
             .with_count_compressed_messages()

@@ -83,16 +83,33 @@ class ParquetCheckpointer:
         return self.spark.read.parquet(path)
 
     def push_partitioned(
-        self, df: DataFrame, key: str, num_partitions: int, name: str = "state"
+        self,
+        df: DataFrame,
+        key: str,
+        num_partitions: int,
+        name: str = "state",
+        assume_partitioned: bool = False,
     ) -> DataFrame:
         """Checkpoint hash-partitioned by ``key`` — the files come back
         clustered by the join key so the next superstep's shuffle reads are
         local-ish. (The shuffle itself is not elided without bucketed-table
-        metadata; for that use :meth:`push_bucketed`.)"""
-        return self.push(df.repartition(num_partitions, key), name)
+        metadata; for that use :meth:`push_bucketed`.)
+
+        ``assume_partitioned``: caller guarantees ``df`` already ends in
+        Murmur3 ``HashPartitioning(key, num_partitions)`` (e.g. it is the
+        output of an equi-join/aggregate keyed on ``key``), so the write
+        skips its repartition — eliding one full exchange of the frame."""
+        if not assume_partitioned:
+            df = df.repartition(num_partitions, key)
+        return self.push(df, name)
 
     def push_bucketed(
-        self, df: DataFrame, key: str, num_buckets: int, name: str = "state"
+        self,
+        df: DataFrame,
+        key: str,
+        num_buckets: int,
+        name: str = "state",
+        assume_partitioned: bool = False,
     ) -> DataFrame:
         """Checkpoint as a hash-BUCKETED, per-bucket-sorted parquet table and
         return a scan that *declares* ``HashPartitioning(key, num_buckets)``.
@@ -116,13 +133,20 @@ class ParquetCheckpointer:
         table = f"gf_ckpt_{self._uid}_{self._seq}_{name}".lower()
         path = os.path.join(self.directory, f"{self._seq:05d}_{name}")
         self._seq += 1
+        # repartition on the key first: Spark's repartition and bucketing
+        # use the same Murmur3 hash family, so each task then holds
+        # exactly one bucket's rows and writes exactly one file — the
+        # reference's one-file-per-bucket layout (hash_partitioned.rs).
+        # With ``assume_partitioned`` the caller vouches the frame already
+        # carries that exact partitioning (same Murmur3 family from an
+        # id-keyed join/aggregate), eliding one full exchange per write;
+        # if the guarantee ever failed, the bucket writer would still place
+        # every row in its correct bucket — buckets would merely span
+        # multiple files (losing the sorted-scan metadata), never misjoin.
+        if not assume_partitioned:
+            df = df.repartition(num_buckets, key)
         (
-            # repartition on the key first: Spark's repartition and bucketing
-            # use the same Murmur3 hash family, so each task then holds
-            # exactly one bucket's rows and writes exactly one file — the
-            # reference's one-file-per-bucket layout (hash_partitioned.rs).
-            df.repartition(num_buckets, key)
-            .write.mode("overwrite")
+            df.write.mode("overwrite")
             .format("parquet")
             .bucketBy(num_buckets, key)
             .sortBy(key)

@@ -267,11 +267,15 @@ class PregelBuilder:
                 "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
             )
 
-            def _push(pool, df, key, name):
-                return pool.push_bucketed(df, key, shuffle_n, name)
+            def _push(pool, df, key, name, assume_partitioned=False):
+                return pool.push_bucketed(
+                    df, key, shuffle_n, name, assume_partitioned=assume_partitioned
+                )
         else:
-            def _push(pool, df, key, name):
-                return pool.push_partitioned(df, key, shuffle_n, name)
+            def _push(pool, df, key, name, assume_partitioned=False):
+                return pool.push_partitioned(
+                    df, key, shuffle_n, name, assume_partitioned=assume_partitioned
+                )
 
         # -- init state (pregel.rs:266-270, 326-348) ------------------------
         state = self.graph.vertices
@@ -431,7 +435,12 @@ class PregelBuilder:
                     obs,
                     F.sum(F.col(self._voting[0]).cast("long")).alias("active"),
                 )
-            state = _push(rotating, new_state, ID, "state")
+            # The delivery join is keyed on the vertex id: its output (SMJ or
+            # BHJ alike) already carries Murmur3 HashPartitioning(id, N) from
+            # the state scan / inserted message exchange, so the checkpoint
+            # write skips its own repartition — one full state-sized exchange
+            # elided from EVERY superstep.
+            state = _push(rotating, new_state, ID, "state", assume_partitioned=True)
             rotating.evict_all_but_latest(1)
             iteration += 1
 
