@@ -381,6 +381,19 @@ def _q_image_features(spark, sf_dir):
     return mm.image_features(media)
 
 
+def _q_audio_features(spark, sf_dir):
+    """Real-codec round trip for audio: deterministic PCM WAV clips decoded
+    by the stdlib wave parser inside mapInPandas; the oracle integrates the
+    sample formula (((m*31 + i*7) % 256 - 128) * 256 as int16) analytically."""
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = mm.synthetic_wav_media(ids, n_samples=256, sample_rate=8000)
+    return mm.audio_features(media)
+
+
 def _q_events_hourly(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     out = ev.tumbling_counts(events, "1 hour")
@@ -473,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
         "pricing_summary": _q_pricing_summary,
@@ -896,6 +910,16 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST((doc_id * 31 + (3 * i + 1) * 7) % 256 AS DOUBLE)), 6) AS mean_g, "
             "round(avg(CAST((doc_id * 31 + (3 * i + 2) * 7) % 256 AS DOUBLE)), 6) AS mean_b "
             "FROM px GROUP BY doc_id"
+        ),
+        "audio_features": (
+            # analytic loudness of the synthetic PCM formula: sample i of
+            # clip m is ((m*31 + i*7) % 256 - 128)*256 int16 -> /32768
+            "WITH sm AS (SELECT doc_id, unnest(range(0, 256)) AS i FROM documents) "
+            "SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate, "
+            "CAST(256 AS BIGINT) AS n_frames, "
+            "round(sqrt(avg(pow(CAST(((doc_id * 31 + i * 7) % 256 - 128) AS DOUBLE)"
+            " / 128.0, 2))), 6) AS rms "
+            "FROM sm GROUP BY doc_id"
         ),
         "events_hourly": (
             # epoch_ms // 1000 floors like Spark's timestamp->long cast

@@ -248,6 +248,38 @@ def synthetic_ppm_media(
     )
 
 
+def synthetic_wav_media(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    n_samples: int = 256,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """[media_id, payload]: deterministic 16-bit mono PCM WAV payloads —
+    sample i of clip m is ``((m*31 + i*7) % 256 - 128) * 256`` (int16), so
+    a SQL oracle can integrate loudness analytically."""
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for m in pdf[id_col]:
+                sig = (((int(m) * 31 + i * 7) % 256 - 128) * 256).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(sig.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Pure-SQL frame-sampling plan for video rows: one output row per
     sampled timestamp (the decode of each frame is the stubbed step).
