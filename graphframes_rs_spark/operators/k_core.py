@@ -18,9 +18,18 @@ Spark-first choice: instead of a Python UDF, the merge rule runs entirely in
 JVM expressions as an H-index over the sorted neighbour-estimate array —
 for msgs sorted descending, ``h = #{i : msgs[i] >= i+1}`` (the indicator is
 monotone on a descending sort, so the count equals the largest such l), and
-capping at the current core is ``least(core, h)``. Every vertex sends every
-round — the aggregate rebuilds each neighbour list from scratch, so
-participation pruning would corrupt estimates; early stop is voting-only.
+capping at the current core is ``least(core, h)``.
+
+Messaging has two modes. The default (the reference's form) re-broadcasts
+every estimate every round (the aggregate rebuilds each neighbour list from
+scratch, so participation pruning would corrupt estimates; early stop is
+voting-only). The INCREMENTAL form (``with_incremental_messages``) keeps a
+per-vertex histogram of neighbour estimates and sends only (previous,
+current) deltas from vertices that changed — participation pruning is then
+exact, and message volume collapses geometrically as the estimate
+trajectory converges. Identical outputs round-for-round (the histogram is
+exactly the neighbour multiset the rebroadcast would deliver); see
+``with_incremental_messages`` for the measured default choice.
 """
 
 from __future__ import annotations
@@ -43,6 +52,68 @@ def kcore_merge_expr(msgs: Column, core: Column) -> Column:
     ).cast("long")
     merged = F.least(F.coalesce(core, F.lit(0)), h_index)
     return F.when(msgs.isNull(), F.coalesce(core, F.lit(0))).otherwise(merged)
+
+
+HIST = "__kc_hist"
+PREV = "__kc_prev"
+ACTIVE = "__kc_active"
+
+
+def _hist_update_expr(deltas: Column, hist: Column) -> Column:
+    """New neighbour-estimate histogram: ``hist`` (map value->count) folded
+    with count-compressed delta pairs ``struct(value: struct(cur, prev),
+    cnt)`` — each pair adds ``cnt`` at ``cur`` and removes ``cnt`` at
+    ``prev`` (NULL ``prev`` = the sender's first broadcast, nothing to
+    remove). Entries are folded one at a time (distinct estimate values are
+    few — the same property that makes count compression pay off) and zero
+    counts are dropped so the map stays minimal."""
+    safe = F.coalesce(
+        deltas,
+        F.array().cast(
+            "array<struct<value:struct<cur:bigint,prev:bigint>,cnt:bigint>>"
+        ),
+    )
+    incs = F.transform(
+        safe,
+        lambda p: F.struct(p["value"]["cur"].alias("value"), p["cnt"].alias("cnt")),
+    )
+    decs = F.transform(
+        safe,
+        lambda p: F.struct(
+            p["value"]["prev"].alias("value"), (-p["cnt"]).alias("cnt")
+        ),
+    )
+    cur = F.transform(
+        F.map_entries(hist),
+        lambda e: F.struct(e["key"].alias("value"), e["value"].alias("cnt")),
+    )
+    entries = F.filter(
+        F.concat(cur, incs, decs), lambda e: e["value"].isNotNull()
+    )
+    folded = F.aggregate(
+        entries,
+        F.map_from_arrays(
+            F.array().cast("array<bigint>"), F.array().cast("array<bigint>")
+        ),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != e["value"]),
+            F.create_map(
+                e["value"],
+                F.coalesce(F.element_at(acc, e["value"]), F.lit(0)) + e["cnt"],
+            ),
+        ),
+    )
+    return F.map_filter(folded, lambda k, v: v > 0)
+
+
+def kcore_merge_hist_expr(hist: Column, core: Column) -> Column:
+    """kcore_merge over the maintained histogram map: H-index of the
+    neighbour estimates it encodes, capped at the current core."""
+    pairs = F.transform(
+        F.map_entries(hist),
+        lambda e: F.struct(e["key"].alias("value"), e["value"].alias("cnt")),
+    )
+    return kcore_merge_pairs_expr(pairs, core)
 
 
 def kcore_merge_pairs_expr(pairs: Column, core: Column) -> Column:
@@ -74,10 +145,28 @@ class KCoreBuilder:
         self.graph = graph
         self.max_iter = 0  # 0 => converge
         self._checkpoint_dir = None
+        self._incremental = False
         self.iterations_ = 0
 
     def max_iterations(self, n: int) -> "KCoreBuilder":
         self.max_iter = n
+        return self
+
+    def with_incremental_messages(self, flag: bool) -> "KCoreBuilder":
+        """Incremental delta messaging: each vertex maintains a histogram of
+        its neighbours' estimates, and after the first round only vertices
+        whose estimate CHANGED send (previous, new) deltas — message volume
+        collapses geometrically with convergence instead of re-broadcasting
+        every estimate every round. Identical outputs (equivalence-tested).
+
+        Default OFF, from measurement, not guesswork: on the sf0.1 bipartite
+        bench graph (5 rounds, modest degrees) the maintained-histogram
+        state costs more in checkpoint IO + per-row fold work than the
+        saved message shuffle (12.6s vs 10.4s). Turn it ON for graphs where
+        the message stream, not the vertex state, is the bottleneck: heavy
+        hubs (histogram << degree) and many-round convergence tails where
+        most vertices have settled."""
+        self._incremental = flag
         return self
 
     def set_checkpoint_dir(self, d: str) -> "KCoreBuilder":
@@ -147,17 +236,47 @@ class KCoreBuilder:
         )
         prep = GraphFrame(vertices, prepared_edges)
 
-        new_core = kcore_merge_pairs_expr(Pregel.msg(), F.col(KCORE))
-        builder = (
-            prep.pregel()
-            .add_vertex_column(KCORE, F.col(KCORE), new_core)
-            .add_message(Pregel.src(KCORE), MessageDirection.SRC_TO_DST)
-            .add_aggregate_expr(F.collect_list(Pregel.msg()))
-            .with_count_compressed_messages()
-            .with_vertex_voting("active", F.col(KCORE) != new_core)
-            .skip_dest_state()
-            .with_materialized_edges()
-        )
+        if self._incremental:
+            # Delta protocol: senders = vertices whose estimate changed last
+            # round (participation prune), carrying inc = current estimate
+            # and dec = previous one; receivers fold the deltas into a
+            # maintained histogram and re-derive their H-index from it.
+            # Round 0: everyone sends inc = seed, dec = NULL (filtered).
+            new_hist = _hist_update_expr(Pregel.msg(), F.col(HIST))
+            new_core = kcore_merge_hist_expr(new_hist, F.col(KCORE))
+            empty_map = F.map_from_arrays(
+                F.array().cast("array<bigint>"), F.array().cast("array<bigint>")
+            )
+            delta_msg = F.struct(
+                Pregel.src(KCORE).alias("cur"), Pregel.src(PREV).alias("prev")
+            )
+            builder = (
+                prep.pregel()
+                .add_vertex_column(HIST, empty_map, new_hist)
+                .add_vertex_column(PREV, F.lit(None).cast("bigint"), F.col(KCORE))
+                .add_vertex_column(KCORE, F.col(KCORE), new_core)
+                .add_message(delta_msg, MessageDirection.SRC_TO_DST)
+                .add_aggregate_expr(F.collect_list(Pregel.msg()))
+                .with_count_compressed_messages()
+                .with_participation_column(
+                    ACTIVE, F.lit(True), F.col(KCORE) != new_core
+                )
+                .with_vertex_voting("active", F.col(KCORE) != new_core)
+                .skip_dest_state()
+                .with_materialized_edges()
+            )
+        else:
+            new_core = kcore_merge_pairs_expr(Pregel.msg(), F.col(KCORE))
+            builder = (
+                prep.pregel()
+                .add_vertex_column(KCORE, F.col(KCORE), new_core)
+                .add_message(Pregel.src(KCORE), MessageDirection.SRC_TO_DST)
+                .add_aggregate_expr(F.collect_list(Pregel.msg()))
+                .with_count_compressed_messages()
+                .with_vertex_voting("active", F.col(KCORE) != new_core)
+                .skip_dest_state()
+                .with_materialized_edges()
+            )
         if self._checkpoint_dir:
             builder = builder.set_checkpoint_dir(self._checkpoint_dir)
         if self.max_iter > 0:

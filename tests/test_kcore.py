@@ -94,3 +94,26 @@ def test_kcore_merge_pairs_matches_raw(spark):
     ).collect()
     for r in out:
         assert r["raw"] == r["packed"], f"case {r['id']}: {r['raw']} != {r['packed']}"
+
+
+def test_incremental_equals_full_rebroadcast(spark, tmp_path):
+    """The delta-histogram protocol must match the reference's full
+    re-aggregation round-for-round on the bipartite lineitem graph."""
+    from graphframes_rs_spark.sources.graphs import lineitem_graph
+
+    g = lineitem_graph(spark, "/root/testdata/sf0.001")
+    inc = (
+        g.k_core()
+        .with_incremental_messages(True)
+        .set_checkpoint_dir(str(tmp_path / "i"))
+        .run()
+    )
+    full = (
+        g.k_core()
+        .with_incremental_messages(False)
+        .set_checkpoint_dir(str(tmp_path / "f"))
+        .run()
+    )
+    a = {(r["id"], r["kcore"]) for r in inc.collect()}
+    b = {(r["id"], r["kcore"]) for r in full.collect()}
+    assert a == b
