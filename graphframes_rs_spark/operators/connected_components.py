@@ -107,10 +107,15 @@ def _local_components(edges: DataFrame) -> DataFrame:
             if not active.any():
                 break
             si, di = si[active], di[active]
-            lmin = np.minimum(ls[active], ld[active])
-            np.minimum.at(label, si, lmin)
-            np.minimum.at(label, di, lmin)
-            # pointer doubling until this round's hooks are fully compressed
+            ls, ld = ls[active], ld[active]
+            lmin = np.minimum(ls, ld)
+            # hook onto the ROOTS (ls/ld are roots: labels are fully
+            # compressed at loop top) — hooking the vertices instead would
+            # lose merges once their edges are dropped as settled
+            np.minimum.at(label, ls, lmin)
+            np.minimum.at(label, ld, lmin)
+            # pointer doubling until this round's hooks are fully compressed,
+            # so the next round's ls/ld are again roots
             while True:
                 nxt = label[label]
                 if np.array_equal(nxt, label):
