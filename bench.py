@@ -175,13 +175,14 @@ def main():
     _prepare_scale_graph(spark)  # untimed: input generation is not the query
 
     # The iterative graph algorithms run many short jobs and are the most
-    # sensitive to JVM/GC state (observed ±40% across identical runs);
-    # best-of-2 reports their steady-state cost. Single-shot for the rest.
+    # sensitive to JVM/GC state (observed ±40% across identical runs, and
+    # the first run after session start still pays codegen/JIT);
+    # best-of-3 reports their steady-state cost. Single-shot for the rest.
     REPEATED = {"pagerank_big", "wcc_big", "kcore_big", "bfs_big"}
 
     timings = {}
     for name, fn in BENCH_QUERIES.items():
-        runs = 2 if name in REPEATED else 1
+        runs = 3 if name in REPEATED else 1
         best, n = None, 0
         for _ in range(runs):
             t0 = time.monotonic()
