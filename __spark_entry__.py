@@ -260,6 +260,16 @@ def _q_doc_normalize(spark, sf_dir):
     )
 
 
+def _q_pii_scrub(spark, sf_dir):
+    return txt.pii_scrub_report(load_table(spark, sf_dir, "documents"))
+
+
+def _q_doc_packing(spark, sf_dir):
+    return txt.pack_documents(
+        load_table(spark, sf_dir, "documents"), cap_tokens=2048, shards=16
+    )
+
+
 def _q_vocab_stats(spark, sf_dir):
     return txt.vocab_stats(load_table(spark, sf_dir, "documents"))
 
@@ -473,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang": _q_doc_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_normalize": _q_doc_normalize,
+        "pii_scrub": _q_pii_scrub,
+        "doc_packing": _q_doc_packing,
         "vocab_stats": _q_vocab_stats,
         "token_topk": _q_token_topk,
         "dedup_exact": _q_dedup_exact,
@@ -838,6 +850,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails "
             "FROM documents"
+        ),
+        "pii_scrub": (
+            "SELECT doc_id, "
+            "md5(regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'), "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')) "
+            "AS clean_hash, "
+            "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails "
+            "FROM documents"
+        ),
+        "doc_packing": (
+            "WITH t AS (SELECT doc_id, doc_id % 16 AS shard, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents) "
+            "SELECT doc_id, shard, CAST(floor((sum(n_tokens) OVER ("
+            "PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)"
+            " / 2048.0) AS BIGINT) AS bin, n_tokens FROM t"
         ),
         "vocab_stats": (
             "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs, "

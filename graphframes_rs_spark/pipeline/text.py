@@ -196,3 +196,63 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(c).alias("lang_pred"),
         rolling_hash(c).alias("fingerprint"),
     )
+
+
+def scrub_pii(col: Column) -> Column:
+    """Text with URLs and email addresses replaced by placeholder tokens —
+    the standard pre-training redaction pass. URLs are scrubbed first so an
+    address embedded in a query string is swallowed by the <URL> token,
+    matching the counting semantics of url_count/email_count."""
+    no_urls = F.regexp_replace(col, URL_RE, "<URL>")
+    return F.regexp_replace(no_urls, EMAIL_RE, "<EMAIL>")
+
+
+def pii_scrub_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """[doc_id, clean_hash, n_urls, n_emails]: md5 of the scrubbed text plus
+    redaction counts. Pure JVM expressions — one narrow projection, no
+    shuffle, trivially scale-parallel."""
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.md5(scrub_pii(c)).alias("clean_hash"),
+        url_count(c).alias("n_urls"),
+        email_count(c).alias("n_emails"),
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    cap_tokens: int = 2048,
+    shards: int = 16,
+) -> DataFrame:
+    """[doc_id, shard, bin, n_tokens]: streaming sequence-packing plan —
+    documents are assigned to fixed-token-budget bins (training context
+    windows) by cumulative token count in doc_id order.
+
+    Scale design: packing is per-SHARD (doc_id mod ``shards``), so the
+    running-sum window partitions by shard and parallelizes — a single
+    global ordered cumsum would funnel 100 TB through one task. Bins from
+    different shards are independent (a trainer consumes shards in
+    parallel anyway); raise ``shards`` with the cluster, it only changes
+    which bin a document lands in, never a bin's token bound."""
+    from pyspark.sql.window import Window
+
+    n_tok = token_count(F.col(text_col))
+    with_shard = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return with_shard.select(
+        "doc_id",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(cap_tokens))).alias("bin"),
+        "n_tokens",
+    )

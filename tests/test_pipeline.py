@@ -225,3 +225,28 @@ def test_simhash_neardups_banded_equals_bruteforce(spark, docs):
     }
     assert banded == brute
     assert brute, "fixture should contain at least one near-dup pair"
+
+
+def test_pii_scrub_and_packing(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "contact me at bob@example.com or https://x.io/a?e=a@b.cc now"),
+            (1, "no pii here just words"),
+            (16, "same shard as zero for shards=16 config"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r for r in text.pii_scrub_report(df).collect()}
+    # the address inside the URL query string belongs to the <URL> token
+    assert rep[0]["n_urls"] == 1 and rep[0]["n_emails"] == 2
+    assert rep[1]["n_urls"] == 0 and rep[1]["n_emails"] == 0
+    import hashlib
+    expected = "contact me at <EMAIL> or <URL> now"
+    assert rep[0]["clean_hash"] == hashlib.md5(expected.encode()).hexdigest()
+
+    packed = {r["doc_id"]: r for r in text.pack_documents(df, cap_tokens=8).collect()}
+    assert packed[0]["shard"] == 0 and packed[16]["shard"] == 0
+    assert packed[1]["shard"] == 1
+    # doc 0 (10 tokens) opens bin 0; doc 16 starts after 10 tokens -> bin 1
+    assert packed[0]["bin"] == 0
+    assert packed[16]["bin"] == packed[0]["n_tokens"] // 8
