@@ -116,3 +116,69 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_user_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    timeout_minutes: int = 0,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    a per-user running profile maintained across micro-batches —
+    [user_id, n_events, total_value, max_value, last_ts_epoch].
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregations can't express (arbitrary per-key state machines). State is
+    one tuple per user in the state store; each micro-batch's rows arrive
+    as Arrow batches per key group, the state tuple is read, folded, and
+    written back. ``timeout_minutes`` > 0 evicts idle users via processing-
+    time timeout (the state-store size dial for unbounded key spaces —
+    at 100 TB/day of events you either time out idle keys or grow forever).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, mx, last = (
+            state.get if state.exists else (0, 0.0, float("-inf"), 0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+            last = max(last, int(pdf[ts_col].astype("int64").max() // 10**9))
+        state.update((n, total, mx, last))
+        if timeout_minutes > 0:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "max_value": [mx],
+                "last_ts_epoch": [last],
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, total_value double, "
+            "max_value double, last_ts_epoch long"
+        ),
+        stateStructType="n long, total double, mx double, last long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )

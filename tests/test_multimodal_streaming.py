@@ -185,3 +185,47 @@ def test_image_and_audio_features_distributed(spark):
     assert len(arows) == 6
     assert all(r["sample_rate"] == 8000 and r["n_frames"] == 800 for r in arows.values())
     assert all(0 < r["rms"] < 1 for r in arows.values())
+
+
+def test_streaming_user_stats_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    feeding the same source twice (two files) must yield cumulative counts."""
+    import os
+
+    events = load_table(spark, SF_DIR, "events").limit(200).cache()
+    src = str(tmp_path / "user_stats_src")
+    os.makedirs(src, exist_ok=True)
+    half = events.limit(100)
+    half.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    events.subtract(half).coalesce(1).write.mode("append").parquet(src + "/b1")
+    # one directory, two files -> with maxFilesPerTrigger=1 they become two
+    # micro-batches against the same state store
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b1")
+    )
+    out = ev.streaming_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per touched batch; the LAST row per
+    # user carries the cumulative profile
+    rows = spark.sql(
+        "select * from (select *, row_number() over (partition by user_id "
+        "order by n_events desc) rn from user_stats) where rn = 1"
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == expected
+    events.unpersist()
