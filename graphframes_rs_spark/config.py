@@ -51,7 +51,10 @@ def prefer_smj(spark: SparkSession) -> bool:
 # checkpointInterval): intermediate supersteps persist in memory/disk and
 # only every k-th writes parquet. 1 = write every superstep. Default 2,
 # from measurement: halved checkpoint IO nets 15-25% on the iterative
-# bench queries even when voting overshoots by one no-op round.
+# bench queries. Voting stays exact at any interval — every superstep's
+# voting metric rides the write job via observe(), and the engine rolls
+# back to the cached fixpoint state if an intermediate round converged —
+# so interval only changes IO cadence, never results or iterations_.
 PREGEL_CHECKPOINT_INTERVAL = "spark.graphframes.pregel.checkpointInterval"
 
 

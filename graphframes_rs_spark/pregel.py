@@ -120,11 +120,18 @@ class PregelBuilder:
         exchange-free superstep join shape is unchanged. Halved (k=2)
         checkpoint IO per superstep at the cost of caching one state copy.
 
-        Voting is only observable on write supersteps, so a voting loop may
-        run up to ``k - 1`` supersteps past its fixpoint — a no-op for
-        monotone algorithms (extra rounds change nothing once converged),
-        which is every client in this package. Defaults to the session
-        config ``spark.graphframes.pregel.checkpointInterval`` (1)."""
+        Voting stays EXACT for any interval: every superstep (persisted
+        ones included) carries an ``observe()`` voting metric, and all of
+        them are reported by the single write job that materializes the
+        chain — zero extra actions. If an intermediate superstep already
+        hit the fixpoint, the engine rolls the result back to that
+        superstep's cached state, so the returned frame and ``iterations_``
+        are bit-identical to ``k = 1`` even for non-monotone programs
+        (e.g. tol-mode PageRank, whose values keep moving after the last
+        delta crosses tol). The only cost of overshoot is the wasted
+        compute of up to ``k - 1`` rounds inside that one write job.
+        Defaults to the session config
+        ``spark.graphframes.pregel.checkpointInterval`` (2)."""
         if k < 1:
             raise ValueError("checkpoint interval must be >= 1")
         self._checkpoint_interval = k
@@ -330,6 +337,9 @@ class PregelBuilder:
             else gf_config.pregel_checkpoint_interval(spark)
         )
         cached_states: list = []
+        # (superstep_number, Observation, persisted_state) per not-yet-read
+        # voting metric; persisted_state is None for the write superstep.
+        pending_votes: list = []
         iteration = 0
         while iteration < max_iter:
             state_cols = state.columns
@@ -459,41 +469,68 @@ class PregelBuilder:
             # the persisted relation keeps the join output's partitioning
             # and ordering, so the next superstep's plan shape is unchanged
             # and the state computes once per write job (both consumers of
-            # a cached state read the same materialization). Voting is then
-            # only visible on write supersteps: at most k-1 no-op rounds
-            # past the fixpoint.
+            # a cached state read the same materialization). EVERY superstep
+            # still carries its own voting observe() — CollectMetrics nodes
+            # of the whole persisted chain report when the write job runs —
+            # so after the write we replay the votes in superstep order and,
+            # if an intermediate round already hit the fixpoint, roll back
+            # to its cached state: results and iterations_ are exact for
+            # any interval, monotone or not.
             is_write = ((iteration + 1) % ckpt_interval == 0) or (
                 iteration + 1 >= max_iter
             )
-            if not is_write:
-                state = new_state.persist()
-                cached_states.append(state)
-                iteration += 1
-                continue
-
-            obs = None
             if self._voting is not None:
                 obs = Observation()
                 new_state = new_state.observe(
                     obs,
                     F.sum(F.col(self._voting[0]).cast("long")).alias("active"),
                 )
+            else:
+                obs = None
+            if not is_write:
+                state = new_state.persist()
+                cached_states.append(state)
+                if obs is not None:
+                    pending_votes.append((iteration + 1, obs, state))
+                iteration += 1
+                continue
+
             # The delivery join is keyed on the vertex id: its output (SMJ or
             # BHJ alike) already carries Murmur3 HashPartitioning(id, N) from
             # the state scan / inserted message exchange, so the checkpoint
             # write skips its own repartition — one full state-sized exchange
             # elided from EVERY superstep.
             state = _push(rotating, new_state, ID, "state", assume_partitioned=True)
+            if obs is not None:
+                pending_votes.append((iteration + 1, obs, None))
+            iteration += 1
+
+            # Replay voting metrics oldest-first: the first zero-active
+            # superstep is the true fixpoint. The write job that just ran
+            # materialized every CollectMetrics in the chain, so the .get
+            # calls never block.
+            converged = False
+            for step_no, step_obs, cached in pending_votes:
+                if (step_obs.get["active"] or 0) == 0:
+                    converged = True
+                    if cached is not None:
+                        # Fixpoint landed on a persisted superstep: re-issue
+                        # its cached state as the checkpoint of record
+                        # (writes from the memory cache — no recompute; the
+                        # returned scan reads parquet, not the cache) and
+                        # discard the overshoot write.
+                        state = _push(
+                            rotating, cached, ID, "state", assume_partitioned=True
+                        )
+                        iteration = step_no
+                    break
+            pending_votes = []
             rotating.evict_all_but_latest(1)
             for cached in cached_states:
                 cached.unpersist()
             cached_states = []
-            iteration += 1
-
-            if obs is not None:
-                active = obs.get["active"] or 0
-                if active == 0:
-                    break
+            if converged:
+                break
 
         self.iterations_ = iteration
         for cached in cached_states:  # defensive: loop always ends on a write

@@ -263,3 +263,57 @@ def test_checkpoint_interval_equivalence(spark, tmp_path):
     b = {(r["id"], round(r["pagerank"], 9)) for r in pr2.collect()}
     assert a == b
     assert {tuple(r) for r in k1.collect()} == {tuple(r) for r in k2.collect()}
+
+
+def test_checkpoint_interval_exact_voting_non_monotone(spark, tmp_path):
+    """Voting under interval k>1 must be EXACT even for non-monotone
+    programs: a counter that keeps incrementing after its voting condition
+    goes false would drift by up to k-1 rounds if voting were only visible
+    on write supersteps. The engine observes every superstep and rolls back
+    to the cached fixpoint state, so x and iterations_ match k=1 exactly."""
+    v = spark.createDataFrame([(i,) for i in range(1, 4)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    g = GraphFrame(v, e)
+
+    def run(interval, d):
+        b = (
+            g.pregel()
+            .add_vertex_column("x", F.lit(0), F.col("x") + F.lit(1))
+            .add_message(F.lit(1), MessageDirection.SRC_TO_DST)
+            .add_aggregate_expr(F.sum(Pregel.msg()))
+            # active while x (post-update) < 3: fixpoint is superstep 3,
+            # which is NOT a write superstep for interval 2 or 4
+            .with_vertex_voting("active", (F.col("x") + F.lit(1)) < F.lit(3))
+            .max_iterations(50)
+            .with_checkpoint_interval(interval)
+            .set_checkpoint_dir(str(tmp_path / d))
+        )
+        out = {r["id"]: r["x"] for r in b.run().collect()}
+        return out, b.iterations_
+
+    x1, it1 = run(1, "k1")
+    assert x1 == {1: 3, 2: 3, 3: 3} and it1 == 3
+    for k in (2, 4):
+        xk, itk = run(k, f"k{k}x")
+        assert xk == x1, f"interval {k} changed results: {xk}"
+        assert itk == it1, f"interval {k} changed iterations_: {itk}"
+
+
+def test_checkpoint_interval_exact_tol_pagerank(spark, tmp_path):
+    """Tol-mode (convergence) PageRank: values keep moving past the voting
+    fixpoint, so interval>1 without rollback would return different ranks
+    and a larger iterations_. With exact voting both must match k=1."""
+    from graphframes_rs_spark.sources.graphs import lineitem_graph
+
+    g = lineitem_graph(spark, "/root/testdata/sf0.001")
+
+    b1 = g.page_rank().with_tol(0.001).set_checkpoint_dir(str(tmp_path / "a"))
+    r1 = {(row["id"], round(row["pagerank"], 12)) for row in b1.run().collect()}
+    spark.conf.set("spark.graphframes.pregel.checkpointInterval", "3")
+    try:
+        b3 = g.page_rank().with_tol(0.001).set_checkpoint_dir(str(tmp_path / "b"))
+        r3 = {(row["id"], round(row["pagerank"], 12)) for row in b3.run().collect()}
+    finally:
+        spark.conf.unset("spark.graphframes.pregel.checkpointInterval")
+    assert r1 == r3
+    assert b1.iterations_ == b3.iterations_
