@@ -216,18 +216,18 @@ def ivf_topk(
     # KMeans iterates over the training frame; cache it for the fit and
     # release immediately (MLlib itself warns on uncached input). The fit is
     # sample-bounded: centroid quality needs ~100·nlist points, not the full
-    # corpus, so the multi-pass KMeans scan touches at most ``fit_sample``
-    # rows regardless of base size (one cheap count + one Bernoulli sample
-    # pass instead of maxIter full scans at 100 TB).
+    # corpus. The sample is drawn in ONE pass with no count-star action:
+    # order by a seeded hash of the id and take the first ``fit_sample``
+    # rows — Spark plans TakeOrderedAndProject (per-partition top-k, then a
+    # k·p merge), so at 100 TB this is one scan shipping ~fit_sample rows
+    # per partition, versus count + Bernoulli-sample's two scans. The hash
+    # order makes the sample uniform regardless of storage order and
+    # deterministic for a given seed.
     fit_sample = max(100 * nlist, 1)
-    n_base = base.count()
-    train = base
-    if n_base > fit_sample:
-        # oversample slightly so Bernoulli variance can't undershoot the target
-        train = base.sample(
-            withReplacement=False, fraction=min(1.0, 1.2 * fit_sample / n_base),
-            seed=seed,
-        )
+    train = (
+        base.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .limit(fit_sample)
+    )
     train = train.select(array_to_vector("nv").alias("features")).cache()
     try:
         model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)

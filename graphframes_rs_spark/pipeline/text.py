@@ -147,27 +147,41 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def vocab_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def vocab_stats(
+    docs: DataFrame, text_col: str = "text", approximate: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
     """One-row corpus vocabulary summary: [n_docs, n_tokens, n_distinct_tokens].
 
-    Exact distinct count (one explode + distinct-agg shuffle). At the
-    100 TB tier swap ``countDistinct`` for ``approx_count_distinct``
-    (HLL++, no exact-distinct shuffle) — same query shape."""
+    ``approximate=False`` (default, oracle-checked): exact ``countDistinct``
+    — one explode + distinct-agg shuffle. ``approximate=True`` is the
+    100 TB path: HLL++ ``approx_count_distinct`` (relative error ``rsd``)
+    combines map-side and never materializes the distinct-token frame, so
+    the exact-distinct Expand/re-shuffle disappears from the plan."""
     tok = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    distinct = (
+        F.approx_count_distinct("t", rsd) if approximate else F.countDistinct("t")
+    )
     return docs.select(
         F.count(F.lit(1)).alias("n_docs"),
     ).crossJoin(
         tok.agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.countDistinct("t").alias("n_distinct_tokens"),
+            distinct.alias("n_distinct_tokens"),
         )
     )
 
 
 def token_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
-    """[token, n] the k most frequent lowercase tokens (deterministic
+    """[token, n, rank] the k most frequent lowercase tokens (deterministic
     tie-break on token). The heavy-hitter query: one explode, one combine-
-    enabled groupBy, top-k via window — no driver-side collection."""
+    enabled groupBy, then ``orderBy(...).limit(k)`` which Spark plans as
+    ``TakeOrderedAndProject`` — a distributed per-partition top-k with a
+    k·num_partitions driver merge. A web-scale corpus has 10^8-10^9
+    distinct tokens; an unpartitioned ranking window would sort all of
+    them in ONE task, while this shape never moves more than k rows per
+    partition. ``rank`` is derived by a window over the <= k survivors
+    (bounded, single tiny partition by construction)."""
     from pyspark.sql.window import Window
 
     counts = (
@@ -175,11 +189,10 @@ def token_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFram
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("token", "n", F.col("rank").cast("long").alias("rank"))
+    return top.select(
+        "token", "n", F.row_number().over(w).cast("long").alias("rank")
     )
 
 

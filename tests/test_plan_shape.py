@@ -134,3 +134,41 @@ def test_plain_checkpoint_fallback_same_results(spark, tmp_path):
     finally:
         spark.conf.unset("spark.graphframes.bucketedCheckpoints")
     assert bucketed == plain
+
+
+def test_token_topk_plans_take_ordered(spark):
+    """token_topk's top-k must plan as TakeOrderedAndProject (distributed
+    per-partition top-k + k*p merge), NEVER a ranking window over the full
+    distinct-token frame — an unpartitioned window funnels every distinct
+    token through one task at corpus scale."""
+    from graphframes_rs_spark.pipeline.text import token_topk
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox the the") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = token_topk(docs, k=3)
+    plan = _executed_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = out.collect()
+    assert [r["token"] for r in rows] == ["the", "brown", "fox"]
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n"] == 150
+
+
+def test_vocab_stats_approximate_plan(spark):
+    """approximate=True must use HLL++ (approx_count_distinct): no exact-
+    distinct Expand in the plan, and the estimate lands near the truth."""
+    from graphframes_rs_spark.pipeline.text import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 7} common") for i in range(200)],
+        "doc_id long, text string",
+    )
+    exact = vocab_stats(docs).collect()[0]
+    plan = _executed_plan(vocab_stats(docs, approximate=True))
+    assert "approx_count_distinct" in plan, plan
+    approx = vocab_stats(docs, approximate=True).collect()[0]
+    assert exact["n_distinct_tokens"] == 201  # 200 tok{i} (tok0..6 reused) + common
+    assert abs(approx["n_distinct_tokens"] - 201) <= 201 * 0.15
+    assert approx["n_docs"] == 200 and approx["n_tokens"] == exact["n_tokens"]
