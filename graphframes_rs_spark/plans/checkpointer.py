@@ -8,6 +8,14 @@ parquet and re-reading it truncates lineage to a flat scan, exactly like
 the reference's ``ParquetCheckpointer``
 (reference: src/memory/parquet_checkpointer.rs:80-165).
 
+Checkpoint directories may live on ANY store Spark itself can write —
+bare local paths, ``file://``, ``hdfs://``, ``s3a://``, ... — like the
+reference's ``with_checkpoint_store(ObjectStoreUrl)``
+(parquet_checkpointer.rs:80-131). The driver-side bookkeeping
+(existence checks, recursive deletes) goes through the Hadoop
+``FileSystem`` API resolved from the SAME Hadoop configuration Spark's
+writers use, so a scheme that writes also evicts.
+
 Eviction keeps disk usage bounded: a new checkpoint is always written
 *before* older ones are deleted, so a live DataFrame handle never points at
 removed files (same ordering contract as the reference WCC driver,
@@ -17,7 +25,6 @@ connected_components.rs "write first ... avoids a NotFound").
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 import uuid
 from typing import List, Optional, Tuple
@@ -25,22 +32,34 @@ from typing import List, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _require_local_dir(directory: str) -> str:
-    """Checkpoint bookkeeping (listdir / rmtree) runs on the driver's local
-    filesystem, so remote URIs (hdfs://, s3a://, ...) would write parquet via
-    Spark but break the existence checks with FileNotFoundError. Reject them
-    up front with an actionable error; accept and strip a ``file:`` scheme."""
-    scheme, sep, rest = directory.partition("://")
-    if not sep:
-        return directory
-    if scheme == "file":
-        return rest if rest.startswith("/") else "/" + rest
-    raise ValueError(
-        f"ParquetCheckpointer requires a local-filesystem checkpoint dir; "
-        f"got '{directory}'. Remote stores ({scheme}://) are not supported "
-        f"by the driver-side eviction bookkeeping — mount the store locally "
-        f"or point spark.graphframes.checkpointDir at a local path."
-    )
+class _HadoopFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` for the
+    checkpoint bookkeeping. The filesystem instance is resolved from the
+    checkpoint directory's scheme + the session's Hadoop configuration, so
+    local paths, ``file://``, ``hdfs://`` and object stores (``s3a://`` &c,
+    given their connector jars) all work through the one code path."""
+
+    def __init__(self, spark: SparkSession, directory: str):
+        sc = spark.sparkContext
+        self._path_cls = sc._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._path_cls(directory).getFileSystem(
+            sc._jsc.hadoopConfiguration()
+        )
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._path_cls(path))
+
+    def delete_recursive(self, path: str) -> None:
+        self._fs.delete(self._path_cls(path), True)
+
+    def has_parquet_parts(self, path: str) -> bool:
+        p = self._path_cls(path)
+        if not self._fs.exists(p):
+            return False
+        return any(
+            st.getPath().getName().endswith(".parquet")
+            for st in self._fs.listStatus(p)
+        )
 
 
 class ParquetCheckpointer:
@@ -50,8 +69,9 @@ class ParquetCheckpointer:
             directory = os.path.join(
                 tempfile.gettempdir(), f"gf_ckpt_{uuid.uuid4().hex[:12]}"
             )
-        self.directory = _require_local_dir(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        self.directory = directory.rstrip("/")
+        self._fs = _HadoopFS(spark, self.directory)
+        self._fs.mkdirs(self.directory)
         self._seq = 0
         self._uid = uuid.uuid4().hex[:10]
         # (path, table_name_or_None) per live checkpoint, oldest first
@@ -73,11 +93,11 @@ class ParquetCheckpointer:
         mirroring the reference's empty-frame passthrough
         (parquet_checkpointer.rs:93-102).
         """
-        path = os.path.join(self.directory, f"{self._seq:05d}_{name}")
+        path = f"{self.directory}/{self._seq:05d}_{name}"
         self._seq += 1
         df.write.mode("overwrite").parquet(path)
-        if not any(f.endswith(".parquet") for f in os.listdir(path)):
-            shutil.rmtree(path, ignore_errors=True)
+        if not self._fs.has_parquet_parts(path):
+            self._fs.delete_recursive(path)
             return self.spark.createDataFrame([], df.schema)
         self._entries.append((path, None))
         return self.spark.read.parquet(path)
@@ -131,7 +151,7 @@ class ParquetCheckpointer:
         SMJ sort too.
         """
         table = f"gf_ckpt_{self._uid}_{self._seq}_{name}".lower()
-        path = os.path.join(self.directory, f"{self._seq:05d}_{name}")
+        path = f"{self.directory}/{self._seq:05d}_{name}"
         self._seq += 1
         # repartition on the key first: Spark's repartition and bucketing
         # use the same Murmur3 hash family, so each task then holds
@@ -161,7 +181,7 @@ class ParquetCheckpointer:
         path, table = entry
         if table is not None:
             self.spark.sql(f"DROP TABLE IF EXISTS {table}")
-        shutil.rmtree(path, ignore_errors=True)
+        self._fs.delete_recursive(path)
 
     def evict(self, n: int = 1) -> None:
         """Delete the ``n`` oldest checkpoints."""
@@ -184,9 +204,9 @@ class ParquetCheckpointer:
     def purge(self) -> None:
         for entry in self._entries:
             self._delete(entry)
-        shutil.rmtree(self.directory, ignore_errors=True)
+        self._fs.delete_recursive(self.directory)
         self._entries = []
-        os.makedirs(self.directory, exist_ok=True)
+        self._fs.mkdirs(self.directory)
 
     @property
     def num_checkpoints(self) -> int:
