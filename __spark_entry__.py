@@ -291,12 +291,19 @@ def _q_minhash_sigs(spark, sf_dir):
 def _q_lsh_candidates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, k=MINHASH_K)
-    return dedup.minhash_lsh_candidates(sigs, k=MINHASH_K, bands=MINHASH_BANDS)
+    # max_bucket_size=None: the DuckDB oracle for this entry is exact
+    # (uncapped), so the oracle-gated query must be exact too; production
+    # callers keep the capped default (DEFAULT_MAX_BUCKET_SIZE).
+    return dedup.minhash_lsh_candidates(
+        sigs, k=MINHASH_K, bands=MINHASH_BANDS, max_bucket_size=None
+    )
 
 
 def _q_jaccard_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T)
+    # max_doc_freq=None: exact to match the exact DuckDB oracle (the
+    # capped default stays on for production callers).
+    return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T, max_doc_freq=None)
 
 
 def _q_simhash(spark, sf_dir):
@@ -306,7 +313,10 @@ def _q_simhash(spark, sf_dir):
 
 def _q_simhash_neardups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_duplicates(docs, bits=32, max_hamming=3)
+    # max_bucket_size=None: the oracle is brute-force-exact over all pairs.
+    return dedup.simhash_near_duplicates(
+        docs, bits=32, max_hamming=3, max_bucket_size=None
+    )
 
 
 def _q_embedding_neardup(spark, sf_dir):

@@ -238,17 +238,32 @@ def pack_documents(
     text_col: str = "text",
     cap_tokens: int = 2048,
     shards: int = 16,
+    greedy: bool = False,
 ) -> DataFrame:
-    """[doc_id, shard, bin, n_tokens]: streaming sequence-packing plan —
-    documents are assigned to fixed-token-budget bins (training context
-    windows) by cumulative token count in doc_id order.
+    """[doc_id, shard, bin, n_tokens]: sequence-packing plan — documents
+    are assigned to token-budget bins (training context windows) in doc_id
+    order.
 
-    Scale design: packing is per-SHARD (doc_id mod ``shards``), so the
-    running-sum window partitions by shard and parallelizes — a single
-    global ordered cumsum would funnel 100 TB through one task. Bins from
-    different shards are independent (a trainer consumes shards in
-    parallel anyway); raise ``shards`` with the cluster, it only changes
-    which bin a document lands in, never a bin's token bound."""
+    Two binning modes:
+      * default (SQL-expressible, oracle-checked): ``bin = floor(
+        starting_offset / cap_tokens)`` — a START-OFFSET bucket. A
+        document that straddles a cap boundary stays in the bin it starts
+        in, so a bin's total may OVERFLOW the cap by up to one document
+        (and a document longer than ``cap_tokens`` occupies one bin alone);
+        the consumer truncates or splits at the cap.
+      * ``greedy=True`` (Arrow ``applyInPandas`` per shard): a bin closes
+        BEFORE it would exceed ``cap_tokens``, so no multi-document bin
+        ever exceeds the cap — only a single document longer than the cap
+        does. This is the packer a trainer wants when truncation is not
+        acceptable; sequential by nature, hence per-shard pandas, not SQL.
+
+    Scale design: packing is per-SHARD (doc_id mod ``shards``), so both
+    the running-sum window and the greedy fold partition by shard and
+    parallelize — a single global ordered pass would funnel 100 TB
+    through one task. Bins from different shards are independent (a
+    trainer consumes shards in parallel anyway); raise ``shards`` with
+    the cluster, it only changes which bin a document lands in, never a
+    bin's token bound."""
     from pyspark.sql.window import Window
 
     n_tok = token_count(F.col(text_col))
@@ -257,6 +272,25 @@ def pack_documents(
         (F.col("doc_id") % shards).alias("shard"),
         n_tok.alias("n_tokens"),
     )
+    if greedy:
+        import pandas as pd
+
+        cap = cap_tokens
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+            bins, b, acc = [], 0, 0
+            for t in pdf["n_tokens"]:
+                if acc > 0 and acc + int(t) > cap:
+                    b, acc = b + 1, 0
+                bins.append(b)
+                acc += int(t)
+            pdf["bin"] = pd.Series(bins, dtype="int64")
+            return pdf[["doc_id", "shard", "bin", "n_tokens"]]
+
+        return with_shard.groupBy("shard").applyInPandas(
+            pack, "doc_id long, shard long, bin long, n_tokens int"
+        )
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")

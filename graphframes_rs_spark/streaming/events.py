@@ -122,6 +122,7 @@ def streaming_user_stats(
     stream: DataFrame,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
     timeout_minutes: int = 0,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
@@ -135,6 +136,10 @@ def streaming_user_stats(
     written back. ``timeout_minutes`` > 0 evicts idle users via processing-
     time timeout (the state-store size dial for unbounded key spaces —
     at 100 TB/day of events you either time out idle keys or grow forever).
+
+    Column contract: ``value_col`` must be numeric; ``ts_col`` may be a
+    TIMESTAMP (folded to epoch seconds) or an integral epoch-seconds
+    column (used as-is — the fold branches on the Arrow dtype).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -156,9 +161,13 @@ def streaming_user_stats(
             if len(pdf) == 0:
                 continue
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            mx = max(mx, float(pdf["value"].max()))
-            last = max(last, int(pdf[ts_col].astype("int64").max() // 10**9))
+            total += float(pdf[value_col].sum())
+            mx = max(mx, float(pdf[value_col].max()))
+            ts = pdf[ts_col]
+            if str(ts.dtype).startswith("datetime64"):
+                last = max(last, int(ts.astype("int64").max() // 10**9))
+            else:  # integral column: already epoch seconds
+                last = max(last, int(ts.astype("int64").max()))
         state.update((n, total, mx, last))
         if timeout_minutes > 0:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphframes_rs_spark.pipeline import dedup, similarity, text
+from graphframes_rs_spark.streaming import events as ev
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -250,3 +251,55 @@ def test_pii_scrub_and_packing(spark):
     # doc 0 (10 tokens) opens bin 0; doc 16 starts after 10 tokens -> bin 1
     assert packed[0]["bin"] == 0
     assert packed[16]["bin"] == packed[0]["n_tokens"] // 8
+
+
+def test_pack_documents_greedy_respects_cap(spark):
+    """greedy=True: no multi-document bin exceeds cap_tokens; only a single
+    over-long document may. Docs are packed in doc_id order per shard."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([3, 4, 2, 8, 1, 5, 9, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.pack_documents(df, cap_tokens=8, shards=1, greedy=True).collect()
+    by_doc = {r["doc_id"]: r["bin"] for r in out}
+    # greedy fold over [3,4,2,8,1,5,9,2] with cap 8:
+    # 3+4=7 | 2 (7+2>8 -> bin1), 2+_8>8 -> 8 alone bin2 | 1+5=6 bin3 |
+    # 9 alone bin4 | 2 bin5
+    assert by_doc == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 6: 4, 7: 5}
+    # invariant on a bigger shard split: every multi-doc bin total <= cap
+    df2 = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i * 7 % 13))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out2 = text.pack_documents(df2, cap_tokens=16, shards=4, greedy=True).collect()
+    from collections import defaultdict
+    totals = defaultdict(list)
+    for r in out2:
+        totals[(r["shard"], r["bin"])].append(r["n_tokens"])
+    for toks in totals.values():
+        assert sum(toks) <= 16 or len(toks) == 1
+
+
+def test_streaming_user_stats_value_and_epoch_cols(spark, tmp_path):
+    """value_col is parameterizable and an integral epoch-seconds ts_col is
+    used as-is (no datetime64 floor-division)."""
+    import os
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, 100, 2.5), (1, 200, 3.5), (2, 300, 7.0)],
+        "user_id long, t_epoch long, amount double",
+    )
+    src = str(tmp_path / "vs_src")
+    os.makedirs(src, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = ev.streaming_user_stats(stream, ts_col="t_epoch", value_col="amount")
+    q = (
+        out.writeStream.format("memory").queryName("vs_epoch")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts_epoch"])
+        for r in spark.sql("select * from vs_epoch").collect()
+    }
+    assert got == {1: (2, 6.0, 200), 2: (1, 7.0, 300)}
