@@ -401,6 +401,20 @@ def _q_image_features(spark, sf_dir):
     return mm.image_features(media)
 
 
+def _q_image_dims(spark, sf_dir):
+    """JPEG header-parsing round trip: deterministic SOF0/SOF2 header
+    streams are encoded per document id (width 16 + m % 97, height
+    9 + m % 53, progressive for odd m), parsed back by the pure-python
+    marker walk inside mapInPandas — no codec library, no fake decoder.
+    The oracle reproduces the dimensions from the closed form."""
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return mm.image_dimensions(mm.synthetic_jpeg_media(ids))
+
+
 def _q_audio_features(spark, sf_dir):
     """Real-codec round trip for audio: deterministic PCM WAV clips decoded
     by the stdlib wave parser inside mapInPandas; the oracle integrates the
@@ -508,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "image_features": _q_image_features,
+        "image_dims": _q_image_dims,
         "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
@@ -949,6 +964,11 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(CAST((doc_id * 31 + (3 * i + 1) * 7) % 256 AS DOUBLE)), 6) AS mean_g, "
             "round(avg(CAST((doc_id * 31 + (3 * i + 2) * 7) % 256 AS DOUBLE)), 6) AS mean_b "
             "FROM px GROUP BY doc_id"
+        ),
+        "image_dims": (
+            "SELECT doc_id AS media_id, 'jpeg' AS format, "
+            "CAST(16 + doc_id % 97 AS BIGINT) AS width, "
+            "CAST(9 + doc_id % 53 AS BIGINT) AS height FROM documents"
         ),
         "audio_features": (
             # analytic loudness of the synthetic PCM formula: sample i of

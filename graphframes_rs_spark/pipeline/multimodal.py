@@ -150,6 +150,87 @@ def decode_ppm(payload: bytes) -> tuple:
     return width, height, raster.reshape(height, width, 3)
 
 
+# SOF (start-of-frame) markers carry the image dimensions. C4/C8/CC are
+# DHT/JPG/DAC — table segments, not frames.
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_header(payload: bytes) -> tuple:
+    """(width, height, n_components) from a JPEG's SOF segment — a
+    pure-python marker walk over the segment headers, no raster decode and
+    no codec library. Handles baseline (SOF0) through progressive (SOF2)
+    and fill-byte padding between markers per ITU T.81 §B. Raster decode
+    stays behind the ``extract_features(decode=...)`` plug point (PIL &c);
+    dimensions-only is enough for schema validation, partition sizing and
+    resolution filtering at ingest."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI marker)")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        # fill bytes: any number of 0xFF may pad before the marker id
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # RSTn/SOI/TEM: bare
+            continue
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        if marker in _JPEG_SOF_MARKERS:
+            # segment: len(2) precision(1) height(2) width(2) ncomp(1)
+            height = int.from_bytes(payload[pos + 3 : pos + 5], "big")
+            width = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+            ncomp = payload[pos + 7]
+            return width, height, ncomp
+        pos += seglen
+    raise ValueError("no SOF marker found (truncated or not an image JPEG)")
+
+
+def sniff_media_format(payload: bytes) -> str:
+    """'ppm' | 'jpeg' | 'wav' | 'unknown' from magic bytes."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def image_dimensions(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """[media_id, format, width, height]: real header parsing over a mixed
+    image table — PPM via the full decoder, JPEG via the SOF header walk.
+    No fake decoder anywhere in this path; unknown formats yield NULL dims
+    rather than poisoning the batch (filter on format for strictness)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "format", "width", "height")}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                p = payload if isinstance(payload, bytes) else bytes(payload)
+                fmt = sniff_media_format(p)
+                w = h = None
+                if fmt == "ppm":
+                    w, h, _ = decode_ppm(p)
+                elif fmt == "jpeg":
+                    w, h, _ = parse_jpeg_header(p)
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, format string, width long, height long"
+    )
+
+
 def decode_wav(payload: bytes) -> tuple:
     """Real PCM WAV decoder via the stdlib ``wave`` module:
     (sample_rate, (n_frames, n_channels) float64 array in [-1, 1])."""
@@ -238,6 +319,50 @@ def synthetic_ppm_media(
                     ((int(m) * 31 + i * 7) % 256)
                     .astype(np.uint8)
                     .reshape(height, width, 3),
+                )
+                for m in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def encode_jpeg_header(
+    width: int, height: int, ncomp: int = 3, progressive: bool = False
+) -> bytes:
+    """Valid JPEG segment stream — SOI + JFIF APP0 + SOF0 (or SOF2 when
+    ``progressive``) + EOI — with no entropy-coded raster: the synthetic
+    twin of :func:`encode_ppm` for header-level operators
+    (:func:`parse_jpeg_header` / :func:`image_dimensions`). Grammar per
+    ITU T.81 §B; a full encoder would append DQT/DHT/SOS + scan data."""
+    app0 = (
+        b"\xff\xe0" + (16).to_bytes(2, "big")
+        + b"JFIF\x00\x01\x02\x00" + b"\x00\x48\x00\x48\x00\x00"
+    )
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = (
+        marker + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8])
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([ncomp]) + comps
+    )
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def synthetic_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """[media_id, payload]: deterministic JPEG header payloads — image m is
+    ``(16 + m % 97) x (9 + m % 53)``, progressive (SOF2) for odd m — a
+    closed form a SQL oracle reproduces, exercising both baseline and
+    progressive marker paths of the header parser."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_jpeg_header(
+                    16 + int(m) % 97, 9 + int(m) % 53,
+                    progressive=bool(int(m) % 2),
                 )
                 for m in pdf[id_col]
             ]

@@ -229,3 +229,71 @@ def test_streaming_user_stats_accumulates_across_batches(spark, tmp_path):
     }
     assert got == expected
     events.unpersist()
+
+
+def _tiny_jpeg(width, height, progressive=False, ncomp=3):
+    """Hand-assembled JPEG header stream: SOI + JFIF APP0 + (fill bytes) +
+    SOF0/SOF2 carrying the dimensions + EOI. Valid per ITU T.81 segment
+    grammar — exactly what a header parser must handle, no raster needed."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    sof = sof_marker + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8]) \
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp]) + comp
+    return b"\xff\xd8" + app0 + b"\xff" + sof[1:] + b"\xff\xd9"
+
+
+def test_jpeg_header_parser_pure_python():
+    for w, h, prog in [(640, 480, False), (31, 7, True), (4096, 2160, False)]:
+        got = multimodal.parse_jpeg_header(_tiny_jpeg(w, h, progressive=prog))
+        assert got == (w, h, 3)
+    assert multimodal.parse_jpeg_header(_tiny_jpeg(8, 8, ncomp=1)) == (8, 8, 1)
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.parse_jpeg_header(b"P6\n1 1\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="SOF"):
+        multimodal.parse_jpeg_header(b"\xff\xd8\xff\xd9")
+
+
+def test_image_dimensions_mixed_formats_no_fake_decoder(spark):
+    """media_type='image/jpeg' rows flow through real header parsing —
+    the fake feature decoder is nowhere in this path. Mixed PPM + JPEG +
+    junk in one table; per-row format sniffing, NULL dims for junk."""
+    import numpy as np
+
+    rows = [
+        (1, multimodal.encode_ppm(4, 3, np.zeros((3, 4, 3), dtype=np.uint8))),
+        (2, _tiny_jpeg(800, 600)),
+        (3, _tiny_jpeg(64, 64, progressive=True)),
+        (4, b"\x00\x01not media"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.image_dimensions(media).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("ppm", 4, 3)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 800, 600)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("jpeg", 64, 64)
+    assert got[4]["format"] == "unknown" and got[4]["width"] is None
+
+
+def test_extract_features_jpeg_plug_point_without_fake(spark):
+    """The decode= plug point accepts a real header-driven extractor: JPEG
+    rows produce features derived from parsed dimensions, proving the
+    plumbing works end-to-end with no _fake_decode_features involvement."""
+    import numpy as np
+
+    def header_features(payload: bytes) -> np.ndarray:
+        w, h, ncomp = multimodal.parse_jpeg_header(payload)
+        f = np.zeros(multimodal.FEATURE_DIM, dtype=np.float32)
+        f[0], f[1], f[2] = w, h, ncomp
+        return f
+
+    media = spark.createDataFrame(
+        [(i, "image/jpeg", _tiny_jpeg(100 + i, 50 + i), None) for i in range(6)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.extract_features(media, decode=header_features).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        assert out[i]["feature"][0] == 100.0 + i
+        assert out[i]["feature"][1] == 50.0 + i
+        assert out[i]["feature"][2] == 3.0
