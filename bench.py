@@ -68,50 +68,73 @@ def _bench_ann_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# scale proof: a deterministic random graph >=10x the sf0.1 lineitem graph
-# (6M edges vs 588k) through the two flagship iterative algorithms. Edges are
-# generated once (untimed setup) and read back from parquet like any table.
+# scale proof: deterministic random graphs at two tiers — 6M edges (~10x the
+# sf0.1 lineitem graph) and 18M edges / 6M vertices (~30x, matching the
+# reference's own scale precedent: WCC on LDBC kgs at ~17M edges,
+# reference run_benchmarks.py:186-189) — through WCC, PageRank and k-core.
+# Edges are generated once (untimed setup) and read back from parquet like
+# any table; the two tiers share one generator so cross-tier growth is a
+# clean data-size signal.
 # ---------------------------------------------------------------------------
-SCALE_EDGES = 6_000_000
-SCALE_VERTICES = 2_000_000
+SCALE_TIERS = {
+    "6m": {"edges": 6_000_000, "vertices": 2_000_000},
+    "18m": {"edges": 18_000_000, "vertices": 6_000_000},
+}
 _scale_paths = {}
 
 
-def _prepare_scale_graph(spark):
-    if "edges" in _scale_paths:
+def _prepare_scale_graph(spark, tier):
+    if tier in _scale_paths:
         return
-    base = tempfile.mkdtemp(prefix="gf_scale_")
-    edges = spark.range(SCALE_EDGES).select(
-        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(SCALE_VERTICES)).alias("src"),
-        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(SCALE_VERTICES)).alias("dst"),
+    dims = SCALE_TIERS[tier]
+    base = tempfile.mkdtemp(prefix=f"gf_scale_{tier}_")
+    edges = spark.range(dims["edges"]).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(dims["vertices"])).alias("src"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(dims["vertices"])).alias("dst"),
     )
     edges.write.mode("overwrite").parquet(base + "/edges")
-    spark.range(SCALE_VERTICES).select(F.col("id")).write.mode("overwrite").parquet(
-        base + "/vertices"
-    )
-    _scale_paths["edges"] = base + "/edges"
-    _scale_paths["vertices"] = base + "/vertices"
+    spark.range(dims["vertices"]).select(F.col("id")).write.mode(
+        "overwrite"
+    ).parquet(base + "/vertices")
+    _scale_paths[tier] = (base + "/vertices", base + "/edges")
 
 
-def _scale_graph(spark):
+def _scale_graph(spark, tier):
     from graphframes_rs_spark.graphframe import GraphFrame
 
-    _prepare_scale_graph(spark)
-    return GraphFrame(
-        spark.read.parquet(_scale_paths["vertices"]),
-        spark.read.parquet(_scale_paths["edges"]),
-    )
+    _prepare_scale_graph(spark, tier)
+    v_path, e_path = _scale_paths[tier]
+    return GraphFrame(spark.read.parquet(v_path), spark.read.parquet(e_path))
 
 
-def _bench_scale_wcc(spark, sf_dir):
-    g = _scale_graph(spark)
-    return g.connected_components().set_checkpoint_dir(tempfile.mkdtemp()).run()
+def _bench_scale_wcc(tier):
+    def run(spark, sf_dir):
+        g = _scale_graph(spark, tier)
+        return g.connected_components().set_checkpoint_dir(tempfile.mkdtemp()).run()
+
+    return run
 
 
-def _bench_scale_pagerank(spark, sf_dir):
-    g = _scale_graph(spark)
-    pr = g.page_rank().max_iterations(5).set_checkpoint_dir(tempfile.mkdtemp())
-    return pr.run()
+def _bench_scale_pagerank(tier):
+    def run(spark, sf_dir):
+        g = _scale_graph(spark, tier)
+        pr = g.page_rank().max_iterations(5).set_checkpoint_dir(tempfile.mkdtemp())
+        return pr.run()
+
+    return run
+
+
+def _bench_scale_kcore(tier):
+    # fixed 5 supersteps: full convergence on the random graph takes ~15
+    # rounds (a long constant-work tail), so the bench measures a fixed
+    # superstep budget — identical work across rounds/tiers, so the timing
+    # is a throughput signal, not a convergence-length signal.
+    def run(spark, sf_dir):
+        g = _scale_graph(spark, tier)
+        kc = g.k_core().max_iterations(5).set_checkpoint_dir(tempfile.mkdtemp())
+        return kc.run()
+
+    return run
 
 
 BENCH_QUERIES = {
@@ -143,9 +166,12 @@ BENCH_QUERIES = {
     "image_features": entry.queries()["image_features"],
     "events_hourly": entry.queries()["events_hourly"],
     "sessions": entry.queries()["sessions"],
-    # scale proof (6M-edge generated graph, ~10x the sf0.1 lineitem graph)
-    "scale_wcc_6m": _bench_scale_wcc,
-    "scale_pagerank_6m": _bench_scale_pagerank,
+    # scale proof tiers (deterministic generated graphs; see SCALE_TIERS)
+    "scale_wcc_6m": _bench_scale_wcc("6m"),
+    "scale_pagerank_6m": _bench_scale_pagerank("6m"),
+    "scale_wcc_18m": _bench_scale_wcc("18m"),
+    "scale_pagerank_18m": _bench_scale_pagerank("18m"),
+    "scale_kcore_18m": _bench_scale_kcore("18m"),
 }
 
 
@@ -172,7 +198,8 @@ def main():
     # JVM startup (standard steady-state benchmarking practice).
     warm = entry.entry(spark)
     warm.count()
-    _prepare_scale_graph(spark)  # untimed: input generation is not the query
+    for tier in SCALE_TIERS:  # untimed: input generation is not the query
+        _prepare_scale_graph(spark, tier)
 
     # The iterative graph algorithms run many short jobs and are the most
     # sensitive to JVM/GC state (observed ±40% across identical runs, and
@@ -202,10 +229,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "scale_graph": {
-                    "edges": SCALE_EDGES,
-                    "vertices": SCALE_VERTICES,
-                },
+                "scale_graph": SCALE_TIERS,
             }
         )
     )
