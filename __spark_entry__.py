@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphframes_rs_spark.pipeline import dedup, similarity
+from graphframes_rs_spark.pipeline import curation, dedup, similarity
 from graphframes_rs_spark.pipeline import text as txt
 from graphframes_rs_spark.sources.graphs import (
     customer_hierarchy_graph,
@@ -484,6 +484,35 @@ def _q_top_customers(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: WCC over the exact n-gram-Jaccard pair graph —
+    the graph+pipeline composition (transitivity from components, not
+    pairs). Oracle: recursive-CTE closure with min-member labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(
+        docs, threshold=JACCARD_T, max_doc_freq=None, checkpoint_dir=_ckpt()
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark-overlap check: distinct 3-gram collisions of every train
+    doc (doc_id % 100 != 0) against the deterministic eval split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.decontamination_report(docs)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based training-mixture sampling, stratified by
+    predicted language (50% en, 10% und, 25% otherwise)."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_lang = docs.select(
+        "doc_id", "text", txt.language_id(F.col("text")).alias("lang_pred")
+    )
+    return curation.stratified_sample(
+        with_lang, "lang_pred", {"en": 0.5, "und": 0.1}, default_fraction=0.25
+    ).select("doc_id", "lang_pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_counts": _q_graph_counts,
@@ -517,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
+        "dedup_clusters": _q_dedup_clusters,
+        "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -928,6 +960,51 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE j >= {JACCARD_T}"
         ),
         "simhash": _simhash_sql(),
+        "dedup_clusters": (
+            # WCC closure over the exact jaccard pair graph, min-member labels
+            f"WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+            "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS c FROM sh a "
+            "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+            "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j "
+            "FROM common JOIN sizes sa ON doc_a = sa.doc_id "
+            f"JOIN sizes sb ON doc_b = sb.doc_id) WHERE j >= {JACCARD_T}), "
+            "ue AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs "
+            "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+            "reach AS (SELECT doc_id AS x, doc_id AS y FROM documents "
+            "UNION SELECT r.x, e.v FROM reach r JOIN ue e ON r.y = e.u) "
+            "SELECT x AS doc_id, min(y) AS cluster, x = min(y) AS is_canonical "
+            "FROM reach GROUP BY x"
+        ),
+        "decontaminate": (
+            f"WITH sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+            "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0), "
+            "tr AS (SELECT * FROM sh WHERE doc_id % 100 <> 0), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles "
+            "FROM tr GROUP BY 1), "
+            "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_collisions "
+            "FROM tr JOIN ev USING (shingle) GROUP BY 1) "
+            "SELECT t.doc_id, t.n_shingles, "
+            "COALESCE(h.n_collisions, 0) AS n_collisions, "
+            "COALESCE(h.n_collisions, 0) > 0 AS contaminated "
+            "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "stratified_sample": (
+            # same lang CTE as doc_lang, then the deterministic md5 keep rule
+            f"WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents), "
+            f"s AS (SELECT doc_id, {_lang_scores_sql()} FROM t), "
+            "m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM s), "
+            "lang AS (SELECT doc_id, CASE WHEN mx > 0 THEN ("
+            "CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' "
+            "WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr' END) "
+            "ELSE 'und' END AS lang_pred FROM m) "
+            "SELECT doc_id, lang_pred FROM lang WHERE "
+            + _HASH60.format(x="'42:' || lang_pred || ':' || doc_id")
+            + " % 1000000 < (CASE lang_pred WHEN 'en' THEN 0.5 "
+            "WHEN 'und' THEN 0.1 ELSE 0.25 END) * 1000000.0"
+        ),
         "simhash_neardups": (
             # brute-force popcount over all pairs — the banded join must
             # produce the identical set (pigeonhole guarantees no misses)

@@ -348,3 +348,44 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[doc_id, cluster, is_canonical]: near-duplicate CLUSTERS — connected
+    components over the n-gram-Jaccard pair graph, labelled with the
+    component's minimum doc_id (the canonical survivor; everything else in
+    the cluster is droppable). The graph+pipeline composition a dedup pass
+    actually ships: pairwise similarity alone over-deletes (A~B, B~C but
+    A!~C still belongs to one cluster — transitivity must come from
+    components, not pairs).
+
+    Scale design: the pair graph is tiny relative to the corpus (only
+    near-dup edges), and the randomized-contraction WCC collapses it in
+    O(log n) rounds with a single-task union-find finisher under the
+    configured edge dial — corpus-sized data never enters the iteration;
+    only candidate pairs do. ``max_doc_freq`` defaults OFF here because the
+    pair stage already bounds work via the caller's threshold; pass a cap
+    for stop-shingle-heavy corpora (see ``ngram_jaccard_pairs``)."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    pairs = ngram_jaccard_pairs(
+        docs, text_col=text_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    vertices = docs.select(F.col("doc_id").alias("id"))
+    builder = GraphFrame(vertices, edges).connected_components()
+    if checkpoint_dir is not None:
+        builder = builder.set_checkpoint_dir(checkpoint_dir)
+    comp = builder.run()
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
