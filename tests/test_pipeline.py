@@ -303,3 +303,65 @@ def test_streaming_user_stats_value_and_epoch_cols(spark, tmp_path):
         for r in spark.sql("select * from vs_epoch").collect()
     }
     assert got == {1: (2, 6.0, 200), 2: (1, 7.0, 300)}
+
+
+def test_stratified_sample_deterministic_and_consistent(spark):
+    from graphframes_rs_spark.pipeline import curation
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    kept = curation.stratified_sample(df, "lang", {"en": 1.0, "de": 0.0}, 0.3)
+    rows = kept.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # fraction 1.0 keeps everything, 0.0 keeps nothing
+    assert len(by_lang.get("en", set())) == 1000
+    assert "de" not in by_lang
+    # default fraction lands near 30% (hash-uniform, 1000 keys)
+    assert 200 <= len(by_lang["fr"]) <= 400
+    # same seed -> identical sample even after a repartition
+    again = curation.stratified_sample(
+        df.repartition(7), "lang", {"en": 1.0, "de": 0.0}, 0.3
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in rows}
+    # and the filter is a narrow plan: no Exchange
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_decontamination_with_explicit_eval_docs(spark):
+    from graphframes_rs_spark.pipeline import curation
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "completely unrelated words here today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox appears in benchmark")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           curation.decontamination_report(train, eval_docs=bench).collect()}
+    assert got[1]["contaminated"] and got[1]["n_collisions"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_collisions"] == 0
+
+
+def test_duplicate_clusters_transitivity(spark, tmp_path):
+    """A~B and B~C but A!~C must still land in ONE cluster (components,
+    not pairs), with the min doc_id canonical."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    a = base
+    b = base + " iota"                      # high overlap with both a and c
+    c = "iota " + base.replace("alpha ", "")  # overlaps b strongly, a less
+    lone = "nothing in common with any of those documents at all"
+    docs = spark.createDataFrame(
+        [(10, a), (11, b), (12, c), (13, lone)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicate_clusters(
+        docs, threshold=0.3, checkpoint_dir=str(tmp_path / "dc")).collect()}
+    assert out[10]["cluster"] == out[11]["cluster"] == out[12]["cluster"] == 10
+    assert out[10]["is_canonical"] and not out[11]["is_canonical"]
+    assert out[13]["cluster"] == 13 and out[13]["is_canonical"]
