@@ -355,7 +355,7 @@ def duplicate_clusters(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """[doc_id, cluster, is_canonical]: near-duplicate CLUSTERS — connected
@@ -370,9 +370,12 @@ def duplicate_clusters(
     near-dup edges), and the randomized-contraction WCC collapses it in
     O(log n) rounds with a single-task union-find finisher under the
     configured edge dial — corpus-sized data never enters the iteration;
-    only candidate pairs do. ``max_doc_freq`` defaults OFF here because the
-    pair stage already bounds work via the caller's threshold; pass a cap
-    for stop-shingle-heavy corpora (see ``ngram_jaccard_pairs``)."""
+    only candidate pairs do. ``max_doc_freq`` defaults ON (same cap as
+    ``ngram_jaccard_pairs``): the Jaccard threshold filters pairs only
+    AFTER candidate generation, so an uncapped stop-shingle posting list
+    still concentrates |df|^2 candidate pairs in one task before any
+    threshold applies. Pass ``None`` only when the corpus is known to be
+    free of ultra-common shingles (e.g. small curated sets)."""
     from graphframes_rs_spark.graphframe import GraphFrame
 
     pairs = ngram_jaccard_pairs(

@@ -211,6 +211,29 @@ def test_degenerate_bucket_bounded_by_default(spark):
     assert not any(i < n for i in jids)
 
 
+def test_duplicate_clusters_default_cap_bounds_stop_shingles(spark):
+    """duplicate_clusters must inherit the stop-shingle cap BY DEFAULT: the
+    Jaccard threshold only filters pairs after candidate generation, so an
+    uncapped giant posting list would emit ~n^2 candidates before any
+    threshold applies. With the default cap the 2k-identical-doc block is
+    dropped from pairing (each member becomes its own singleton cluster)
+    while the small legit duplicate pair still clusters together."""
+    n = 2000
+    rows = [(i, "all these documents are exactly the same text") for i in range(n)]
+    rows += [(n + 1, "one completely different document body here"),
+             (n + 2, "one completely different document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in dedup.duplicate_clusters(df, threshold=0.5).collect()}
+    assert len(out) == n + 2
+    # the legit pair clusters under the min doc_id
+    assert out[n + 1] == (n + 1, True)
+    assert out[n + 2] == (n + 1, False)
+    # giant-block members were never paired: all singleton canonicals
+    assert all(out[i] == (i, True) for i in range(n))
+
+
 def test_simhash_neardups_banded_equals_bruteforce(spark, docs):
     """The banded pigeonhole join must equal the brute-force popcount scan."""
     out = dedup.simhash_near_duplicates(docs, bits=32, max_hamming=4)
