@@ -184,6 +184,8 @@ def parse_jpeg_header(payload: bytes) -> tuple:
         seglen = int.from_bytes(payload[pos : pos + 2], "big")
         if marker in _JPEG_SOF_MARKERS:
             # segment: len(2) precision(1) height(2) width(2) ncomp(1)
+            if pos + 8 > n:
+                raise ValueError("truncated SOF segment")
             height = int.from_bytes(payload[pos + 3 : pos + 5], "big")
             width = int.from_bytes(payload[pos + 5 : pos + 7], "big")
             ncomp = payload[pos + 7]
@@ -206,8 +208,11 @@ def sniff_media_format(payload: bytes) -> str:
 def image_dimensions(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """[media_id, format, width, height]: real header parsing over a mixed
     image table — PPM via the full decoder, JPEG via the SOF header walk.
-    No fake decoder anywhere in this path; unknown formats yield NULL dims
-    rather than poisoning the batch (filter on format for strictness)."""
+    No fake decoder anywhere in this path; unknown formats yield NULL dims,
+    and a payload that sniffs as a known format but is malformed is marked
+    format='corrupt' with NULL dims instead of failing the task — at ingest
+    scale one bad row must never poison the batch (filter on format for
+    strictness)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,10 +221,13 @@ def image_dimensions(media: DataFrame, payload_col: str = "payload") -> DataFram
                 p = payload if isinstance(payload, bytes) else bytes(payload)
                 fmt = sniff_media_format(p)
                 w = h = None
-                if fmt == "ppm":
-                    w, h, _ = decode_ppm(p)
-                elif fmt == "jpeg":
-                    w, h, _ = parse_jpeg_header(p)
+                try:
+                    if fmt == "ppm":
+                        w, h, _ = decode_ppm(p)
+                    elif fmt == "jpeg":
+                        w, h, _ = parse_jpeg_header(p)
+                except (ValueError, IndexError):
+                    fmt, w, h = "corrupt", None, None
                 out["media_id"].append(mid)
                 out["format"].append(fmt)
                 out["width"].append(w)

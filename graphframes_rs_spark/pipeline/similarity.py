@@ -222,17 +222,30 @@ def ivf_topk(
     # k·p merge), so at 100 TB this is one scan shipping ~fit_sample rows
     # per partition, versus count + Bernoulli-sample's two scans. The hash
     # order makes the sample uniform regardless of storage order and
-    # deterministic for a given seed.
+    # deterministic for a given seed. Caveat: Spark only plans the top-k
+    # operator when the limit is at or below
+    # spark.sql.execution.topKSortFallbackThreshold (default 10000 —
+    # crossed here once nlist > 100), falling back to a full global sort
+    # otherwise; bump the threshold for the fit job and restore it after.
     fit_sample = max(100 * nlist, 1)
     train = (
         base.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
         .limit(fit_sample)
     )
     train = train.select(array_to_vector("nv").alias("features")).cache()
+    spark = base.sparkSession
+    topk_key = "spark.sql.execution.topKSortFallbackThreshold"
+    prev_topk = spark.conf.get(topk_key, None)
     try:
+        if prev_topk is None or fit_sample >= int(prev_topk):
+            spark.conf.set(topk_key, str(fit_sample + 1))
         model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
     finally:
         train.unpersist()
+        if prev_topk is None:
+            spark.conf.unset(topk_key)
+        else:
+            spark.conf.set(topk_key, prev_topk)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, d)
 
     @pandas_udf("int")

@@ -36,6 +36,8 @@ pushes into the checkpoint scan.
 from __future__ import annotations
 
 import enum
+import time
+import warnings
 from functools import reduce
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -52,6 +54,45 @@ _SRC_PREFIX = "__pregel_src_"
 _DST_PREFIX = "__pregel_dst_"
 _EDGE_PREFIX = "__pregel_edge_"
 _MSG_PREFIX = "__pregel_msg_"
+
+
+def _vote_active_count(obs: Observation, timeout_s: float = 120.0):
+    """The observed per-superstep 'active' vote count, with a BOUNDED wait.
+
+    Exact interval>1 voting relies on Spark reporting CollectMetrics nodes
+    embedded in persisted intermediate plans when the write job materializes
+    the cache — true today (pinned by the checkpoint-interval pytest suite),
+    but a blocking ``Observation.get`` would hang the driver with no
+    diagnostic if a Spark upgrade ever stopped propagating metrics through
+    InMemoryRelation. Poll the JVM-side non-blocking ``getRowOrEmpty``
+    until the metric lands or ``timeout_s`` expires; on timeout return
+    ``None`` with a warning so the caller treats the vote as still-active —
+    a semantics change degrades to bounded overshoot, never a hang. If the
+    internal handle is unavailable (API drift), fall back to the blocking
+    get, i.e. pre-guard behavior."""
+    jo = getattr(obs, "_jo", None)
+    if jo is not None:
+        try:
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if jo.getRowOrEmpty().isDefined():
+                    # sum() over an empty state observes NULL: that IS a
+                    # zero-active fixpoint, distinct from timeout-None
+                    return obs.get["active"] or 0
+                time.sleep(0.05)
+            warnings.warn(
+                "pregel voting metric not reported within "
+                f"{timeout_s}s (Spark stopped propagating CollectMetrics "
+                "through cached plans?); treating the superstep as "
+                "still-active — convergence may overshoot by up to "
+                "checkpoint_interval rounds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return None
+        except Exception:  # py4j API drift: degrade to the blocking read
+            pass
+    return obs.get["active"] or 0
 
 
 class MessageDirection(enum.Enum):
@@ -507,11 +548,14 @@ class PregelBuilder:
 
             # Replay voting metrics oldest-first: the first zero-active
             # superstep is the true fixpoint. The write job that just ran
-            # materialized every CollectMetrics in the chain, so the .get
-            # calls never block.
+            # materialized every CollectMetrics in the chain, so the reads
+            # resolve immediately — but each is bounded-wait guarded (see
+            # _vote_active_count) so a Spark metrics-propagation change
+            # degrades to overshoot, not a silent driver hang.
             converged = False
             for step_no, step_obs, cached in pending_votes:
-                if (step_obs.get["active"] or 0) == 0:
+                active = _vote_active_count(step_obs)
+                if active == 0:  # None (timeout) != 0: stays active
                     converged = True
                     if cached is not None:
                         # Fixpoint landed on a persisted superstep: re-issue

@@ -274,6 +274,39 @@ def test_image_dimensions_mixed_formats_no_fake_decoder(spark):
     assert got[4]["format"] == "unknown" and got[4]["width"] is None
 
 
+def test_jpeg_truncated_sof_raises_value_error():
+    """A JPEG truncated mid-SOF must raise the documented ValueError, not
+    IndexError from reading past the buffer."""
+    full = _tiny_jpeg(640, 480)
+    sof_at = full.index(b"\xff\xc0")
+    truncated = full[: sof_at + 5]  # cuts inside the SOF payload
+    with pytest.raises(ValueError, match="truncated SOF"):
+        multimodal.parse_jpeg_header(truncated)
+
+
+def test_image_dimensions_corrupt_row_does_not_poison_batch(spark):
+    """A payload that sniffs as a known format but is malformed must come
+    back as format='corrupt' with NULL dims — one bad row at ingest scale
+    must never fail the whole task."""
+    import numpy as np
+
+    full = _tiny_jpeg(320, 240)
+    rows = [
+        (1, full),
+        (2, full[: full.index(b"\xff\xc0") + 5]),   # truncated SOF
+        (3, b"\xff\xd8\xff\xd9"),                    # JPEG with no SOF
+        (4, b"P6\n9 9\n255\n\x00"),                  # PPM raster too short
+        (5, multimodal.encode_ppm(2, 2, np.zeros((2, 2, 3), dtype=np.uint8))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.image_dimensions(media).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 320, 240)
+    for bad in (2, 3, 4):
+        assert got[bad]["format"] == "corrupt", bad
+        assert got[bad]["width"] is None and got[bad]["height"] is None
+    assert (got[5]["format"], got[5]["width"], got[5]["height"]) == ("ppm", 2, 2)
+
+
 def test_extract_features_jpeg_plug_point_without_fake(spark):
     """The decode= plug point accepts a real header-driven extractor: JPEG
     rows produce features derived from parsed dimensions, proving the
