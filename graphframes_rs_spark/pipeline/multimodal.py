@@ -194,14 +194,90 @@ def parse_jpeg_header(payload: bytes) -> tuple:
     raise ValueError("no SOF marker found (truncated or not an image JPEG)")
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(payload: bytes) -> tuple:
+    """(width, height, bit_depth, color_type) from a PNG's IHDR chunk — a
+    pure-python chunk walk, no raster decode. Per the PNG spec the IHDR
+    chunk MUST be first, so this is a fixed-offset read after validating
+    the signature and chunk framing (length + type + 13-byte payload)."""
+    if payload[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG payload (bad signature)")
+    if len(payload) < 33:  # sig(8) + len(4) + 'IHDR'(4) + data(13) + crc(4)
+        raise ValueError("truncated PNG (no room for IHDR chunk)")
+    chunk_len = int.from_bytes(payload[8:12], "big")
+    if payload[12:16] != b"IHDR" or chunk_len != 13:
+        raise ValueError("first PNG chunk is not a well-formed IHDR")
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    bit_depth = payload[24]
+    color_type = payload[25]
+    if width == 0 or height == 0:
+        raise ValueError("PNG IHDR declares zero dimension")
+    return width, height, bit_depth, color_type
+
+
+def parse_mp4_duration(payload: bytes) -> tuple:
+    """(duration_ms, timescale) from an MP4/ISO-BMFF ``moov/mvhd`` box — a
+    pure-python box walk (size+type framing, 64-bit largesize, version 0/1
+    mvhd layouts per ISO 14496-12 §8.2.2). No sample tables are touched:
+    container-level duration is what frame-sampling plans need."""
+
+    def walk(buf: bytes, start: int, end: int, path: tuple):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            header = 8
+            if size == 1:  # 64-bit largesize follows the type
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box header")
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                header = 16
+            elif size == 0:  # box runs to end of enclosing scope
+                size = end - pos
+            if size < header or pos + size > end:
+                raise ValueError(f"bad MP4 box size at byte {pos}")
+            if btype == path[0]:
+                if len(path) == 1:
+                    return pos + header, pos + size
+                return walk(buf, pos + header, pos + size, path[1:])
+            pos += size
+        raise ValueError(f"MP4 box {path[0]!r} not found")
+
+    body_start, body_end = walk(payload, 0, len(payload), (b"moov", b"mvhd"))
+    body = payload[body_start:body_end]
+    if len(body) < 4:
+        raise ValueError("truncated mvhd box")
+    version = body[0]
+    if version == 1:  # creation(8) modification(8) timescale(4) duration(8)
+        if len(body) < 32:
+            raise ValueError("truncated mvhd v1 box")
+        timescale = int.from_bytes(body[20:24], "big")
+        duration = int.from_bytes(body[24:32], "big")
+    else:  # v0: creation(4) modification(4) timescale(4) duration(4)
+        if len(body) < 20:
+            raise ValueError("truncated mvhd v0 box")
+        timescale = int.from_bytes(body[12:16], "big")
+        duration = int.from_bytes(body[16:20], "big")
+    if timescale == 0:
+        raise ValueError("mvhd declares zero timescale")
+    return (duration * 1000) // timescale, timescale
+
+
 def sniff_media_format(payload: bytes) -> str:
-    """'ppm' | 'jpeg' | 'wav' | 'unknown' from magic bytes."""
+    """'ppm' | 'jpeg' | 'png' | 'wav' | 'mp4' | 'unknown' from magic bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:8] == _PNG_SIGNATURE:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
