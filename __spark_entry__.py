@@ -415,6 +415,34 @@ def _q_image_dims(spark, sf_dir):
     return mm.image_dimensions(mm.synthetic_jpeg_media(ids))
 
 
+def _q_image_dims_png(spark, sf_dir):
+    """PNG header-parsing round trip: deterministic signature+IHDR+IEND
+    streams are encoded per document id (width 32 + m % 89, height
+    11 + m % 41, RGBA/RGB alternating), parsed back by the pure-python
+    IHDR chunk walk inside mapInPandas — no codec library, no fake
+    decoder. The oracle reproduces the dimensions from the closed form."""
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return mm.image_dimensions(mm.synthetic_png_media(ids))
+
+
+def _q_video_duration(spark, sf_dir):
+    """MP4 container-parsing round trip: deterministic ftyp+moov/mvhd
+    streams are encoded per document id (duration 500 + (m % 997) * 10 ms
+    at timescale 1000, mvhd v0/v1 alternating), parsed back by the
+    pure-python box walk inside mapInPandas. The oracle reproduces the
+    duration from the closed form."""
+    from graphframes_rs_spark.pipeline import multimodal as mm
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return mm.video_durations(mm.synthetic_mp4_media(ids))
+
+
 def _q_audio_features(spark, sf_dir):
     """Real-codec round trip for audio: deterministic PCM WAV clips decoded
     by the stdlib wave parser inside mapInPandas; the oracle integrates the
@@ -555,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "image_features": _q_image_features,
         "image_dims": _q_image_dims,
+        "image_dims_png": _q_image_dims_png,
+        "video_duration": _q_video_duration,
         "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
@@ -1046,6 +1076,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, 'jpeg' AS format, "
             "CAST(16 + doc_id % 97 AS BIGINT) AS width, "
             "CAST(9 + doc_id % 53 AS BIGINT) AS height FROM documents"
+        ),
+        "image_dims_png": (
+            "SELECT doc_id AS media_id, 'png' AS format, "
+            "CAST(32 + doc_id % 89 AS BIGINT) AS width, "
+            "CAST(11 + doc_id % 41 AS BIGINT) AS height FROM documents"
+        ),
+        "video_duration": (
+            "SELECT doc_id AS media_id, 'mp4' AS format, "
+            "CAST(500 + (doc_id % 997) * 10 AS BIGINT) AS duration_ms, "
+            "CAST(1000 AS BIGINT) AS timescale FROM documents"
         ),
         "audio_features": (
             # analytic loudness of the synthetic PCM formula: sample i of

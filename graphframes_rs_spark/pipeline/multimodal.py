@@ -222,7 +222,14 @@ def parse_mp4_duration(payload: bytes) -> tuple:
     """(duration_ms, timescale) from an MP4/ISO-BMFF ``moov/mvhd`` box — a
     pure-python box walk (size+type framing, 64-bit largesize, version 0/1
     mvhd layouts per ISO 14496-12 §8.2.2). No sample tables are touched:
-    container-level duration is what frame-sampling plans need."""
+    container-level duration is what frame-sampling plans need.
+
+    The spec's all-ones "unknown duration" sentinel (0xFFFFFFFF for v0,
+    2**64-1 for v1) yields ``(None, timescale)`` — the file is valid but
+    its duration is undeclared, so callers must not feed it to a sampling
+    plan. Limitation: fragmented MP4s legitimately carry mvhd duration 0
+    (the real duration lives in ``mvex/mehd`` or the fragments); this
+    parser reports that 0 as-is."""
 
     def walk(buf: bytes, start: int, end: int, path: tuple):
         pos = start
@@ -263,6 +270,9 @@ def parse_mp4_duration(payload: bytes) -> tuple:
         duration = int.from_bytes(body[16:20], "big")
     if timescale == 0:
         raise ValueError("mvhd declares zero timescale")
+    unknown = (2**64 - 1) if version == 1 else 0xFFFFFFFF
+    if duration == unknown:
+        return None, timescale
     return (duration * 1000) // timescale, timescale
 
 
@@ -283,7 +293,8 @@ def sniff_media_format(payload: bytes) -> str:
 
 def image_dimensions(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """[media_id, format, width, height]: real header parsing over a mixed
-    image table — PPM via the full decoder, JPEG via the SOF header walk.
+    image table — PPM via the full decoder, JPEG via the SOF header walk,
+    PNG via the IHDR chunk walk.
     No fake decoder anywhere in this path; unknown formats yield NULL dims,
     and a payload that sniffs as a known format but is malformed is marked
     format='corrupt' with NULL dims instead of failing the task — at ingest
@@ -302,6 +313,8 @@ def image_dimensions(media: DataFrame, payload_col: str = "payload") -> DataFram
                         w, h, _ = decode_ppm(p)
                     elif fmt == "jpeg":
                         w, h, _ = parse_jpeg_header(p)
+                    elif fmt == "png":
+                        w, h, _, _ = parse_png_header(p)
                 except (ValueError, IndexError):
                     fmt, w, h = "corrupt", None, None
                 out["media_id"].append(mid)
@@ -457,6 +470,127 @@ def synthetic_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
 
 
+def encode_png_header(
+    width: int, height: int, bit_depth: int = 8, color_type: int = 6
+) -> bytes:
+    """Valid PNG byte stream — signature + IHDR (with correct CRC32) +
+    IEND — with no IDAT raster: the synthetic twin of
+    :func:`encode_jpeg_header` for header-level operators
+    (:func:`parse_png_header` / :func:`image_dimensions`)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    return _PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def synthetic_png_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """[media_id, payload]: deterministic PNG header payloads — image m is
+    ``(32 + m % 89) x (11 + m % 41)``, RGBA for even m and RGB for odd — a
+    closed form a SQL oracle reproduces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png_header(
+                    32 + int(m) % 89, 11 + int(m) % 41,
+                    color_type=6 if int(m) % 2 == 0 else 2,
+                )
+                for m in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def encode_mp4_header(
+    duration: int, timescale: int = 1000, version: int = 0
+) -> bytes:
+    """Minimal valid ISO-BMFF byte stream — ``ftyp`` + ``moov/mvhd`` with
+    the requested duration (in timescale units), v0 or v1 layout — the
+    synthetic twin of :func:`encode_ppm` for container-level operators
+    (:func:`parse_mp4_duration` / :func:`video_durations`). No track or
+    sample-table boxes: duration lives in mvhd per ISO 14496-12 §8.2.2."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    if version == 1:
+        body = (
+            bytes([1, 0, 0, 0]) + b"\x00" * 16
+            + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big")
+        )
+    else:
+        body = (
+            bytes([0, 0, 0, 0]) + b"\x00" * 8
+            + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+        )
+    return ftyp + box(b"moov", box(b"mvhd", body))
+
+
+def synthetic_mp4_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """[media_id, payload]: deterministic MP4 container payloads — clip m
+    lasts ``500 + (m % 997) * 10`` ms at timescale 1000, mvhd v1 for odd m
+    — a closed form a SQL oracle reproduces, exercising both mvhd layouts."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_mp4_header(
+                    500 + (int(m) % 997) * 10,
+                    timescale=1000,
+                    version=int(m) % 2,
+                )
+                for m in pdf[id_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return ids.select(F.col(id_col).cast("long")).mapInPandas(
+        run, "media_id long, payload binary"
+    )
+
+
+def video_durations(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """[media_id, format, duration_ms, timescale]: real container parsing
+    over a video table — MP4 via the mvhd box walk. The container-duration
+    twin of :func:`image_dimensions`, with the same ingest-scale contract:
+    non-MP4 formats yield NULL duration, a payload that sniffs as MP4 but is
+    malformed is marked format='corrupt' instead of failing the task, and a
+    valid MP4 with the spec's unknown-duration sentinel keeps format='mp4'
+    with NULL duration_ms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "format", "duration_ms", "timescale")}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                p = payload if isinstance(payload, bytes) else bytes(payload)
+                fmt = sniff_media_format(p)
+                dur = ts = None
+                if fmt == "mp4":
+                    try:
+                        dur, ts = parse_mp4_duration(p)
+                    except (ValueError, IndexError):
+                        fmt, dur, ts = "corrupt", None, None
+                out["media_id"].append(mid)
+                out["format"].append(fmt)
+                out["duration_ms"].append(dur)
+                out["timescale"].append(ts)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, "media_id long, format string, duration_ms long, timescale long"
+    )
+
+
 def synthetic_wav_media(
     ids: DataFrame,
     id_col: str = "media_id",
@@ -501,6 +635,30 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.sequence(
                     F.lit(0),
                     F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def frame_sample_from_payload(
+    media: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
+) -> DataFrame:
+    """:func:`frame_sample_plan` driven by the container itself: duration is
+    parsed from the MP4 payload (:func:`video_durations`), not read from a
+    trusted meta column, so the plan is runnable on raw ingested video rows.
+    Corrupt containers and unknown-duration files are excluded (NULL
+    duration never reaches ``F.sequence``). [media_id, frame_ts_ms]"""
+    durs = video_durations(media, payload_col=payload_col)
+    return (
+        durs.filter((F.col("format") == "mp4") & F.col("duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
                     F.lit(every_ms),
                 )
             ).alias("frame_ts_ms"),

@@ -48,9 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prev_ntz = spark.conf.get(
         "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
+        # both sets live inside the try so a failure on the second set can
+        # never leave nanosAsLong flipped session-wide
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(path)
         for c in ts_cols:
             if isinstance(df.schema[c].dataType, LongType):  # nanos-as-long

@@ -330,3 +330,94 @@ def test_extract_features_jpeg_plug_point_without_fake(spark):
         assert out[i]["feature"][0] == 100.0 + i
         assert out[i]["feature"][1] == 50.0 + i
         assert out[i]["feature"][2] == 3.0
+
+
+def test_png_header_parser_pure_python():
+    for w, h, ct in [(640, 480, 6), (1, 1, 2), (4096, 2160, 0)]:
+        got = multimodal.parse_png_header(multimodal.encode_png_header(w, h, color_type=ct))
+        assert got == (w, h, 8, ct)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.parse_png_header(b"\x89PNG\r\n\x1a\x00" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.parse_png_header(multimodal.encode_png_header(8, 8)[:20])
+    # first chunk must be IHDR
+    bad = multimodal._PNG_SIGNATURE + (13).to_bytes(4, "big") + b"IDAT" + b"\x00" * 17
+    with pytest.raises(ValueError, match="IHDR"):
+        multimodal.parse_png_header(bad)
+    # zero dimension is declared-malformed per spec
+    with pytest.raises(ValueError, match="zero dimension"):
+        multimodal.parse_png_header(multimodal.encode_png_header(0, 5))
+
+
+def test_mp4_duration_parser_pure_python():
+    # v0 and v1 mvhd layouts, ms conversion at non-1000 timescales
+    assert multimodal.parse_mp4_duration(
+        multimodal.encode_mp4_header(90000, timescale=90000, version=0)
+    ) == (1000, 90000)
+    assert multimodal.parse_mp4_duration(
+        multimodal.encode_mp4_header(2500, timescale=1000, version=1)
+    ) == (2500, 1000)
+    # the spec's all-ones unknown-duration sentinel -> duration None, file valid
+    assert multimodal.parse_mp4_duration(
+        multimodal.encode_mp4_header(0xFFFFFFFF, timescale=1000, version=0)
+    ) == (None, 1000)
+    assert multimodal.parse_mp4_duration(
+        multimodal.encode_mp4_header(2**64 - 1, timescale=1000, version=1)
+    ) == (None, 1000)
+    with pytest.raises(ValueError, match="zero timescale"):
+        multimodal.parse_mp4_duration(
+            multimodal.encode_mp4_header(10, timescale=0, version=0)
+        )
+    with pytest.raises(ValueError, match="not found"):
+        multimodal.parse_mp4_duration(
+            (16).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big")
+        )
+    # truncated mid-mvhd
+    full = multimodal.encode_mp4_header(2500, timescale=1000, version=0)
+    with pytest.raises(ValueError):
+        multimodal.parse_mp4_duration(full[:-6])
+
+
+def test_image_dimensions_handles_png(spark):
+    """PNG rows flow through the IHDR parse; a payload that sniffs as PNG
+    but is malformed is marked corrupt, per the documented contract."""
+    rows = [
+        (1, multimodal.encode_png_header(320, 240)),
+        (2, multimodal.encode_png_header(31, 7, color_type=2)),
+        (3, multimodal.encode_png_header(16, 16)[:20]),  # truncated IHDR
+        (4, _tiny_jpeg(64, 32)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.image_dimensions(media).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 320, 240)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("png", 31, 7)
+    assert got[3]["format"] == "corrupt" and got[3]["width"] is None
+    assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("jpeg", 64, 32)
+
+
+def test_video_durations_and_frame_sampling(spark):
+    """video_durations: real mvhd parse, corrupt marking, unknown-duration
+    sentinel kept as valid-but-NULL; frame_sample_from_payload excludes
+    both corrupt and unknown rows so F.sequence never sees NULL."""
+    rows = [
+        (1, multimodal.encode_mp4_header(2500, timescale=1000, version=0)),
+        (2, multimodal.encode_mp4_header(180000, timescale=90000, version=1)),
+        (3, multimodal.encode_mp4_header(2500)[:-6]),  # truncated mvhd
+        (4, multimodal.encode_mp4_header(0xFFFFFFFF)),  # unknown duration
+        (5, _tiny_jpeg(8, 8)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.video_durations(media).collect()}
+    assert (got[1]["format"], got[1]["duration_ms"], got[1]["timescale"]) == ("mp4", 2500, 1000)
+    assert (got[2]["format"], got[2]["duration_ms"], got[2]["timescale"]) == ("mp4", 2000, 90000)
+    assert got[3]["format"] == "corrupt" and got[3]["duration_ms"] is None
+    assert got[4]["format"] == "mp4" and got[4]["duration_ms"] is None
+    assert got[5]["format"] == "jpeg" and got[5]["duration_ms"] is None
+
+    frames = multimodal.frame_sample_from_payload(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(by_id) == [1, 2]          # corrupt/unknown/non-video excluded
+    assert sorted(by_id[1]) == [0, 1000, 2000]
+    assert sorted(by_id[2]) == [0, 1000]
