@@ -73,12 +73,19 @@ _VERTS_SMALL_SQL = (
     "UNION SELECT CAST(r_regionkey + 50 AS BIGINT) FROM region"
 )
 # distinct word-3-gram shingles per doc (matches pipeline.dedup.shingles)
-_SHINGLES_SQL = (
-    "SELECT doc_id, unnest(list_distinct(list_transform("
-    "range(1, greatest(len(string_split(text, ' ')) - 1, 2)), "
-    "i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS shingle "
-    "FROM documents"
-)
+def _shingles_sql(n: int = 3, table: str = "documents") -> str:
+    """DuckDB twin of dedup.shingles(col, n): distinct word n-grams with the
+    same short-document clamping (sequence count = greatest(len - n + 2, 1),
+    slices clamped at the end of the token list)."""
+    return (
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(len(string_split(text, ' ')) - {n - 2}, 2)), "
+        f"i -> array_to_string((string_split(text, ' '))[i:i+{n - 1}], ' ')))) "
+        f"AS shingle FROM {table}"
+    )
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 _HASH60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
@@ -529,6 +536,24 @@ def _q_decontaminate(spark, sf_dir):
     return curation.decontamination_report(docs)
 
 
+def _q_decontaminate_eval(spark, sf_dir):
+    """The production decontamination path: an EXPLICIT eval/benchmark set
+    (here doc_id % 50 == 1) checked against the full corpus — eval docs
+    that are themselves in the corpus come back 100% contaminated, the
+    leak the operator exists to catch."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 1).select("doc_id", "text")
+    return curation.decontamination_report(docs, eval_docs=eval_docs)
+
+
+def _q_decontaminate_prod(spark, sf_dir):
+    """Decontamination at the documented production n-gram range (8-13
+    words; n=9 here): long shingles collide only on verbatim leaks, the
+    realistic benchmark-overlap configuration."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.decontamination_report(docs, n=9)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic hash-based training-mixture sampling, stratified by
     predicted language (50% en, 10% und, 25% otherwise)."""
@@ -576,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
         "decontaminate": _q_decontaminate,
+        "decontaminate_eval": _q_decontaminate_eval,
+        "decontaminate_prod": _q_decontaminate_prod,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
@@ -1010,6 +1037,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": (
             f"WITH sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+            "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0), "
+            "tr AS (SELECT * FROM sh WHERE doc_id % 100 <> 0), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles "
+            "FROM tr GROUP BY 1), "
+            "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_collisions "
+            "FROM tr JOIN ev USING (shingle) GROUP BY 1) "
+            "SELECT t.doc_id, t.n_shingles, "
+            "COALESCE(h.n_collisions, 0) AS n_collisions, "
+            "COALESCE(h.n_collisions, 0) > 0 AS contaminated "
+            "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "decontaminate_eval": (
+            f"WITH sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+            "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 1), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles "
+            "FROM sh GROUP BY 1), "
+            "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_collisions "
+            "FROM sh JOIN ev USING (shingle) GROUP BY 1) "
+            "SELECT t.doc_id, t.n_shingles, "
+            "COALESCE(h.n_collisions, 0) AS n_collisions, "
+            "COALESCE(h.n_collisions, 0) > 0 AS contaminated "
+            "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "decontaminate_prod": (
+            f"WITH sh AS MATERIALIZED ({_shingles_sql(9)}), "
             "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0), "
             "tr AS (SELECT * FROM sh WHERE doc_id % 100 <> 0), "
             "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles "

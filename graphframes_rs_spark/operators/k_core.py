@@ -162,7 +162,17 @@ class KCoreBuilder:
         saves (best-of-3 12.4s vs 10.6s). Turn it ON for hub-heavy graphs —
         a degree-10^6 vertex whose neighbours hold ~100 distinct estimates
         shuffles ~100 (value, count) rows instead of 10^6 raw messages;
-        below ~10^4 max degree the plain single-shuffle form wins."""
+        below ~10^4 max degree the plain single-shuffle form wins.
+
+        Measured on the bench.py skew18m power-law tier (18M edges / 6M
+        vertices, hub in-degree 364k, 5 supersteps, local[32]): the two
+        modes are within run-to-run noise of each other — alternating
+        best-of-3 gave 45.6s default vs 55.6s compressed, with 2-4x
+        swings across identical runs in BOTH modes (JVM/GC state). A 364k
+        hub is only a ~3MB collect_list row, below where compression's
+        asymptotic win shows; the dial's target is hubs whose raw
+        neighbour list stops fitting a task comfortably (10^6+), where the
+        Σdegree->Σdistinct-estimates reduction is orders of magnitude."""
         self._count_compression = flag
         return self
 
@@ -195,7 +205,12 @@ class KCoreBuilder:
         saved message shuffle (12.6s vs 10.4s). Turn it ON for graphs where
         the message stream, not the vertex state, is the bottleneck: heavy
         hubs (histogram << degree) and many-round convergence tails where
-        most vertices have settled."""
+        most vertices have settled. NOT for short fixed budgets even on
+        hub-heavy graphs: on the skew18m power-law tier at 5 supersteps the
+        maintained histogram state measured 251s vs a 46-99s default range
+        — every vertex still pays the per-round fold + checkpoint of its
+        histogram before the geometric message collapse has had time to
+        amortize it."""
         self._incremental = flag
         return self
 

@@ -79,35 +79,41 @@ def decontamination_report(
     caller's policy dial.
 
     Production note: real decontamination uses longer n-grams (8-13); the
-    eval shingle set stays small either way, hence the broadcast join."""
+    eval shingle set stays small either way, hence the broadcast join.
+
+    Plan shape (single-pass): the train side is exploded ONCE — shingle
+    totals and eval collisions come from one broadcast LEFT join + one
+    aggregation over that stream, not separate totals/hits subplans that
+    would each re-explode the corpus. On the self-split path the eval
+    filter is applied to the *documents* before exploding, so the eval
+    side explodes ~1/eval_mod of the corpus instead of all of it (the
+    alternative — checkpointing the full exploded shingle stream and
+    reading it twice — writes a dataset larger than the corpus text
+    itself, a bad trade at 100 TB; two pruned scans of columnar input
+    are cheaper than one materialization of the explode)."""
     sh_expr = shingles(F.col(text_col), n)
     if eval_docs is not None:
-        train_sh = docs.select(
-            "doc_id", F.explode(sh_expr).alias("shingle")
-        )
-        eval_sh = (
-            eval_docs.select(F.explode(sh_expr).alias("shingle")).distinct()
-        )
+        train_docs = docs
+        eval_side = eval_docs
     else:
-        sh = docs.select("doc_id", F.explode(sh_expr).alias("shingle"))
         is_eval = (F.col("doc_id") % eval_mod) == 0
-        eval_sh = sh.filter(is_eval).select("shingle").distinct()
-        train_sh = sh.filter(~is_eval)
-    totals = train_sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
-    hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_collisions"))
-    )
-    n_coll = F.coalesce(F.col("n_collisions"), F.lit(0))
-    return (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            n_coll.alias("n_collisions"),
-            (n_coll > 0).alias("contaminated"),
+        train_docs = docs.filter(~is_eval)
+        eval_side = docs.filter(is_eval)
+    train_sh = train_docs.select("doc_id", F.explode(sh_expr).alias("shingle"))
+    eval_sh = eval_side.select(F.explode(sh_expr).alias("shingle")).distinct()
+    hit = F.count(F.col("__eval_hit")).alias("n_collisions")
+    out = (
+        train_sh.join(
+            F.broadcast(eval_sh.select("shingle", F.lit(1).alias("__eval_hit"))),
+            "shingle",
+            "left",
         )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), hit)
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_collisions",
+        (F.col("n_collisions") > 0).alias("contaminated"),
     )

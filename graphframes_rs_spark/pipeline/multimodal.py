@@ -648,11 +648,14 @@ def frame_sample_from_payload(
     """:func:`frame_sample_plan` driven by the container itself: duration is
     parsed from the MP4 payload (:func:`video_durations`), not read from a
     trusted meta column, so the plan is runnable on raw ingested video rows.
-    Corrupt containers and unknown-duration files are excluded (NULL
-    duration never reaches ``F.sequence``). [media_id, frame_ts_ms]"""
+    Corrupt containers, unknown-duration files (NULL must never reach
+    ``F.sequence``) and mvhd duration 0 (fragmented MP4s report 0 there —
+    the real duration lives in the fragments, which this container-level
+    parser deliberately doesn't walk) are all excluded.
+    [media_id, frame_ts_ms]"""
     durs = video_durations(media, payload_col=payload_col)
     return (
-        durs.filter((F.col("format") == "mp4") & F.col("duration_ms").isNotNull())
+        durs.filter((F.col("format") == "mp4") & (F.col("duration_ms") > 0))
         .select(
             "media_id",
             F.explode(

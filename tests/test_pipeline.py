@@ -388,3 +388,30 @@ def test_duplicate_clusters_transitivity(spark, tmp_path):
     assert out[10]["cluster"] == out[11]["cluster"] == out[12]["cluster"] == 10
     assert out[10]["is_canonical"] and not out[11]["is_canonical"]
     assert out[13]["cluster"] == 13 and out[13]["is_canonical"]
+
+
+def test_decontamination_single_pass_plan(spark):
+    """The self-split path must explode the corpus once per side — exactly
+    two Generate nodes (train + eval-subset), totals and collisions fused
+    into ONE aggregation over a broadcast left join, never separate
+    totals/hits subplans that each re-explode the corpus."""
+    from graphframes_rs_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta common words") for i in range(300)],
+        "doc_id long, text string",
+    )
+    out = curation.decontamination_report(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 0 not in got                       # eval split excluded from output
+    assert len(got) == 297                    # 300 - eval docs 0,100,200
+    # every train doc shares "alpha beta gamma" etc. with the eval docs
+    assert all(r["contaminated"] for r in got.values())
+    # n_shingles: 7 tokens -> 5 distinct 3-gram shingles per doc
+    assert got[1]["n_shingles"] == 5
+    # only the tok{i}-prefixed first shingle is unique to each doc
+    assert got[1]["n_collisions"] == 4
