@@ -536,6 +536,18 @@ def _q_decontaminate(spark, sf_dir):
     return curation.decontamination_report(docs)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style clusters: WCC over the embedding-cosine near-dup
+    pair graph (blocked-BLAS candidates + exact SQL rescore). Oracle:
+    brute-force cosine pairs + recursive-CTE closure, min-member labels."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.semantic_dedup_clusters(
+        emb, threshold=NEARDUP_COS_T, checkpoint_dir=_ckpt()
+    )
+
+
 def _q_decontaminate_eval(spark, sf_dir):
     """The production decontamination path: an EXPLICIT eval/benchmark set
     (here doc_id % 50 == 1) checked against the full corpus — eval docs
@@ -600,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         "decontaminate": _q_decontaminate,
         "decontaminate_eval": _q_decontaminate_eval,
         "decontaminate_prod": _q_decontaminate_prod,
@@ -1047,6 +1060,20 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(h.n_collisions, 0) AS n_collisions, "
             "COALESCE(h.n_collisions, 0) > 0 AS contaminated "
             "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "semantic_dedup": (
+            # WCC closure over the exact cosine pair graph, min-member labels
+            "WITH RECURSIVE "
+            "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine "
+            "FROM e a JOIN e b ON a.id < b.id), "
+            f"pairs AS MATERIALIZED (SELECT id_a, id_b FROM s WHERE cosine >= {NEARDUP_COS_T}), "
+            "ue AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "reach AS (SELECT vec_id AS x, vec_id AS y FROM embeddings "
+            "UNION SELECT r.x, ed.v FROM reach r JOIN ue ed ON r.y = ed.u) "
+            "SELECT x AS vec_id, min(y) AS cluster, x = min(y) AS is_canonical "
+            "FROM reach GROUP BY x"
         ),
         "decontaminate_eval": (
             f"WITH sh AS MATERIALIZED ({_SHINGLES_SQL}), "

@@ -392,3 +392,47 @@ def duplicate_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def semantic_dedup_clusters(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_blocks: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[vec_id, cluster, is_canonical]: SEMANTIC duplicate clusters — the
+    embedding-space twin of :func:`duplicate_clusters` (SemDeDup-style:
+    Abbas et al. 2023 deduplicate by embedding proximity, not text
+    overlap, catching paraphrases and re-encodings that share no
+    shingles). Connected components over the cosine near-dup pair graph
+    (:func:`embedding_near_duplicates`: blocked-BLAS candidates, exact SQL
+    rescore), labelled with each component's minimum member id — the
+    canonical survivor; everything else in the cluster is droppable.
+
+    Scale design: identical to ``duplicate_clusters`` — only near-dup
+    PAIRS (tiny relative to the corpus) enter the WCC iteration, never the
+    embeddings themselves; transitivity comes from components, not pairs,
+    so chains A~B~C collapse into one cluster even when cos(A, C) is
+    below the threshold."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    pairs = embedding_near_duplicates(
+        embeddings,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_blocks=n_blocks,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    vertices = embeddings.select(F.col(id_col).alias("id"))
+    builder = GraphFrame(vertices, edges).connected_components()
+    if checkpoint_dir is not None:
+        builder = builder.set_checkpoint_dir(checkpoint_dir)
+    comp = builder.run()
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -415,3 +415,27 @@ def test_decontamination_single_pass_plan(spark):
     assert got[1]["n_shingles"] == 5
     # only the tok{i}-prefixed first shingle is unique to each doc
     assert got[1]["n_collisions"] == 4
+
+
+def test_semantic_dedup_clusters_transitivity(spark, tmp_path):
+    """Embedding-space twin of duplicate_clusters: cos(A,B) and cos(B,C)
+    above threshold but cos(A,C) below must still land in ONE cluster,
+    with the min vec_id canonical; a far vector stays its own cluster."""
+    import math
+
+    from graphframes_rs_spark.pipeline import dedup
+
+    th = math.radians(16)  # cos 16deg ~ 0.961 > 0.95; cos 32deg ~ 0.848 < 0.95
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [math.cos(th), math.sin(th)]),
+        (3, [math.cos(2 * th), math.sin(2 * th)]),
+        (9, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in dedup.semantic_dedup_clusters(
+        emb, threshold=0.95, n_blocks=1, checkpoint_dir=str(tmp_path / "ck")
+    ).collect()}
+    assert got[1]["cluster"] == got[2]["cluster"] == got[3]["cluster"] == 1
+    assert got[1]["is_canonical"] and not got[2]["is_canonical"]
+    assert got[9]["cluster"] == 9 and got[9]["is_canonical"]
