@@ -246,6 +246,13 @@ def _q_doc_quality(spark, sf_dir):
     )
 
 
+def _q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filters as a narrow no-shuffle projection;
+    the oracle recomputes the bigram histogram via explode+groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.repetition_stats(docs)
+
+
 def _q_doc_lang(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", txt.language_id(F.col("text")).alias("lang_pred"))
@@ -598,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
+        "doc_repetition": _q_doc_repetition,
         "doc_lang": _q_doc_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_normalize": _q_doc_normalize,
@@ -957,6 +965,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, round({alpha}, 6) AS alpha_ratio, "
             f"round({stop_ratio}, 6) AS stopword_ratio, {quality} AS quality "
             "FROM documents"
+        ),
+        "doc_repetition": (
+            "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), "
+            "base AS (SELECT doc_id, len(t) AS n, "
+            "round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dr, "
+            "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg "
+            "FROM tk), "
+            "bgx AS (SELECT doc_id, unnest(bg) AS b FROM base), "
+            "cnt AS (SELECT doc_id, b, count(*) AS c FROM bgx GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, sum(c) AS total, max(c) AS top, "
+            "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS once FROM cnt GROUP BY 1) "
+            "SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, "
+            "b.dr AS distinct_token_ratio, "
+            "round(CAST(a.top AS DOUBLE) / a.total, 6) AS top_bigram_frac, "
+            "round(CAST(a.total - a.once AS DOUBLE) / a.total, 6) AS dup_bigram_frac "
+            "FROM base b JOIN agg a USING (doc_id)"
         ),
         "doc_lang": (
             f"WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents), "

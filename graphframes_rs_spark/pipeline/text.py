@@ -303,3 +303,60 @@ def pack_documents(
         F.floor((cum - F.col("n_tokens")) / F.lit(float(cap_tokens))).alias("bin"),
         "n_tokens",
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """[doc_id, n_tokens, distinct_token_ratio, top_bigram_frac,
+    dup_bigram_frac]: Gopher-style repetition quality filters (Rae et al.
+    2021 drop documents whose most frequent n-gram or duplicated n-gram
+    mass exceeds a threshold — boilerplate and spam are repetitive in
+    exactly this way).
+
+    * ``distinct_token_ratio`` — |distinct tokens| / |tokens|
+    * ``top_bigram_frac`` — occurrences of the most frequent bigram /
+      total bigram occurrences
+    * ``dup_bigram_frac`` — occurrences of bigrams appearing more than
+      once / total bigram occurrences
+
+    Scale design: all three are per-row higher-order-function expressions
+    over the token array — a NARROW projection that composes with the
+    scan, no explode, no shuffle, nothing leaves the row (the
+    explode+groupBy formulation would shuffle the corpus' entire bigram
+    stream to compute a per-doc scalar). The distinct-bigram counting
+    loop is O(d·b) per doc (d = distinct bigrams); for multi-MB documents
+    switch to the exploded form — for web-scale corpora of ordinary docs
+    this shape is strictly better. Ratios rounded to 6 for bit-exact
+    SQL-oracle parity; single-token docs have no bigrams => both bigram
+    fracs are 0.0."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    distinct_bg = F.array_distinct(bigrams)
+    counts = F.transform(
+        distinct_bg, lambda d: F.size(F.filter(bigrams, lambda x: x == d))
+    )
+    total_bg = F.size(bigrams)
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    once = F.size(F.filter(counts, lambda c: c == F.lit(1)))
+    safe_total = F.when(total_bg > 0, total_bg.cast("double"))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias(
+            "distinct_token_ratio"
+        ),
+        F.coalesce(F.round(top / safe_total, 6), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        F.coalesce(
+            F.round((total_bg - once) / safe_total, 6), F.lit(0.0)
+        ).alias("dup_bigram_frac"),
+    )

@@ -439,3 +439,28 @@ def test_semantic_dedup_clusters_transitivity(spark, tmp_path):
     assert got[1]["cluster"] == got[2]["cluster"] == got[3]["cluster"] == 1
     assert got[1]["is_canonical"] and not got[2]["is_canonical"]
     assert got[9]["cluster"] == 9 and got[9]["is_canonical"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Hand-computed Gopher repetition ratios + the no-shuffle contract."""
+    rows = [
+        (1, "a b a b a"),      # bigrams: ab ba ab ba -> top 2/4, dup 4/4
+        (2, "w x y z"),        # all bigrams unique -> top 1/3, dup 0
+        (3, "solo"),           # no bigrams
+        (4, "t t t t"),        # one distinct bigram tt x3 -> top 3/3 dup 3/3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 5
+    assert abs(got[1]["distinct_token_ratio"] - 2 / 5) < 1e-9
+    assert abs(got[1]["top_bigram_frac"] - 0.5) < 1e-9
+    assert abs(got[1]["dup_bigram_frac"] - 1.0) < 1e-9
+    assert abs(got[2]["top_bigram_frac"] - 1 / 3) < 1e-6
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_bigram_frac"] == 0.0
+    assert abs(got[4]["distinct_token_ratio"] - 0.25) < 1e-9
+    assert got[4]["top_bigram_frac"] == 1.0 and got[4]["dup_bigram_frac"] == 1.0
+    # narrow projection: composes with the scan, zero Exchange in the plan
+    plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
