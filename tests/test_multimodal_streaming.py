@@ -421,3 +421,68 @@ def test_video_durations_and_frame_sampling(spark):
     assert sorted(by_id) == [1, 2]          # corrupt/unknown/non-video excluded
     assert sorted(by_id[1]) == [0, 1000, 2000]
     assert sorted(by_id[2]) == [0, 1000]
+
+
+def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """Real readStream -> dropDuplicates -> memory sink: planted duplicate
+    payloads collapse to one row per content hash, and every surviving
+    hash matches the batch operator's canonical set."""
+    from graphframes_rs_spark.pipeline import dedup as batch_dedup
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    rows = [(i, f"doc body {i % 40}") for i in range(200)]  # 5x duplicated
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_micro")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = sdedup.streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_dedup").collect()
+    assert len(got) == 40
+    assert len({r["content_hash"] for r in got}) == 40
+    batch_hashes = {
+        r["content_hash"]
+        for r in batch_dedup.exact_duplicates(docs).collect()
+    }
+    assert {r["content_hash"] for r in got} == batch_hashes
+
+
+def test_streaming_exact_dedup_watermark_bounded(spark, tmp_path):
+    """The watermark-bounded variant keeps the plan a streaming dedup with
+    event-time state eviction (DeduplicateWithinWatermark), and still
+    collapses in-window duplicates."""
+    import datetime
+
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, f"body {i % 10}", base + datetime.timedelta(seconds=i))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    src = str(tmp_path / "docs_wm")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = sdedup.streaming_exact_dedup(stream, ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_dedup_wm").collect()
+    # all 50 rows land within the 10-minute window: exact collapse to 10
+    assert len(got) == 10
+    assert len({r["content_hash"] for r in got}) == 10
