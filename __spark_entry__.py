@@ -543,6 +543,15 @@ def _q_decontaminate(spark, sf_dir):
     return curation.decontamination_report(docs)
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """End-to-end curation verdict: one keep/drop decision per document
+    with the first failing stage as reason (eval holdout -> exact dup ->
+    quality -> repetition -> contamination -> mixture sampling).
+    Thresholds chosen to exercise multiple reasons on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.curate_corpus(docs, quality_min=0.82, top_bigram_max=0.06)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style clusters: WCC over the embedding-cosine near-dup
     pair graph (blocked-BLAS candidates + exact SQL rescore). Oracle:
@@ -620,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
+        "curate_corpus": _q_curate_corpus,
         "semantic_dedup": _q_semantic_dedup,
         "decontaminate": _q_decontaminate,
         "decontaminate_eval": _q_decontaminate_eval,
@@ -1084,6 +1094,50 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(h.n_collisions, 0) AS n_collisions, "
             "COALESCE(h.n_collisions, 0) > 0 AS contaminated "
             "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "curate_corpus": (
+            # every stage recomputed from its proven oracle fragment, then
+            # folded into the first-failing-reason CASE
+            f"WITH t AS (SELECT doc_id, {toks_lower} AS toks FROM documents), "
+            f"s AS (SELECT doc_id, {_lang_scores_sql()} FROM t), "
+            "m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM s), "
+            "lang AS (SELECT doc_id, CASE WHEN mx > 0 THEN ("
+            "CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en' "
+            "WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr' END) "
+            "ELSE 'und' END AS lang_pred FROM m), "
+            f"q AS (SELECT doc_id, {quality} AS quality FROM documents), "
+            "tk AS (SELECT doc_id, string_split(text, ' ') AS tkt FROM documents), "
+            "bgbase AS (SELECT doc_id, list_transform(range(1, len(tkt)), "
+            "i -> tkt[i] || ' ' || tkt[i+1]) AS bg FROM tk), "
+            "bgx AS (SELECT doc_id, unnest(bg) AS b FROM bgbase), "
+            "bcnt AS (SELECT doc_id, b, count(*) AS c FROM bgx GROUP BY 1, 2), "
+            "rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) "
+            "AS top_bigram_frac FROM bcnt GROUP BY 1), "
+            f"sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+            "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0), "
+            "hits AS (SELECT s2.doc_id, count(*) AS c FROM sh s2 "
+            "JOIN ev USING (shingle) WHERE s2.doc_id % 100 <> 0 GROUP BY 1), "
+            "dup AS (SELECT doc_id, doc_id <> min(doc_id) OVER "
+            "(PARTITION BY md5(text)) AS is_dup FROM documents), "
+            "verdict AS (SELECT d.doc_id, l.lang_pred, q.quality, "
+            "COALESCE(r.top_bigram_frac, 0.0) AS top_bigram_frac, "
+            "CASE WHEN d.doc_id % 100 = 0 THEN 'eval_holdout' "
+            "WHEN dup.is_dup THEN 'exact_dup' "
+            "WHEN q.quality < 0.82 THEN 'low_quality' "
+            "WHEN COALESCE(r.top_bigram_frac, 0.0) > 0.06 THEN 'repetitive' "
+            "WHEN COALESCE(h.c, 0) > 0 THEN 'contaminated' "
+            "WHEN NOT ("
+            + _HASH60.format(x="'42:' || l.lang_pred || ':' || d.doc_id")
+            + " % 1000000 < (CASE l.lang_pred WHEN 'en' THEN 0.5 "
+            "WHEN 'und' THEN 0.1 ELSE 0.25 END) * 1000000.0) THEN 'sampled_out' "
+            "ELSE 'kept' END AS reason "
+            "FROM documents d JOIN lang l ON d.doc_id = l.doc_id "
+            "JOIN q ON d.doc_id = q.doc_id "
+            "LEFT JOIN rep r ON d.doc_id = r.doc_id "
+            "JOIN dup ON d.doc_id = dup.doc_id "
+            "LEFT JOIN hits h ON d.doc_id = h.doc_id) "
+            "SELECT doc_id, lang_pred, quality, top_bigram_frac, reason, "
+            "reason = 'kept' AS keep FROM verdict"
         ),
         "semantic_dedup": (
             # WCC closure over the exact cosine pair graph, min-member labels

@@ -24,6 +24,32 @@ from graphframes_rs_spark.pipeline.dedup import shingles
 from graphframes_rs_spark.pipeline.text import hash60
 
 
+def sample_keep_expr(
+    strata_col: str,
+    fractions: Dict[str, float],
+    default_fraction: float = 0.0,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    resolution: int = 1_000_000,
+):
+    """The boolean keep-predicate column behind :func:`stratified_sample`,
+    exposed so wider curation projections can inline the sampling verdict
+    instead of filtering (same hash rule, same determinism guarantees)."""
+    frac = F.lit(float(default_fraction))
+    for k in sorted(fractions):
+        frac = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(float(fractions[k]))
+        ).otherwise(frac)
+    key = F.concat_ws(
+        ":",
+        F.lit(str(seed)),
+        F.col(strata_col).cast("string"),
+        F.col(key_col).cast("string"),
+    )
+    bucket = F.pmod(hash60(key), F.lit(resolution))
+    return bucket < frac * F.lit(float(resolution))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -43,19 +69,11 @@ def stratified_sample(
     growing corpus, and (c) a pure narrow filter: no shuffle, no RNG state,
     pushes down with the scan. Unknown strata fall back to
     ``default_fraction``."""
-    frac = F.lit(float(default_fraction))
-    for k in sorted(fractions):
-        frac = F.when(
-            F.col(strata_col) == F.lit(k), F.lit(float(fractions[k]))
-        ).otherwise(frac)
-    key = F.concat_ws(
-        ":",
-        F.lit(str(seed)),
-        F.col(strata_col).cast("string"),
-        F.col(key_col).cast("string"),
+    return df.filter(
+        sample_keep_expr(
+            strata_col, fractions, default_fraction, key_col, seed, resolution
+        )
     )
-    bucket = F.pmod(hash60(key), F.lit(resolution))
-    return df.filter(bucket < frac * F.lit(float(resolution)))
 
 
 def decontamination_report(
@@ -116,4 +134,81 @@ def decontamination_report(
         "n_shingles",
         "n_collisions",
         (F.col("n_collisions") > 0).alias("contaminated"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    quality_min: float = 0.4,
+    top_bigram_max: float = 0.15,
+    eval_mod: int = 100,
+    decontam_n: int = 3,
+    fractions: Optional[Dict[str, float]] = None,
+    default_fraction: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """[doc_id, lang_pred, quality, top_bigram_frac, reason, keep]: the
+    END-TO-END curation verdict — every document gets one keep/drop
+    decision and the FIRST failing stage as its reason, in the order a
+    production pass applies them:
+
+    ``eval_holdout`` (the carved-out benchmark split itself) →
+    ``exact_dup`` (non-canonical identical copies) → ``low_quality``
+    (quality_score < quality_min) → ``repetitive`` (Gopher top-bigram
+    filter) → ``contaminated`` (shares an n-gram with the eval split) →
+    ``sampled_out`` (lost the deterministic mixture draw) → ``kept``.
+
+    Plan shape at scale: the narrow per-row features (language id, quality
+    score, repetition fraction, sampling hash) are computed INLINE in one
+    projection — they never shuffle. Only the two stages that genuinely
+    need corpus-global state shuffle at all: exact-dup (one groupBy on the
+    content hash) and decontamination (one broadcast join against the eval
+    shingle set + one aggregation), and both join back on doc_id. Every
+    verdict is deterministic (hash-based sampling, min-id canonicals), so
+    re-runs over re-partitioned data keep identical decisions — the
+    property that makes incremental corpus refreshes auditable."""
+    from graphframes_rs_spark.pipeline.dedup import exact_duplicates
+    from graphframes_rs_spark.pipeline.text import (
+        language_id,
+        quality_score,
+        top_bigram_frac,
+    )
+
+    fractions = {"en": 0.5, "und": 0.1} if fractions is None else fractions
+    c = F.col(text_col)
+    narrow = docs.select(
+        "doc_id",
+        language_id(c).alias("lang_pred"),
+        quality_score(c).alias("quality"),
+        top_bigram_frac(c).alias("top_bigram_frac"),
+    )
+    dups = exact_duplicates(docs, text_col=text_col).select(
+        "doc_id", "is_duplicate"
+    )
+    decon = decontamination_report(
+        docs, text_col=text_col, n=decontam_n, eval_mod=eval_mod
+    ).select("doc_id", "contaminated")
+    joined = narrow.join(dups, "doc_id").join(decon, "doc_id", "left")
+    reason = (
+        F.when((F.col("doc_id") % eval_mod) == 0, "eval_holdout")
+        .when(F.col("is_duplicate"), "exact_dup")
+        .when(F.col("quality") < quality_min, "low_quality")
+        .when(F.col("top_bigram_frac") > top_bigram_max, "repetitive")
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")
+        .when(
+            ~sample_keep_expr(
+                "lang_pred", fractions, default_fraction, "doc_id", seed
+            ),
+            "sampled_out",
+        )
+        .otherwise("kept")
+    )
+    return joined.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "top_bigram_frac",
+        reason.alias("reason"),
+        (reason == F.lit("kept")).alias("keep"),
     )

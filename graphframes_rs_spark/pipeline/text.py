@@ -305,6 +305,40 @@ def pack_documents(
     )
 
 
+def _bigram_count_exprs(col: Column):
+    """(total_bigrams, top_count, once_count) column triple over the token
+    bigrams of ``col`` — the shared per-row core of the repetition filters
+    (everything stays inside one row; no explode, no shuffle)."""
+    toks_ = tokens(col)
+    n = F.size(toks_)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks_, i), F.element_at(toks_, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = F.transform(
+        F.array_distinct(bigrams),
+        lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+    )
+    total_bg = F.size(bigrams)
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    once = F.size(F.filter(counts, lambda c: c == F.lit(1)))
+    return total_bg, top, once
+
+
+def top_bigram_frac(col: Column) -> Column:
+    """Most-frequent-bigram occurrence fraction (0.0 for < 2 tokens),
+    rounded to 6 — the single-metric form of :func:`repetition_stats` for
+    inlining into wider curation projections."""
+    total_bg, top, _ = _bigram_count_exprs(col)
+    safe_total = F.when(total_bg > 0, total_bg.cast("double"))
+    return F.coalesce(F.round(top / safe_total, 6), F.lit(0.0))
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """[doc_id, n_tokens, distinct_token_ratio, top_bigram_frac,
     dup_bigram_frac]: Gopher-style repetition quality filters (Rae et al.
@@ -330,22 +364,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fracs are 0.0."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    distinct_bg = F.array_distinct(bigrams)
-    counts = F.transform(
-        distinct_bg, lambda d: F.size(F.filter(bigrams, lambda x: x == d))
-    )
-    total_bg = F.size(bigrams)
-    top = F.coalesce(F.array_max(counts), F.lit(0))
-    once = F.size(F.filter(counts, lambda c: c == F.lit(1)))
+    total_bg, top, once = _bigram_count_exprs(F.col(text_col))
     safe_total = F.when(total_bg > 0, total_bg.cast("double"))
     return docs.select(
         "doc_id",

@@ -464,3 +464,58 @@ def test_repetition_stats_hand_computed(spark):
     # narrow projection: composes with the scan, zero Exchange in the plan
     plan = text.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_curate_corpus_all_reasons(spark):
+    """Planted corpus exercising every verdict reason, in precedence order."""
+    from graphframes_rs_spark.pipeline import curation
+
+    good1 = ("the quick brown fox jumps over the lazy dog and then walks "
+             "back home with friends for dinner tonight")
+    dup_text = ("a calm evening by the river where the children play games "
+                "and the elders talk for hours together")
+    rows = [
+        # eval holdout: entirely disjoint vocabulary from the train docs
+        (100, "benchmark eval question alpha beta gamma delta secret answer"),
+        (1, good1),                                        # kept
+        (3, dup_text), (4, dup_text),                      # 4 = exact copy of 3
+        (5, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10"),   # low quality
+        (6, "the cat the cat the cat the cat the cat and a dog is here now"),
+        # contaminated: embeds the eval trigram "alpha beta gamma" verbatim
+        (7, "we should not leak alpha beta gamma into the training data here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in curation.curate_corpus(
+        docs, quality_min=0.5, top_bigram_max=0.25,
+        fractions={"en": 1.0}, default_fraction=1.0,
+    ).collect()}
+    assert got[100]["reason"] == "eval_holdout" and not got[100]["keep"]
+    assert got[4]["reason"] == "exact_dup"      # 3 is canonical, 4 is the copy
+    assert got[3]["reason"] != "exact_dup"
+    assert got[5]["reason"] == "low_quality"
+    assert got[6]["reason"] == "repetitive"
+    assert got[7]["reason"] == "contaminated"
+    assert got[1]["reason"] == "kept" and got[1]["keep"]
+    # determinism across repartitioning
+    again = {r["doc_id"]: r["reason"] for r in curation.curate_corpus(
+        docs.repartition(5), quality_min=0.5, top_bigram_max=0.25,
+        fractions={"en": 1.0}, default_fraction=1.0,
+    ).collect()}
+    assert again == {k: v["reason"] for k, v in got.items()}
+
+
+def test_curate_corpus_sampled_out_reason(spark):
+    """fraction 0.0 for a stratum forces the sampling stage to be the
+    first (and only) failure for otherwise-clean docs."""
+    from graphframes_rs_spark.pipeline import curation
+
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "back home with friends for dinner tonight doc number ")
+    docs = spark.createDataFrame(
+        [(i, good + str(i)) for i in range(1, 30)], "doc_id long, text string"
+    )
+    got = curation.curate_corpus(
+        docs, quality_min=0.0, top_bigram_max=1.0,
+        fractions={"en": 0.0}, default_fraction=0.0,
+    ).collect()
+    assert all(r["reason"] == "sampled_out" and not r["keep"] for r in got)
