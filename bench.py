@@ -187,6 +187,9 @@ BENCH_QUERIES = {
     "ann_ivf": _bench_ann_ivf,
     "simhash_neardups": entry.queries()["simhash_neardups"],
     "image_features": entry.queries()["image_features"],
+    "doc_repetition": entry.queries()["doc_repetition"],
+    "semantic_dedup": entry.queries()["semantic_dedup"],
+    "curate_corpus": entry.queries()["curate_corpus"],
     "events_hourly": entry.queries()["events_hourly"],
     "sessions": entry.queries()["sessions"],
     # scale proof tiers (deterministic generated graphs; see SCALE_TIERS)
