@@ -125,6 +125,58 @@ def _scale_graph(spark, tier):
     return GraphFrame(spark.read.parquet(v_path), spark.read.parquet(e_path))
 
 
+# Pipeline scale tier: a deterministic 200k-doc synthetic corpus (40x the
+# sf0.1 documents table) with planted near-duplicate groups — docs
+# 10g, 10g+8, 10g+9 share a 50-word body (the +8/+9 variants append one
+# extra token, ~0.96 shingle-Jaccard), everything else is hash-unique.
+# The dedup composition (minhash -> banded LSH -> exact-Jaccard rescore ->
+# WCC clusters) must recover exactly those triples at corpus scale.
+SCALE_DOCS = {"n_docs": 200_000, "words": 50, "vocab": 200}
+_scale_docs_path = []
+
+
+def _prepare_scale_docs(spark):
+    if _scale_docs_path:
+        return
+    dims = SCALE_DOCS
+    base = tempfile.mkdtemp(prefix="gf_scale_docs_")
+    vocab = F.array(*[F.lit(f"w{i:03d}") for i in range(dims["vocab"])])
+    content_id = F.when(
+        F.col("id") % 10 >= 8, F.col("id") - (F.col("id") % 10)
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(dims["words"])),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(content_id, i), F.lit(dims["vocab"])) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    text = F.when(
+        F.col("id") % 10 >= 8,
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", words),
+            F.concat(F.lit("extra"), (F.col("id") % 10).cast("string")),
+        ),
+    ).otherwise(F.concat_ws(" ", words))
+    spark.range(dims["n_docs"]).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    ).write.mode("overwrite").parquet(base + "/documents")
+    _scale_docs_path.append(base + "/documents")
+
+
+def _bench_scale_dedup(spark, sf_dir):
+    from graphframes_rs_spark.pipeline import dedup
+
+    _prepare_scale_docs(spark)
+    docs = spark.read.parquet(_scale_docs_path[0])
+    return dedup.duplicate_clusters(
+        docs, threshold=0.5, checkpoint_dir=tempfile.mkdtemp()
+    )
+
+
 def _bench_scale_wcc(tier):
     def run(spark, sf_dir):
         g = _scale_graph(spark, tier)
@@ -208,6 +260,10 @@ BENCH_QUERIES = {
     "scale_pagerank_skew18m": _bench_scale_pagerank("skew18m"),
     "scale_kcore_skew18m": _bench_scale_kcore("skew18m"),
     "scale_kcore_skew18m_cc": _bench_scale_kcore("skew18m", count_compression=True),
+    # pipeline scale proof: full dedup composition at 40x the sf0.1 corpus
+    # (minhash -> LSH -> exact rescore -> WCC clusters; recovers the
+    # planted 20k near-dup triples exactly — see SCALE_DOCS)
+    "scale_dedup_200k": _bench_scale_dedup,
 }
 
 
@@ -236,6 +292,7 @@ def main():
     warm.count()
     for tier in SCALE_TIERS:  # untimed: input generation is not the query
         _prepare_scale_graph(spark, tier)
+    _prepare_scale_docs(spark)  # untimed, same reason
 
     # The iterative graph algorithms run many short jobs and are the most
     # sensitive to JVM/GC state (observed ±40% across identical runs, and
