@@ -35,6 +35,7 @@ from graphframes_rs_spark.sources.graphs import (
     named_hierarchy_graph,
     weighted_hierarchy_graph,
 )
+from graphframes_rs_spark.graphframe import GraphFrame
 from graphframes_rs_spark.sources.tables import load_table
 from graphframes_rs_spark.streaming import events as ev
 
@@ -121,6 +122,26 @@ def _q_out_degrees(spark, sf_dir):
 
 def _q_degrees(spark, sf_dir):
     return lineitem_graph(spark, sf_dir).degrees
+
+
+def _q_aggregate_messages(spark, sf_dir):
+    """One-shot neighbourhood aggregation (GraphFrames aggregateMessages
+    parity): each vertex carries val = id % 97; every edge sends the
+    source's val to the destination and the destination's val to the
+    source; each vertex sums what it received. Oracle: both-direction
+    union + groupBy over the same edge set."""
+    from graphframes_rs_spark.pregel import Pregel
+
+    g = lineitem_graph(spark, sf_dir)
+    val = g.vertices.select(
+        "id", (F.col("id") % 97).cast("long").alias("val")
+    )
+    gv = GraphFrame(val, g.edges)
+    return gv.aggregate_messages(
+        F.sum(Pregel.msg()).alias("nbr_val_sum"),
+        send_to_src=Pregel.dst("val"),
+        send_to_dst=Pregel.src("val"),
+    ).select("id", F.col("agg").alias("nbr_val_sum"))
 
 
 def _q_symmetrize(spark, sf_dir):
@@ -601,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": _q_out_degrees,
         "degrees": _q_degrees,
         "symmetrize": _q_symmetrize,
+        "aggregate_messages": _q_aggregate_messages,
         "triplets": _q_triplets,
         "connected_components": _q_connected_components,
         "shortest_paths": _q_shortest_paths,
@@ -854,6 +876,13 @@ def oracle_sql() -> dict[str, str]:
         "in_degrees": (
             f"SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_degree "
             f"FROM ({_EDGES_BIG_SQL}) GROUP BY dst"
+        ),
+        "aggregate_messages": (
+            f"WITH e AS ({_EDGES_BIG_SQL}), "
+            "m AS (SELECT src AS id, dst % 97 AS v FROM e "
+            "UNION ALL SELECT dst AS id, src % 97 AS v FROM e) "
+            "SELECT id, CAST(sum(v) AS BIGINT) AS nbr_val_sum "
+            "FROM m GROUP BY id"
         ),
         "out_degrees": (
             f"SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree "

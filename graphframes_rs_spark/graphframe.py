@@ -155,6 +155,73 @@ class GraphFrame:
             .select("src_vertex", "edge", "dst_vertex")
         )
 
+    def aggregate_messages(
+        self,
+        agg_expr,
+        send_to_src=None,
+        send_to_dst=None,
+    ) -> DataFrame:
+        """One-shot neighbourhood aggregation — the public face of a single
+        Pregel superstep (API parity with GraphFrames' aggregateMessages;
+        the reference exposes the same capability only through its full
+        ``pregel()`` loop, src/algorithm/pregel.rs:103-224).
+
+        ``send_to_src`` / ``send_to_dst`` are message expressions over the
+        triplet namespace — build them with the same helpers Pregel uses:
+        ``Pregel.src("attr")`` (source-vertex state), ``Pregel.dst("attr")``
+        (destination-vertex state), ``Pregel.edge("attr")`` (edge
+        attribute). ``agg_expr`` is an aggregate over ``Pregel.msg()``,
+        applied per recipient. Returns DataFrame[id, agg].
+
+        Plan shape: one projection per declared direction over the triplet
+        join, unioned, then a single combine-enabled groupBy(id) — the
+        exact dataflow of a Pregel superstep minus the state update and
+        checkpoint, so everything said about superstep scaling (shuffle on
+        vertex id, map-side partial aggregation) applies unchanged."""
+        from graphframes_rs_spark.pregel import (
+            _DST_PREFIX,
+            _EDGE_PREFIX,
+            _MSG_PREFIX,
+            _SRC_PREFIX,
+            DEFAULT_MSG,
+        )
+
+        if send_to_src is None and send_to_dst is None:
+            raise GraphFrameError(
+                "at least one of send_to_src / send_to_dst is required"
+            )
+        v, e = self._vertices, self._edges
+        src_state = v.select(
+            F.col(ID).alias("__am_src_id"),
+            *[F.col(c).alias(_SRC_PREFIX + c) for c in v.columns],
+        )
+        dst_state = v.select(
+            F.col(ID).alias("__am_dst_id"),
+            *[F.col(c).alias(_DST_PREFIX + c) for c in v.columns],
+        )
+        edges = e.select(
+            F.col(SRC),
+            F.col(DST),
+            *[
+                F.col(c).alias(_EDGE_PREFIX + c)
+                for c in e.columns
+                if c not in (SRC, DST)
+            ],
+        )
+        trip = edges.join(
+            src_state, F.col(SRC) == F.col("__am_src_id")
+        ).join(dst_state, F.col(DST) == F.col("__am_dst_id"))
+        msg = _MSG_PREFIX + DEFAULT_MSG
+        frames = []
+        if send_to_src is not None:
+            frames.append(trip.select(F.col(SRC).alias(ID), send_to_src.alias(msg)))
+        if send_to_dst is not None:
+            frames.append(trip.select(F.col(DST).alias(ID), send_to_dst.alias(msg)))
+        allm = frames[0]
+        for fr in frames[1:]:
+            allm = allm.unionByName(fr)
+        return allm.groupBy(ID).agg(agg_expr.alias("agg"))
+
     # -- algorithm builders --------------------------------------------------
     def pregel(self) -> "PregelBuilder":
         from graphframes_rs_spark.pregel import PregelBuilder

@@ -107,3 +107,38 @@ def test_triplets_missing_vertex_is_null_struct(spark):
     assert len(t) == 1
     assert t[0]["dst_vertex"] is None
     assert t[0]["src_vertex"]["name"] == "a"
+
+
+def test_aggregate_messages_both_directions(spark):
+    """One-shot neighbourhood aggregation: each vertex sums the vals of
+    all neighbours (in + out), hand-checked on a 4-vertex path + attr."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.graphframe import GraphFrame, GraphFrameError
+    from graphframes_rs_spark.pregel import Pregel
+
+    v = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, val long"
+    )
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    g = GraphFrame(v, e)
+    got = {r["id"]: r["agg"] for r in g.aggregate_messages(
+        F.sum(Pregel.msg()),
+        send_to_src=Pregel.dst("val"),
+        send_to_dst=Pregel.src("val"),
+    ).collect()}
+    assert got == {1: 20, 2: 40, 3: 60, 4: 30}
+
+    # single direction: only dst receives, edge attrs usable in messages
+    ew = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 7)], "src long, dst long, w long"
+    )
+    gw = GraphFrame(v, ew)
+    got_w = {r["id"]: r["agg"] for r in gw.aggregate_messages(
+        F.sum(Pregel.msg()),
+        send_to_dst=Pregel.src("val") * Pregel.edge("w"),
+    ).collect()}
+    assert got_w == {2: 50, 3: 140}
+
+    with pytest.raises(GraphFrameError, match="at least one"):
+        g.aggregate_messages(F.sum(Pregel.msg()))
