@@ -178,6 +178,22 @@ def _q_pagerank_dag(spark, sf_dir):
     return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank from a single customer on the 3-level DAG:
+    teleport mass seeds only at customer 1, flows to its nation then its
+    region, zero everywhere else. Oracle: the closed form of the
+    3-iteration delta chain, normalized."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    pr = (
+        g.page_rank()
+        .personalized([1001])
+        .max_iterations(3)
+        .with_tol(0.0)
+        .set_checkpoint_dir(_ckpt())
+    )
+    return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def _q_kcore_forest(spark, sf_dir):
     g = customer_hierarchy_graph(spark, sf_dir)
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
@@ -627,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "shortest_paths": _q_shortest_paths,
         "pagerank_dag": _q_pagerank_dag,
+        "pagerank_personalized": _q_pagerank_personalized,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "wcc_big": _q_wcc_big,
@@ -937,6 +954,25 @@ def oracle_sql() -> dict[str, str]:
             "  FROM region JOIN np ON np.n_regionkey = r_regionkey GROUP BY r_regionkey), "
             "raw AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, 0.15 AS pr FROM customer "
             "  UNION ALL SELECT id, pr FROM np UNION ALL SELECT id, pr FROM rp), "
+            "tot AS (SELECT sum(pr) AS s FROM raw) "
+            "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "pagerank_personalized": (
+            # closed form: delta_0 = 0.15 at customer 1001, delta_1 =
+            # 0.85*0.15 at its nation, delta_2 = 0.85^2*0.15 at that
+            # nation's region (out-degrees are all 1 on the path), 0 else
+            "WITH c1 AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS cid, "
+            "CAST(c_nationkey + 100 AS BIGINT) AS nid FROM customer "
+            "WHERE c_custkey = 1), "
+            "n1 AS (SELECT CAST(n_nationkey + 100 AS BIGINT) AS nid, "
+            "CAST(n_regionkey + 50 AS BIGINT) AS rid FROM nation), "
+            "special AS (SELECT cid AS id, 0.15 AS pr FROM c1 "
+            "UNION ALL SELECT nid, 0.85 * 0.15 FROM c1 "
+            "UNION ALL SELECT n1.rid, 0.85 * 0.85 * 0.15 FROM c1 "
+            "JOIN n1 ON c1.nid = n1.nid), "
+            f"verts AS ({_VERTS_SMALL_SQL}), "
+            "raw AS (SELECT v.id, COALESCE(s.pr, 0.0) AS pr FROM verts v "
+            "LEFT JOIN special s ON v.id = s.id), "
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
         ),

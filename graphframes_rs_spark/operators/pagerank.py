@@ -34,10 +34,25 @@ class PageRankBuilder:
         self.tol = 0.01
         self.max_iter = 0  # 0 => run to convergence via voting
         self._checkpoint_dir = None
+        self._sources = None
         self.iterations_ = 0
 
     def with_reset_prob(self, p: float) -> "PageRankBuilder":
         self.reset_prob = p
+        return self
+
+    def personalized(self, source_ids) -> "PageRankBuilder":
+        """Personalized PageRank: the teleport/reset mass lands only on the
+        given source vertices instead of uniformly — ranks become proximity
+        to the source set (GraphX ``personalizedPageRank`` semantics). In
+        the delta formulation this is purely a seed change: delta_0 =
+        reset_prob on sources and 0 elsewhere; the iteration and its
+        Neumann-series fixpoint are otherwise identical, so every plan
+        property of the uniform operator (participation pruning, bucketed
+        superstep join) carries over. Ranks still normalize to sum 1; if no
+        source id exists in the graph the total mass is 0 and ranks are
+        NULL — validate inputs upstream."""
+        self._sources = [int(s) for s in source_ids]
         return self
 
     def with_tol(self, tol: float) -> "PageRankBuilder":
@@ -85,10 +100,16 @@ class PageRankBuilder:
         prep = GraphFrame(vertices, edges)
 
         new_delta = F.lit(alpha) * F.coalesce(Pregel.msg(), F.lit(0.0))
+        if self._sources is None:
+            seed = F.lit(self.reset_prob)
+        else:  # personalized: teleport mass only on the source set
+            seed = F.when(
+                F.col(ID).isin(self._sources), F.lit(self.reset_prob)
+            ).otherwise(F.lit(0.0))
         builder = (
             prep.pregel()
-            .add_vertex_column(PAGERANK, F.lit(self.reset_prob), F.col(PAGERANK) + new_delta)
-            .add_vertex_column(PAGERANK_DELTA, F.lit(self.reset_prob), new_delta)
+            .add_vertex_column(PAGERANK, seed, F.col(PAGERANK) + new_delta)
+            .add_vertex_column(PAGERANK_DELTA, seed, new_delta)
             .add_vertex_column("out_degree", F.col("out_degree"), F.col("out_degree"))
             .add_message(
                 Pregel.src(PAGERANK_DELTA) / Pregel.src("out_degree"),

@@ -64,3 +64,31 @@ def test_pagerank_golden_convergence_mode(spark, ckpt_dir):
     joined = result.join(expected, result["id"] == expected["vertex_id"]).collect()
     max_err = max(abs(r["pagerank"] - r["expected"]) for r in joined)
     assert max_err <= 0.01, f"max abs error {max_err}"
+
+
+def test_personalized_pagerank_hand_checked(spark, ckpt_dir):
+    """Personalized PR on a 4-vertex path 1->2->3->4 from source 1: the
+    delta chain gives 0.15, 0.85*0.15, 0.85^2*0.15, 0.85^3*0.15 before
+    normalization; vertices unreachable from the source rank 0."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from pyspark.sql import functions as F
+
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    # vertex 5 is isolated: unreachable, must rank 0 under personalization
+    g = GraphFrame(v, e)
+    got = {r["id"]: r["pagerank"] for r in (
+        g.page_rank().personalized([1]).max_iterations(5).with_tol(0.0)
+        .set_checkpoint_dir(str(ckpt_dir) + "/ppr").run().collect()
+    )}
+    raw = [0.15, 0.85 * 0.15, 0.85**2 * 0.15, 0.85**3 * 0.15]
+    s = sum(raw)
+    for vid, expect in zip((1, 2, 3, 4), raw):
+        assert abs(got[vid] - expect / s) < 1e-9, (vid, got[vid])
+    assert got[5] == 0.0
+    # uniform run on the same graph ranks vertex 5 > 0 (sanity contrast)
+    uni = {r["id"]: r["pagerank"] for r in (
+        g.page_rank().max_iterations(5).with_tol(0.0)
+        .set_checkpoint_dir(str(ckpt_dir) + "/uni").run().collect()
+    )}
+    assert uni[5] > 0.0
