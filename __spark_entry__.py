@@ -178,6 +178,21 @@ def _q_pagerank_dag(spark, sf_dir):
     return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _q_motif_triangles(spark, sf_dir):
+    """Motif finding (GraphFrames find parity): directed-triangle pattern
+    on the order->supplier->part triple graph; each match is one distinct
+    (order, supplier, part) lineitem triple. Oracle: the equivalent
+    three-way self-join."""
+    g = lineitem_triple_graph(spark, sf_dir)
+    gd = GraphFrame(g.vertices, g.edges.distinct())
+    out = gd.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+    return out.select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("c.id").alias("c_id"),
+    )
+
+
 def _q_pagerank_personalized(spark, sf_dir):
     """Personalized PageRank from a single customer on the 3-level DAG:
     teleport mass seeds only at customer 1, flows to its nation then its
@@ -644,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": _q_shortest_paths,
         "pagerank_dag": _q_pagerank_dag,
         "pagerank_personalized": _q_pagerank_personalized,
+        "motif_triangles": _q_motif_triangles,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "wcc_big": _q_wcc_big,
@@ -956,6 +972,16 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT id, pr FROM np UNION ALL SELECT id, pr FROM rp), "
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "motif_triangles": (
+            "WITH e AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT l_orderkey AS src, CAST(l_suppkey + 10000000 AS BIGINT) AS dst FROM lineitem "
+            "UNION ALL SELECT CAST(l_suppkey + 10000000 AS BIGINT), "
+            "CAST(l_partkey + 20000000 AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, CAST(l_partkey + 20000000 AS BIGINT) FROM lineitem)) "
+            "SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id "
+            "FROM e e1 JOIN e e2 ON e1.dst = e2.src "
+            "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"
         ),
         "pagerank_personalized": (
             # closed form: delta_0 = 0.15 at customer 1001, delta_1 =

@@ -262,6 +262,14 @@ class GraphFrame:
 
         return LabelPropagationBuilder(self)
 
+    def find(self, pattern: str) -> DataFrame:
+        """Motif finding (GraphFrames ``find`` parity): match a pattern like
+        ``"(a)-[e]->(b); (b)-[]->(c); !(c)-[]->(a)"`` as a chain of joins.
+        See :mod:`graphframes_rs_spark.operators.motif`."""
+        from graphframes_rs_spark.operators.motif import find as _find
+
+        return _find(self, pattern)
+
     def triangle_count(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import triangle_count
 
