@@ -262,6 +262,40 @@ class GraphFrame:
 
         return LabelPropagationBuilder(self)
 
+    def filter_vertices(self, condition) -> "GraphFrame":
+        """Subgraph induced by vertices satisfying ``condition`` (a Column
+        or SQL string): edges whose either endpoint is dropped are dropped
+        too (GraphFrames ``filterVertices`` semantics). The endpoint check
+        is two semi joins — no edge attributes are shuffled."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        v = self._vertices.filter(cond)
+        ids = v.select(ID)
+        e = (
+            self._edges.join(
+                ids.select(F.col(ID).alias(SRC)), SRC, "left_semi"
+            ).join(ids.select(F.col(ID).alias(DST)), DST, "left_semi")
+        )
+        return GraphFrame(v, e)
+
+    def filter_edges(self, condition) -> "GraphFrame":
+        """Subgraph keeping only edges satisfying ``condition``; the vertex
+        set is unchanged (GraphFrames ``filterEdges`` semantics — compose
+        with :meth:`drop_isolated_vertices` to prune)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        return GraphFrame(self._vertices, self._edges.filter(cond))
+
+    def drop_isolated_vertices(self) -> "GraphFrame":
+        """Remove vertices that appear in no edge (GraphFrames
+        ``dropIsolatedVertices``): one semi join against the endpoint
+        union."""
+        endpoints = (
+            self._edges.select(F.col(SRC).alias(ID))
+            .unionByName(self._edges.select(F.col(DST).alias(ID)))
+        )
+        return GraphFrame(
+            self._vertices.join(endpoints, ID, "left_semi"), self._edges
+        )
+
     def find(self, pattern: str) -> DataFrame:
         """Motif finding (GraphFrames ``find`` parity): match a pattern like
         ``"(a)-[e]->(b); (b)-[]->(c); !(c)-[]->(a)"`` as a chain of joins.

@@ -142,3 +142,37 @@ def test_aggregate_messages_both_directions(spark):
 
     with pytest.raises(GraphFrameError, match="at least one"):
         g.aggregate_messages(F.sum(Pregel.msg()))
+
+
+def test_subgraph_helpers(spark):
+    """filter_vertices / filter_edges / drop_isolated_vertices parity."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 6)], "id long, score long"
+    )
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0), (4, 5, 4.0)],
+        "src long, dst long, w double",
+    )
+    g = GraphFrame(v, e)
+
+    fv = g.filter_vertices(F.col("score") >= 20)  # drops vertex 1
+    assert {r["id"] for r in fv.vertices.collect()} == {2, 3, 4, 5}
+    assert {(r["src"], r["dst"]) for r in fv.edges.collect()} == {
+        (2, 3), (3, 4), (4, 5)
+    }
+    # SQL-string condition form
+    assert g.filter_vertices("score >= 20").num_nodes() == 4
+
+    fe = g.filter_edges("w > 2.0")
+    assert fe.num_nodes() == 5            # vertex set untouched
+    assert {(r["src"], r["dst"]) for r in fe.edges.collect()} == {
+        (3, 4), (4, 5)
+    }
+    pruned = fe.drop_isolated_vertices()
+    assert {r["id"] for r in pruned.vertices.collect()} == {3, 4, 5}
+    # edge attrs survive the semi joins
+    assert {r["w"] for r in fv.edges.collect()} == {2.0, 3.0, 4.0}
