@@ -178,6 +178,29 @@ def _q_pagerank_dag(spark, sf_dir):
     return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    """Edge-weighted PageRank on the REVERSED weighted hierarchy DAG
+    (regions fan out over nations, nations over customers, each edge
+    carrying the deterministic weight 1 + (src+dst) % 5 — symmetric under
+    reversal): deltas split proportionally to weight. Oracle: 3 unrolled
+    weighted delta rounds, normalized."""
+    g = weighted_hierarchy_graph(spark, sf_dir)
+    rev = GraphFrame(
+        g.vertices,
+        g.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        ),
+    )
+    pr = (
+        rev.page_rank()
+        .weighted("weight")
+        .max_iterations(3)
+        .with_tol(0.0)
+        .set_checkpoint_dir(_ckpt())
+    )
+    return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def _q_motif_triangles(spark, sf_dir):
     """Motif finding (GraphFrames find parity): directed-triangle pattern
     on the order->supplier->part triple graph; each match is one distinct
@@ -659,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": _q_shortest_paths,
         "pagerank_dag": _q_pagerank_dag,
         "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
@@ -970,6 +994,32 @@ def oracle_sql() -> dict[str, str]:
             "  FROM region JOIN np ON np.n_regionkey = r_regionkey GROUP BY r_regionkey), "
             "raw AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, 0.15 AS pr FROM customer "
             "  UNION ALL SELECT id, pr FROM np UNION ALL SELECT id, pr FROM rp), "
+            "tot AS (SELECT sum(pr) AS s FROM raw) "
+            "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "pagerank_weighted": (
+            # 3 unrolled weighted delta rounds on the reversed DAG; round 3
+            # contributes zero (customers have no out-edges) but is kept so
+            # the SQL mirrors the iteration count, not DAG-specific insight
+            "WITH e AS ("
+            "SELECT CAST(c_nationkey + 100 AS BIGINT) AS src, "
+            "CAST(c_custkey + 1000 AS BIGINT) AS dst, "
+            "1.0 + (c_custkey + 1000 + c_nationkey + 100) % 5 AS w FROM customer "
+            "UNION ALL SELECT CAST(n_regionkey + 50 AS BIGINT), "
+            "CAST(n_nationkey + 100 AS BIGINT), "
+            "1.0 + (n_nationkey + 100 + n_regionkey + 50) % 5 FROM nation), "
+            "wsum AS (SELECT src, sum(w) AS W FROM e GROUP BY 1), "
+            "d1 AS (SELECT e.dst AS id, sum(0.85 * 0.15 * e.w / ws.W) AS delta "
+            "FROM e JOIN wsum ws ON e.src = ws.src GROUP BY 1), "
+            "d2 AS (SELECT e.dst AS id, sum(0.85 * d1.delta * e.w / ws.W) AS delta "
+            "FROM e JOIN d1 ON e.src = d1.id JOIN wsum ws ON e.src = ws.src GROUP BY 1), "
+            "d3 AS (SELECT e.dst AS id, sum(0.85 * d2.delta * e.w / ws.W) AS delta "
+            "FROM e JOIN d2 ON e.src = d2.id JOIN wsum ws ON e.src = ws.src GROUP BY 1), "
+            f"verts AS ({_VERTS_SMALL_SQL}), "
+            "raw AS (SELECT v.id, 0.15 + COALESCE(d1.delta, 0) + "
+            "COALESCE(d2.delta, 0) + COALESCE(d3.delta, 0) AS pr FROM verts v "
+            "LEFT JOIN d1 ON v.id = d1.id LEFT JOIN d2 ON v.id = d2.id "
+            "LEFT JOIN d3 ON v.id = d3.id), "
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
         ),

@@ -35,6 +35,7 @@ class PageRankBuilder:
         self.max_iter = 0  # 0 => run to convergence via voting
         self._checkpoint_dir = None
         self._sources = None
+        self._weight_col = None
         self.iterations_ = 0
 
     def with_reset_prob(self, p: float) -> "PageRankBuilder":
@@ -53,6 +54,18 @@ class PageRankBuilder:
         source id exists in the graph the total mass is 0 and ranks are
         NULL — validate inputs upstream."""
         self._sources = [int(s) for s in source_ids]
+        return self
+
+    def weighted(self, weight_col: str = "weight") -> "PageRankBuilder":
+        """Edge-weighted PageRank: a vertex's delta splits over its
+        out-edges proportionally to edge weight (GraphX convention) instead
+        of uniformly — the random surfer follows heavy edges more often.
+        Only the seed normalizer changes shape: out_degree becomes the sum
+        of outgoing weights, and the message multiplies by the edge's
+        weight; the delta iteration and all plan properties are unchanged.
+        Weights must be positive — zero-total vertices would divide by
+        zero exactly like an all-zero-degree sink (validate upstream)."""
+        self._weight_col = weight_col
         return self
 
     def with_tol(self, tol: float) -> "PageRankBuilder":
@@ -83,18 +96,40 @@ class PageRankBuilder:
             spark,
             None if self._checkpoint_dir is None else self._checkpoint_dir + "/prep",
         )
-        raw = self.graph.edges.select(SRC, "dst")
+        from graphframes_rs_spark.pregel import _EDGE_PREFIX
+
+        w = self._weight_col
+        # weighted mode checkpoints the weight column under the engine's
+        # edge-column alias so the SAME materialization feeds the weight
+        # normalizer below and the Pregel iteration (see
+        # with_materialized_edges' contract)
+        raw = self.graph.edges.select(
+            *(
+                [SRC, "dst"]
+                if w is None
+                else [
+                    F.col(SRC),
+                    F.col("dst"),
+                    F.col(w).alias(_EDGE_PREFIX + w),
+                ]
+            )
+        )
         if gf_config.use_bucketed_checkpoints(spark):
             edges = prep_ckpt.push_bucketed(raw, SRC, shuffle_n, "edges")
         else:
             edges = prep_ckpt.push_partitioned(raw, SRC, shuffle_n, "edges")
 
-        # PageRank needs out-degrees to split the delta over out-edges.
-        # Vertices with no out-edges keep out_degree NULL; they never emit a
-        # message (the join against edges produces no triplet rows for them),
-        # so the NULL never reaches an expression.
+        # PageRank needs out-degrees to split the delta over out-edges
+        # (the sum of outgoing weights in weighted mode). Vertices with no
+        # out-edges keep out_degree NULL; they never emit a message (the
+        # join against edges produces no triplet rows for them), so the
+        # NULL never reaches an expression.
         degrees = edges.groupBy(F.col(SRC).alias(ID)).agg(
-            F.count(F.lit(1)).alias("out_degree")
+            (
+                F.count(F.lit(1))
+                if w is None
+                else F.sum(F.col(_EDGE_PREFIX + w))
+            ).alias("out_degree")
         )
         vertices = self.graph.vertices.select(ID).join(degrees, ID, "left")
         prep = GraphFrame(vertices, edges)
@@ -112,7 +147,11 @@ class PageRankBuilder:
             .add_vertex_column(PAGERANK_DELTA, seed, new_delta)
             .add_vertex_column("out_degree", F.col("out_degree"), F.col("out_degree"))
             .add_message(
-                Pregel.src(PAGERANK_DELTA) / Pregel.src("out_degree"),
+                Pregel.src(PAGERANK_DELTA) / Pregel.src("out_degree")
+                if w is None
+                else Pregel.src(PAGERANK_DELTA)
+                * Pregel.edge(w)
+                / Pregel.src("out_degree"),
                 MessageDirection.SRC_TO_DST,
             )
             .add_aggregate_expr(F.sum(Pregel.msg()))
@@ -120,6 +159,8 @@ class PageRankBuilder:
             .skip_dest_state()
             .with_materialized_edges()
         )
+        if w is not None:
+            builder = builder.add_edge_column(w)
         if self._checkpoint_dir:
             builder = builder.set_checkpoint_dir(self._checkpoint_dir)
         if self.max_iter > 0:

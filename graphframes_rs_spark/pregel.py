@@ -358,12 +358,22 @@ class PregelBuilder:
 
         # -- offload edges once, partitioned by src (pregel.rs:351-368) -----
         if self._edges_materialized:
-            if self._edge_columns:
+            # the caller's frame must already be projected to src/dst plus
+            # every declared edge column under its engine-internal alias
+            # (_EDGE_PREFIX + name) — i.e. the exact projection the engine
+            # would otherwise checkpoint itself
+            expected = [SRC, DST] + [
+                _EDGE_PREFIX + c for c in self._edge_columns
+            ]
+            missing = [c for c in expected if c not in self.graph.edges.columns]
+            if missing:
                 raise ValueError(
-                    "with_materialized_edges requires plain src/dst edges "
-                    "(no add_edge_column declarations)"
+                    "with_materialized_edges requires the edge frame to "
+                    f"already carry {expected}; missing {missing} — alias "
+                    "declared edge columns with the engine prefix before "
+                    "checkpointing them"
                 )
-            edges = self.graph.edges.select(SRC, DST)
+            edges = self.graph.edges.select(*expected)
         else:
             edge_proj = [F.col(SRC), F.col(DST)] + [
                 F.col(c).alias(_EDGE_PREFIX + c) for c in self._edge_columns

@@ -92,3 +92,31 @@ def test_personalized_pagerank_hand_checked(spark, ckpt_dir):
         .set_checkpoint_dir(str(ckpt_dir) + "/uni").run().collect()
     )}
     assert uni[5] > 0.0
+
+
+def test_weighted_pagerank_hand_checked(spark, ckpt_dir):
+    """Weighted PR on a 3-vertex fan 1->2 (w=3), 1->3 (w=1): vertex 1's
+    delta splits 75/25 instead of 50/50; 2 iterations reach the fixpoint
+    (2 and 3 have no out-edges)."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0)], "src long, dst long, weight double"
+    )
+    g = GraphFrame(v, e)
+    got = {r["id"]: r["pagerank"] for r in (
+        g.page_rank().weighted("weight").max_iterations(2).with_tol(0.0)
+        .set_checkpoint_dir(str(ckpt_dir) + "/wpr").run().collect()
+    )}
+    raw = {1: 0.15, 2: 0.15 + 0.85 * 0.15 * 0.75, 3: 0.15 + 0.85 * 0.15 * 0.25}
+    s = sum(raw.values())
+    for vid in (1, 2, 3):
+        assert abs(got[vid] - raw[vid] / s) < 1e-9, (vid, got[vid])
+    # unweighted on the same graph splits evenly — sanity contrast
+    uni = {r["id"]: r["pagerank"] for r in (
+        g.page_rank().max_iterations(2).with_tol(0.0)
+        .set_checkpoint_dir(str(ckpt_dir) + "/upr").run().collect()
+    )}
+    assert abs(uni[2] - uni[3]) < 1e-9
+    assert got[2] > uni[2] > got[3]
