@@ -178,6 +178,16 @@ def _q_pagerank_dag(spark, sf_dir):
     return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _q_bfs_paths(spark, sf_dir):
+    """BFS with path output (GraphFrames bfs parity): from a customer
+    subset to any region on the 3-level DAG — every shortest path is the
+    [customer, its nation, that nation's region] chain at length 2.
+    Oracle: the equivalent two-hop join with a list-literal path."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    out = g.bfs("id >= 1000 AND id % 50 = 3", "id < 100", max_path_length=4)
+    return out.select("from_id", "to_id", "path", "length")
+
+
 def _q_pagerank_weighted(spark, sf_dir):
     """Edge-weighted PageRank on the REVERSED weighted hierarchy DAG
     (regions fan out over nations, nations over customers, each edge
@@ -684,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
+        "bfs_paths": _q_bfs_paths,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "wcc_big": _q_wcc_big,
@@ -996,6 +1007,16 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT id, pr FROM np UNION ALL SELECT id, pr FROM rp), "
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "bfs_paths": (
+            "SELECT CAST(c_custkey + 1000 AS BIGINT) AS from_id, "
+            "CAST(n_regionkey + 50 AS BIGINT) AS to_id, "
+            "[CAST(c_custkey + 1000 AS BIGINT), "
+            "CAST(c_nationkey + 100 AS BIGINT), "
+            "CAST(n_regionkey + 50 AS BIGINT)] AS path, "
+            "CAST(2 AS BIGINT) AS length "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE (c_custkey + 1000) % 50 = 3"
         ),
         "pagerank_weighted": (
             # 3 unrolled weighted delta rounds on the reversed DAG; round 3

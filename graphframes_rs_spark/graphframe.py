@@ -304,6 +304,14 @@ class GraphFrame:
 
         return _find(self, pattern)
 
+    def bfs(self, from_expr, to_expr, max_path_length: int = 10) -> DataFrame:
+        """Shortest paths between vertex sets with full path output
+        (GraphFrames ``bfs`` parity). See
+        :mod:`graphframes_rs_spark.operators.bfs`."""
+        from graphframes_rs_spark.operators.bfs import bfs as _bfs
+
+        return _bfs(self, from_expr, to_expr, max_path_length)
+
     def triangle_count(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import triangle_count
 
