@@ -217,7 +217,16 @@ def _q_motif_triangles(spark, sf_dir):
     (order, supplier, part) lineitem triple. Oracle: the equivalent
     three-way self-join."""
     g = lineitem_triple_graph(spark, sf_dir)
-    gd = GraphFrame(g.vertices, g.edges.distinct())
+    # materialize the distinct-edge pipeline ONCE: find() references the
+    # edge frame once per pattern term, so an unmaterialized distinct
+    # would be recomputed three times here
+    edges = g.edges.distinct().localCheckpoint(eager=True)
+    gd = GraphFrame(g.vertices, edges)
+    # term order = join order (see operators/motif.py); on this graph both
+    # triangle orders route the intermediate through the supplier hubs
+    # (measured A/B: 24s vs 34s at sf0.1 — this is the faster), and the
+    # degree-ordered dedicated triangle_count stays the right tool when
+    # only counts are needed
     out = gd.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
     return out.select(
         F.col("a.id").alias("a_id"),

@@ -22,6 +22,21 @@ disconnected pattern components become cross joins exactly as in
 GraphFrames — the caller's pattern, not the engine, decides that cost.
 Negations are broadcast-friendly left-anti joins at the end, after the
 positive bindings have pruned the row count.
+
+The edge frame is referenced once per pattern term, so a graph whose
+edges are themselves an expensive pipeline (joins, distinct) should be
+materialized first (checkpoint / localCheckpoint) — otherwise Catalyst
+recomputes that pipeline per term unless ReusedExchange happens to fire.
+
+TERM ORDER IS JOIN ORDER: terms join left-to-right on whichever
+endpoints are already bound, and Catalyst does not re-order them (each
+join's keys depend on the prior bindings). Put the most selective terms
+early; the intermediate after each join is the count of partial matches
+so far, which term order can change by orders of magnitude on skewed
+graphs. For patterns where every ordering routes through a hub (e.g.
+dense triangles), prefer the dedicated degree-ordered operators
+(``triangle_count``) when the full binding list isn't needed.
+
 """
 
 from __future__ import annotations
@@ -139,14 +154,27 @@ def find(graph, pattern: str) -> DataFrame:
             anti, [f"__vid_{s_raw}", f"__vid_{d_raw}"], "left_anti"
         )
 
-    # attach vertex structs for named vertices, edge structs for named edges
+    # attach vertex structs for named vertices, edge structs for named edges.
+    # When the vertex frame carries no attributes beyond id, the struct is
+    # built directly from the bound id column — zero joins (a 3-name motif
+    # would otherwise pay three id-only shuffled joins for data it already
+    # has). Semantic note: the join form also filters matches to vertices
+    # present in the vertex frame; the attribute-free form skips that check,
+    # which is sound because GraphFrame edges reference vertex ids by
+    # construction.
     out_cols = []
+    v_has_attrs = any(c != ID for c in vertices.columns)
     for name in [n for n in bound if not n.startswith("__anon")]:
-        v_struct = vertices.select(
-            F.col(ID).alias(f"__vid_{name}"),
-            F.struct(*[F.col(c) for c in vertices.columns]).alias(name),
-        )
-        result = result.join(v_struct, f"__vid_{name}")
+        if v_has_attrs:
+            v_struct = vertices.select(
+                F.col(ID).alias(f"__vid_{name}"),
+                F.struct(*[F.col(c) for c in vertices.columns]).alias(name),
+            )
+            result = result.join(v_struct, f"__vid_{name}")
+        else:
+            result = result.withColumn(
+                name, F.struct(F.col(f"__vid_{name}").alias(ID))
+            )
         out_cols.append(name)
     for _, _, e_name, _ in positives:
         if e_name:
