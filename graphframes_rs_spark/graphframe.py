@@ -304,13 +304,15 @@ class GraphFrame:
 
         return _find(self, pattern)
 
-    def bfs(self, from_expr, to_expr, max_path_length: int = 10) -> DataFrame:
+    def bfs(
+        self, from_expr, to_expr, max_path_length: int = 10, edge_filter=None
+    ) -> DataFrame:
         """Shortest paths between vertex sets with full path output
-        (GraphFrames ``bfs`` parity). See
+        (GraphFrames ``bfs`` parity, incl. ``edge_filter``). See
         :mod:`graphframes_rs_spark.operators.bfs`."""
         from graphframes_rs_spark.operators.bfs import bfs as _bfs
 
-        return _bfs(self, from_expr, to_expr, max_path_length)
+        return _bfs(self, from_expr, to_expr, max_path_length, edge_filter)
 
     def triangle_count(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import triangle_count

@@ -31,15 +31,24 @@ def bfs(
     from_expr,
     to_expr,
     max_path_length: int = 10,
+    edge_filter=None,
 ) -> DataFrame:
     """See module docstring. ``from_expr``/``to_expr`` are Columns or SQL
-    strings over the vertex frame's columns."""
+    strings over the vertex frame's columns; ``edge_filter`` (Column or
+    SQL string over the edge frame's columns) restricts which edges the
+    search may traverse — GraphFrames' ``edgeFilter`` parameter."""
     if max_path_length < 0:
         raise GraphFrameError("max_path_length must be >= 0")
     f_cond = F.expr(from_expr) if isinstance(from_expr, str) else from_expr
     t_cond = F.expr(to_expr) if isinstance(to_expr, str) else to_expr
     vertices = graph.vertices
-    edges = graph.edges.select(SRC, DST)
+    edges = graph.edges
+    if edge_filter is not None:
+        e_cond = (
+            F.expr(edge_filter) if isinstance(edge_filter, str) else edge_filter
+        )
+        edges = edges.filter(e_cond)
+    edges = edges.select(SRC, DST)
     targets = vertices.filter(t_cond).select(F.col(ID).alias("__bfs_target"))
 
     frontier = vertices.filter(f_cond).select(

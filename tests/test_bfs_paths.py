@@ -58,3 +58,21 @@ def test_bfs_expr_columns_and_sets(g, spark):
     rows = g.bfs(F.col("id").isin(2, 3), "id = 5").collect()
     paths = {tuple(r["path"]) for r in rows}
     assert paths == {(2, 4, 5), (3, 4, 5)}
+
+
+def test_bfs_edge_filter_reroutes(spark):
+    """Filtering out the direct edge forces the longer route — GraphFrames'
+    edgeFilter semantics (filter applies to traversal, not endpoints)."""
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    e = spark.createDataFrame(
+        [(1, 4, "toll"), (1, 2, "free"), (2, 3, "free"), (3, 4, "free")],
+        "src long, dst long, kind string",
+    )
+    g = GraphFrame(v, e)
+    direct = g.bfs("id = 1", "id = 4")
+    assert {tuple(r["path"]) for r in direct.collect()} == {(1, 4)}
+    rerouted = g.bfs("id = 1", "id = 4", edge_filter="kind = 'free'")
+    assert {tuple(r["path"]) for r in rerouted.collect()} == {(1, 2, 3, 4)}
+    # Column-expression form
+    rerouted2 = g.bfs("id = 1", "id = 4", edge_filter=F.col("kind") == "free")
+    assert {tuple(r["path"]) for r in rerouted2.collect()} == {(1, 2, 3, 4)}
