@@ -257,6 +257,7 @@ BENCH_QUERIES = {
     "kcore_big": entry.queries()["kcore_big"],
     "bfs_big": _bench_bfs_big,
     "triangles": entry.queries()["triangles"],
+    "motif_triangles": entry.queries()["motif_triangles"],
     # relational core
     "in_degrees": entry.queries()["in_degrees"],
     "triplets": entry.queries()["triplets"],
