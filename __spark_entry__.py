@@ -178,6 +178,36 @@ def _q_pagerank_dag(spark, sf_dir):
     return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _q_scc_rings(spark, sf_dir):
+    """SCC on planted rings: customers form one directed cycle per
+    (nation, custkey % 8) group — each ring is exactly one SCC labeled by
+    its minimum member. Oracle: the closed-form min-per-group window."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    grp = [F.col("c_nationkey"), (F.col("c_custkey") % 8).alias("__bucket")]
+    w_next = Window.partitionBy(*grp).orderBy("c_custkey")
+    w_grp = Window.partitionBy(*grp)
+    edges = cust.select(
+        (F.col("c_custkey") + 1000).cast("long").alias("src"),
+        (
+            F.coalesce(
+                F.lead("c_custkey").over(w_next),
+                F.min("c_custkey").over(w_grp),
+            )
+            + 1000
+        ).cast("long").alias("dst"),
+    )
+    vertices = cust.select((F.col("c_custkey") + 1000).cast("long").alias("id"))
+    out = (
+        GraphFrame(vertices, edges)
+        .strongly_connected_components()
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+    return out.select("id", "component")
+
+
 def _q_bfs_paths(spark, sf_dir):
     """BFS with path output (GraphFrames bfs parity): from a customer
     subset to any region on the 3-level DAG — every shortest path is the
@@ -704,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
         "bfs_paths": _q_bfs_paths,
+        "scc_rings": _q_scc_rings,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "wcc_big": _q_wcc_big,
@@ -1016,6 +1047,11 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT id, pr FROM np UNION ALL SELECT id, pr FROM rp), "
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "scc_rings": (
+            "SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, "
+            "CAST(min(c_custkey) OVER (PARTITION BY c_nationkey, "
+            "c_custkey % 8) + 1000 AS BIGINT) AS component FROM customer"
         ),
         "bfs_paths": (
             "SELECT CAST(c_custkey + 1000 AS BIGINT) AS from_id, "

@@ -255,6 +255,11 @@ class GraphFrame:
 
         return MISBuilder(self)
 
+    def strongly_connected_components(self) -> "SCCBuilder":
+        from graphframes_rs_spark.operators.scc import SCCBuilder
+
+        return SCCBuilder(self)
+
     def label_propagation(self) -> "LabelPropagationBuilder":
         from graphframes_rs_spark.operators.label_propagation import (
             LabelPropagationBuilder,
