@@ -349,6 +349,38 @@ def _q_weighted_sssp(spark, sf_dir):
     return g.weighted_shortest_paths(1001).set_checkpoint_dir(_ckpt()).run()
 
 
+def _q_clustering_coeff(spark, sf_dir):
+    return lineitem_triple_graph(spark, sf_dir).clustering_coefficient()
+
+
+def _q_topo_layers(spark, sf_dir):
+    from graphframes_rs_spark.sources.graphs import order_chain_graph
+
+    g = order_chain_graph(spark, sf_dir)
+    return g.topological_layers().max_iterations(64).set_checkpoint_dir(_ckpt()).run()
+
+
+def _q_modularity(spark, sf_dir):
+    # score the closed-form nation partition of the hierarchy graph:
+    # customers labelled by their nation vertex, nations/regions by
+    # themselves — exercises the full modularity pipeline while keeping a
+    # recursion-free oracle
+    g = customer_hierarchy_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    labels = (
+        cust.select(
+            (F.col("c_custkey") + 1000).cast("long").alias("id"),
+            (F.col("c_nationkey") + 100).cast("long").alias("label"),
+        )
+        .unionByName(
+            g.vertices.filter(F.col("id") < 1000).select(
+                "id", F.col("id").alias("label")
+            )
+        )
+    )
+    return g.modularity(labels)
+
+
 def _q_doc_token_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
@@ -718,6 +750,14 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang_pred")
 
 
+def _q_source_stats(spark, sf_dir):
+    """Per-source mixture dashboard: doc/token volume, mean quality,
+    exact-dup rate, language breadth — the profile a curation run reads
+    before choosing stratified_sample fractions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.source_stats(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_counts": _q_graph_counts,
@@ -742,6 +782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": _q_triangles,
         "weighted_sssp": _q_weighted_sssp,
         "label_propagation": _q_label_propagation,
+        "clustering_coeff": _q_clustering_coeff,
+        "topo_layers": _q_topo_layers,
+        "modularity_nations": _q_modularity,
+        "source_stats": _q_source_stats,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_repetition": _q_doc_repetition,
@@ -1158,6 +1202,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT verts.id, COALESCE(cnt.triangles, 0) AS triangles "
             "FROM verts LEFT JOIN cnt USING (id)"
         ),
+        "clustering_coeff": (
+            "WITH raw AS ("
+            "SELECT l_orderkey AS src, CAST(l_suppkey + 10000000 AS BIGINT) AS dst FROM lineitem "
+            "UNION ALL SELECT CAST(l_suppkey + 10000000 AS BIGINT), "
+            "CAST(l_partkey + 20000000 AS BIGINT) FROM lineitem "
+            "UNION ALL SELECT l_orderkey, CAST(l_partkey + 20000000 AS BIGINT) FROM lineitem), "
+            "canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "FROM raw WHERE src <> dst), "
+            "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c "
+            "FROM canon e1 JOIN canon e2 ON e1.b = e2.a "
+            "JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+            "UNION ALL SELECT c FROM tri), "
+            "cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM corners GROUP BY id), "
+            "deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ("
+            "SELECT a AS id FROM canon UNION ALL SELECT b FROM canon) GROUP BY id), "
+            "verts AS (SELECT src AS id FROM raw UNION SELECT dst FROM raw) "
+            "SELECT verts.id, COALESCE(deg.degree, 0) AS degree, "
+            "COALESCE(cnt.triangles, 0) AS triangles, "
+            "CASE WHEN COALESCE(deg.degree, 0) >= 2 THEN "
+            "round(2.0 * COALESCE(cnt.triangles, 0) / (deg.degree * (deg.degree - 1)), 6) "
+            "ELSE 0.0 END AS coefficient "
+            "FROM verts LEFT JOIN cnt USING (id) LEFT JOIN deg USING (id)"
+        ),
+        "topo_layers": (
+            # closed form: each customer's orders form a path ordered by
+            # (o_orderdate, o_orderkey), so the longest-path layer is just
+            # the position in the chain
+            "SELECT CAST(o_orderkey + 30000000 AS BIGINT) AS id, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS layer "
+            "FROM orders"
+        ),
+        "modularity_nations": (
+            f"WITH e AS ({_EDGES_SMALL_SQL}), "
+            "canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+            "FROM e WHERE src <> dst), "
+            "lab AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, "
+            "CAST(c_nationkey + 100 AS BIGINT) AS lab FROM customer "
+            "UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), "
+            "CAST(n_nationkey + 100 AS BIGINT) FROM nation "
+            "UNION ALL SELECT CAST(r_regionkey + 50 AS BIGINT), "
+            "CAST(r_regionkey + 50 AS BIGINT) FROM region), "
+            "tagged AS (SELECT la.lab AS lab_a, lb.lab AS lab_b FROM canon "
+            "JOIN lab la ON canon.a = la.id JOIN lab lb ON canon.b = lb.id), "
+            "deg_c AS (SELECT c, CAST(count(*) AS BIGINT) AS d_c FROM ("
+            "SELECT lab_a AS c FROM tagged UNION ALL SELECT lab_b FROM tagged) GROUP BY c), "
+            "ec AS (SELECT lab_a AS c, CAST(count(*) AS BIGINT) AS e_c FROM tagged "
+            "WHERE lab_a = lab_b GROUP BY lab_a), "
+            "per_c AS (SELECT deg_c.c, COALESCE(ec.e_c, 0) AS e_c, d_c "
+            "FROM deg_c LEFT JOIN ec USING (c)), "
+            "m AS (SELECT CAST(sum(d_c) / 2 AS BIGINT) AS m_edges FROM per_c) "
+            "SELECT m.m_edges, CAST(count(*) AS BIGINT) AS n_communities, "
+            "round(sum(e_c / CAST(m.m_edges AS DOUBLE) "
+            "- pow(d_c / (2.0 * m.m_edges), 2)), 6) AS modularity "
+            "FROM per_c, m GROUP BY m.m_edges"
+        ),
         "weighted_sssp": (
             # closed form on the fixed-depth DAG: from customer 1001 only its
             # nation and that nation's region are reachable; w = 1+(src+dst)%5
@@ -1301,6 +1402,15 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(h.n_collisions, 0) AS n_collisions, "
             "COALESCE(h.n_collisions, 0) > 0 AS contaminated "
             "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "source_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+            f"round(avg({quality}), 6) AS mean_quality, "
+            "round((count(*) - count(DISTINCT md5(text))) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+            "FROM documents GROUP BY source"
         ),
         "curate_corpus": (
             # every stage recomputed from its proven oracle fragment, then

@@ -324,6 +324,21 @@ class GraphFrame:
 
         return triangle_count(self)
 
+    def clustering_coefficient(self) -> DataFrame:
+        from graphframes_rs_spark.operators.triangles import clustering_coefficient
+
+        return clustering_coefficient(self)
+
+    def topological_layers(self) -> "TopologicalLayersBuilder":
+        from graphframes_rs_spark.operators.topology import TopologicalLayersBuilder
+
+        return TopologicalLayersBuilder(self)
+
+    def modularity(self, labels: DataFrame, label_col: str = "label") -> DataFrame:
+        from graphframes_rs_spark.operators.modularity import modularity
+
+        return modularity(self, labels, label_col)
+
     def weighted_shortest_paths(
         self, source: int, weight_col: str = "weight"
     ) -> "WeightedSSSPBuilder":

@@ -47,3 +47,43 @@ def triangle_count(graph: GraphFrame) -> DataFrame:
         .join(counts, ID, "left")
         .select(ID, F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
     )
+
+
+def clustering_coefficient(graph: GraphFrame) -> DataFrame:
+    """DataFrame[id, degree, triangles, coefficient] — local clustering
+    coefficient per vertex on the undirected simple graph:
+    ``2·T(v) / (deg(v)·(deg(v)−1))``, 0.0 when deg(v) < 2.
+
+    Degree and triangle count both come from ONE canonicalized edge set
+    (symmetrize − self-loops, distinct), so the ratio is internally
+    consistent; the triangle side reuses :func:`triangle_count`'s
+    wedge-closing joins. Rounded to 6 decimals for cross-engine stability.
+
+    Scale notes: two aggregations over the canonical edges (degree count,
+    wedge join) — both key on vertex ids, both combine map-side; the wedge
+    join dominates exactly as in :func:`triangle_count`."""
+    undirected = symmetrize_edges(graph.edges.select(SRC, DST), deduplicate=True)
+    deg = (
+        undirected.groupBy(F.col(SRC).alias(ID))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(graph)
+    return (
+        tri.join(deg, ID, "left")
+        .select(
+            ID,
+            F.coalesce(F.col("degree"), F.lit(0)).alias("degree"),
+            "triangles",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )

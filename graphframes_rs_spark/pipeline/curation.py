@@ -212,3 +212,37 @@ def curate_corpus(
         reason.alias("reason"),
         (reason == F.lit("kept")).alias("keep"),
     )
+
+
+def source_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus profile — the mixture dashboard a curation run
+    reads before choosing :func:`stratified_sample` fractions:
+
+      [source, n_docs, n_tokens, mean_quality, exact_dup_rate, n_langs]
+
+    ``exact_dup_rate`` = fraction of docs whose md5 content hash appears
+    earlier within the same source (the rows :func:`~graphframes_rs_spark.
+    pipeline.dedup.exact_duplicates` would drop, scoped per source).
+
+    Scale notes: one groupBy(source) pass with every metric map-side
+    combinable — the dup rate comes from count−distinct(md5) and language
+    breadth from a distinct-agg, so there is exactly one shuffle keyed on
+    the (low-cardinality) source column; AQE coalesces the handful of
+    result partitions."""
+    from graphframes_rs_spark.pipeline.text import quality_score, token_count
+
+    c = F.col(text_col)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(c)).alias("n_tokens"),
+            F.round(F.avg(quality_score(c)), 6).alias("mean_quality"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct(F.md5(c)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+            F.countDistinct(F.col("lang")).alias("n_langs"),
+        )
+    )

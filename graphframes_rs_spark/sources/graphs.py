@@ -115,3 +115,33 @@ def named_hierarchy_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
         .alias("name"),
     )
     return GraphFrame(named, g.edges)
+
+
+ORDER_OFFSET = 30_000_000
+
+
+def order_chain_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
+    """Per-customer order chains: each customer's orders sorted by
+    (o_orderdate, o_orderkey) form a path — edge from every order to the
+    customer's next order. A DAG whose depth = max orders per customer, and
+    whose longest-path layer has a *closed-form* SQL answer
+    (``row_number() − 1`` within the customer partition), so the oracle can
+    check :class:`~graphframes_rs_spark.operators.topology.
+    TopologicalLayersBuilder` without recursion. Order ids are offset to
+    keep the vertex id space disjoint from the other derived graphs."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        (F.col("o_orderkey") + F.lit(ORDER_OFFSET)).cast("long").alias("id"),
+        F.lag(F.col("o_orderkey") + F.lit(ORDER_OFFSET))
+        .over(w)
+        .cast("long")
+        .alias("prev"),
+    )
+    edges = seq.filter(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("src"), F.col("id").alias("dst")
+    )
+    vertices = seq.select("id")
+    return GraphFrame(vertices, edges)
