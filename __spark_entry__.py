@@ -750,6 +750,39 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang_pred")
 
 
+def _q_louvain_cliques(spark, sf_dir):
+    """Louvain on planted cliques: customers form one clique per
+    ``custkey % 100`` residue class (exactly equal sizes — this matters:
+    with UNEVEN cliques, absorbing a small clique into a big ring
+    neighbour genuinely raises modularity, so the planted partition would
+    not be the optimum), plus one ring edge between consecutive groups'
+    minima. Ring edges are ~1% of clique edges and uniform clique degree
+    makes every cross-clique merge strictly modularity-negative
+    (ΔQ = 1/m − k²/2m² < 0 at these sizes), so the optimum — and
+    Louvain's answer — is exactly the planted cliques, labelled by their
+    minimum member."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 1000).cast("long").alias("id"),
+        (F.col("c_custkey") % 100).alias("grp"),
+    )
+    intra = (
+        cust.alias("x")
+        .join(
+            cust.alias("y"),
+            (F.col("x.grp") == F.col("y.grp")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    )
+    mins = cust.groupBy("grp").agg(F.min("id").alias("mid"))
+    ring = (
+        mins.alias("x")
+        .join(mins.alias("y"), F.col("y.grp") == (F.col("x.grp") + 1) % 100)
+        .select(F.col("x.mid").alias("src"), F.col("y.mid").alias("dst"))
+    )
+    g = GraphFrame(cust.select("id"), intra.unionByName(ring))
+    return g.louvain().max_moves(30).set_checkpoint_dir(_ckpt()).run()
+
+
 def _q_source_stats(spark, sf_dir):
     """Per-source mixture dashboard: doc/token volume, mean quality,
     exact-dup rate, language breadth — the profile a curation run reads
@@ -785,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": _q_clustering_coeff,
         "topo_layers": _q_topo_layers,
         "modularity_nations": _q_modularity,
+        "louvain_cliques": _q_louvain_cliques,
         "source_stats": _q_source_stats,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
@@ -1258,6 +1292,14 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(e_c / CAST(m.m_edges AS DOUBLE) "
             "- pow(d_c / (2.0 * m.m_edges), 2)), 6) AS modularity "
             "FROM per_c, m GROUP BY m.m_edges"
+        ),
+        "louvain_cliques": (
+            # planted optimum: each custkey % 100 clique is its own
+            # community, labelled by the minimum member id
+            "SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, "
+            "CAST(min(c_custkey + 1000) OVER "
+            "(PARTITION BY c_custkey % 100) AS BIGINT) AS community "
+            "FROM customer"
         ),
         "weighted_sssp": (
             # closed form on the fixed-depth DAG: from customer 1001 only its

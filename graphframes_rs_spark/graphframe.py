@@ -339,6 +339,11 @@ class GraphFrame:
 
         return modularity(self, labels, label_col)
 
+    def louvain(self, weight_col: Optional[str] = None) -> "LouvainBuilder":
+        from graphframes_rs_spark.operators.louvain import LouvainBuilder
+
+        return LouvainBuilder(self, weight_col)
+
     def weighted_shortest_paths(
         self, source: int, weight_col: str = "weight"
     ) -> "WeightedSSSPBuilder":

@@ -1,0 +1,285 @@
+"""Louvain community detection (multi-level modularity optimization).
+
+The reference's community module is an empty placeholder
+(src/algorithm/community.rs); label propagation covers it at parity level.
+Louvain (Blondel et al. 2008) is the standard step up — it optimizes an
+explicit objective (Newman modularity, see ``operators/modularity.py``)
+instead of propagating plurality labels, and is what production graph
+stacks actually ship for community detection.
+
+Algorithm, re-expressed for data-parallel execution:
+
+* **Level** = local-moving rounds until quiescence, then graph contraction.
+* **Local moving (parallel variant)**: every vertex simultaneously
+  evaluates moving into each *neighbouring* community and takes the move
+  with the largest modularity gain
+
+      ΔQ(v: c0 → c) = (k_{v,c} − k_{v,c0∖v}) / m
+                      − k_v · (Σtot(c) − Σtot(c0) + k_v) / (2 m²)
+
+  (k_{v,c} = weight from v into c, Σtot = community's total weighted
+  degree, m = total edge weight — constant across levels). Classic
+  sequential Louvain moves one vertex at a time; the parallel variant
+  (Sotera's Spark implementation, Que et al. 2015 "parallel Louvain")
+  moves an alternating half of the vertices per round — a hash parity
+  gate — so two adjacent vertices don't chase each other's communities
+  in a cycle. Moves are deterministic: strict-positive gain, ties broken
+  by minimum community id, parity from ``xxhash64(v)``, no RNG state.
+* **Contraction**: communities become super-vertices; intra-community
+  weight becomes a self-loop (so Σtot is preserved exactly), inter
+  weights sum. The next level runs on a graph that is typically orders
+  of magnitude smaller.
+
+Scale notes: each move round is two hash joins keyed on vertex id plus
+two combine-enabled aggregations (neighbour-community weights, community
+totals); the move count rides the per-round checkpoint write as an
+``observe()`` metric, so loop control never pays a separate job. The
+contraction shrinks the graph geometrically, so level 2+ cost is
+negligible next to level 1 — the same economics as the WCC contraction
+loop. No collects, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark import config as gf_config
+from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC
+from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+COMMUNITY = "community"
+_GAIN_EPS = 1e-12
+
+
+def _canonical_weighted_edges(edges: DataFrame, weight_col: str | None) -> DataFrame:
+    """[a, b, w] with a <= b: unordered pairs, weights summed over every
+    input edge between the pair (both orientations; a == b keeps
+    self-loops). Unweighted input counts each edge at weight 1."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    return (
+        edges.select(
+            F.least(F.col(SRC), F.col(DST)).alias("a"),
+            F.greatest(F.col(SRC), F.col(DST)).alias("b"),
+            w.alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def _adjacency(edges_c: DataFrame) -> DataFrame:
+    """[v, u, w]: both directions of the non-loop canonical edges."""
+    no_loop = edges_c.filter(F.col("a") != F.col("b"))
+    return no_loop.select(
+        F.col("a").alias("v"), F.col("b").alias("u"), "w"
+    ).unionByName(
+        no_loop.select(F.col("b").alias("v"), F.col("a").alias("u"), "w")
+    )
+
+
+def _nodes_from_edges(edges_c: DataFrame, vertices: DataFrame | None) -> DataFrame:
+    """[v, comm, k]: singleton communities with weighted degrees
+    (self-loops count twice, the standard convention). ``vertices`` adds
+    isolated vertices at k = 0."""
+    # exploding both endpoints double-counts self-loops (a == b emits two
+    # rows) — exactly the k_v convention Louvain's formulas assume
+    ends = edges_c.select(F.explode(F.array("a", "b")).alias("v"), "w")
+    deg = ends.groupBy("v").agg(F.sum("w").alias("k"))
+    if vertices is not None:
+        deg = (
+            vertices.select(F.col(ID).alias("v"))
+            .join(deg, "v", "left")
+            .select("v", F.coalesce(F.col("k"), F.lit(0.0)).alias("k"))
+        )
+    return deg.select("v", F.col("v").alias("comm"), "k")
+
+
+class LouvainBuilder:
+    def __init__(self, graph: GraphFrame, weight_col: str | None = None):
+        self.graph = graph
+        self.weight_col = weight_col
+        self._max_levels = 3
+        self._max_moves = 10
+        self._checkpoint_dir = None
+        self.levels_ = 0
+        self.moves_ = 0
+
+    def max_levels(self, n: int) -> "LouvainBuilder":
+        """Contraction levels (default 3); level 1 dominates cost."""
+        self._max_levels = n
+        return self
+
+    def max_moves(self, n: int) -> "LouvainBuilder":
+        """Local-moving rounds per level (default 10)."""
+        self._max_moves = n
+        return self
+
+    def set_checkpoint_dir(self, d: str) -> "LouvainBuilder":
+        self._checkpoint_dir = d
+        return self
+
+    def run(self) -> DataFrame:
+        """Returns DataFrame[id, community]; community = minimum original
+        member id (isolated vertices are their own community)."""
+        spark = self.graph.vertices.sparkSession
+        gf_config.apply_session_prefs(spark)
+        ckpt = ParquetCheckpointer(spark, self._checkpoint_dir)
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        lvl_ckpt = ParquetCheckpointer(spark, ckpt.directory + "/levels")
+
+        obs = Observation()
+        edges_c = lvl_ckpt.push_partitioned(
+            _canonical_weighted_edges(self.graph.edges, self.weight_col).observe(
+                obs, F.sum("w").alias("m"), F.count(F.lit(1)).alias("n")
+            ),
+            "a",
+            shuffle_n,
+            "edges_l0",
+        )
+        m = obs.get["m"]
+        if not m:  # no edges: every vertex is its own community
+            self.levels_ = 0
+            return self.graph.vertices.select(ID, F.col(ID).alias(COMMUNITY))
+        m = float(m)
+
+        mappings = []  # per-level [v, comm] frames, original ids downward
+        total_moves = 0
+        vertices = self.graph.vertices
+        for level in range(self._max_levels):
+            adj = lvl_ckpt.push_partitioned(
+                _adjacency(edges_c), "v", shuffle_n, f"adj_l{level}"
+            )
+            nodes = lvl_ckpt.push_partitioned(
+                _nodes_from_edges(edges_c, vertices if level == 0 else None),
+                "v",
+                shuffle_n,
+                f"nodes_l{level}",
+            )
+            level_moves = 0
+            for rnd in range(self._max_moves):
+                moved, nodes = self._move_round(
+                    adj, nodes, m, rnd, ckpt, shuffle_n
+                )
+                level_moves += moved
+                if moved == 0:
+                    break
+            total_moves += level_moves
+            if level_moves == 0:
+                # quiescent on arrival: contraction would be the identity
+                break
+            # pin the level mapping in the level pool: the per-round pool
+            # evicts aggressively, but mappings are read again after all
+            # levels finish (same reason WCC pins its reps frames)
+            mappings.append(
+                lvl_ckpt.push_partitioned(
+                    nodes.select("v", "comm"), "v", shuffle_n, f"map_l{level}"
+                )
+            )
+            self.levels_ = level + 1
+            if level + 1 >= self._max_levels:
+                break
+            # ---- contract communities into super-vertices ----
+            ma = nodes.select(F.col("v").alias("a"), F.col("comm").alias("ca"))
+            mb = nodes.select(F.col("v").alias("b"), F.col("comm").alias("cb"))
+            obs = Observation()
+            edges_c = lvl_ckpt.push_partitioned(
+                edges_c.join(ma, "a")
+                .join(mb, "b")
+                .select(
+                    F.least(F.col("ca"), F.col("cb")).alias("a"),
+                    F.greatest(F.col("ca"), F.col("cb")).alias("b"),
+                    "w",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("w").alias("w"))
+                .observe(obs, F.count(F.lit(1)).alias("n")),
+                "a",
+                shuffle_n,
+                f"edges_l{level + 1}",
+            )
+            if obs.get["n"] == 0:
+                break
+
+        self.moves_ = total_moves
+
+        # ---- compose level mappings back onto original vertices ----
+        assign = self.graph.vertices.select(ID, F.col(ID).alias("cur"))
+        for mapping in mappings:
+            assign = assign.join(
+                mapping.select(F.col("v").alias("cur"), F.col("comm").alias("__nxt")),
+                "cur",
+                "left",
+            ).select(ID, F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"))
+        assign = ckpt.push_partitioned(assign, "cur", shuffle_n, "assign")
+
+        # min-member relabel (house convention: WCC/SCC/dedup clusters)
+        min_labels = assign.groupBy("cur").agg(F.min(ID).alias("__min"))
+        return assign.join(min_labels, "cur").select(
+            ID, F.col("__min").alias(COMMUNITY)
+        )
+
+    # ------------------------------------------------------------------
+    def _move_round(self, adj, nodes, m, rnd, ckpt, shuffle_n):
+        """One parallel local-moving round; returns (n_moved, new_nodes)."""
+        # weight from each vertex into each neighbouring community
+        nbrc = (
+            adj.join(
+                nodes.select(F.col("v").alias("u"), F.col("comm").alias("uc")), "u"
+            )
+            .groupBy("v", "uc")
+            .agg(F.sum("w").alias("kvc"))
+        )
+        tot = nodes.groupBy("comm").agg(F.sum("k").alias("tot"))
+        enriched = nbrc.join(nodes, "v")  # + comm (own), k
+        own = enriched.filter(F.col("uc") == F.col("comm")).select(
+            "v", F.col("kvc").alias("kv_own")
+        )
+        cand = (
+            enriched.filter(F.col("uc") != F.col("comm"))
+            .join(own, "v", "left")
+            .join(tot.select(F.col("comm").alias("uc"), F.col("tot").alias("tot_c")), "uc")
+            .join(tot.select("comm", F.col("tot").alias("tot_own")), "comm")
+        )
+        gain = (
+            (F.col("kvc") - F.coalesce(F.col("kv_own"), F.lit(0.0))) / F.lit(m)
+            - F.col("k")
+            * (F.col("tot_c") - F.col("tot_own") + F.col("k"))
+            / F.lit(2.0 * m * m)
+        )
+        best = cand.groupBy("v").agg(
+            F.max(F.struct(gain.alias("g"), (-F.col("uc")).alias("negc"))).alias("b")
+        )
+        # per-round hash-parity gate: a (deterministic) random half of the
+        # vertices may APPLY their move each round. Seeding the hash with
+        # the round number re-draws the half every round — two adjacent
+        # vertices that would endlessly swap communities under a FIXED
+        # parity (both allowed on the same rounds) land in different halves
+        # within a round or two, so symmetric swap cycles die out.
+        # Convergence counts vertices that WANT to move (pre-gate): a round
+        # whose permitted half happens to be settled must not end the loop
+        # while the other half still has positive-gain moves pending.
+        parity_ok = F.pmod(F.xxhash64(F.col("v"), F.lit(rnd)), F.lit(2)) == 0
+        wants = best.filter(F.col("b.g") > _GAIN_EPS).select(
+            "v", (-F.col("b.negc")).alias("__to"), parity_ok.alias("__go")
+        )
+
+        obs = Observation()
+        new_nodes = ckpt.push_partitioned(
+            nodes.join(wants, "v", "left")
+            .select(
+                "v",
+                F.when(F.col("__go"), F.col("__to"))
+                .otherwise(F.col("comm"))
+                .alias("comm"),
+                "k",
+                F.col("__to").isNotNull().alias("__want"),
+            )
+            .observe(obs, F.sum(F.col("__want").cast("int")).alias("wanted"))
+            .drop("__want"),
+            "v",
+            shuffle_n,
+            f"nodes_r{rnd}",
+        )
+        ckpt.evict_all_but_latest(1)
+        return int(obs.get["wanted"] or 0), new_nodes
