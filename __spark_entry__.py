@@ -281,6 +281,25 @@ def _q_pagerank_personalized(spark, sf_dir):
     return pr.run().select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _q_pagerank_parallel(spark, sf_dir):
+    """parallelPersonalizedPageRank: TWO personalized walks (customer 1001
+    and nation 101) batched into one Pregel loop — one array-valued message
+    per edge per superstep regardless of K. Oracle: both closed-form delta
+    chains, each normalized, packed into an array in source order."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    pr = (
+        g.page_rank()
+        .parallel_personalized([1001, 101])
+        .max_iterations(3)
+        .with_tol(0.0)
+        .set_checkpoint_dir(_ckpt())
+    )
+    return pr.run().select(
+        "id",
+        F.transform("pageranks", lambda x: F.round(x, 6)).alias("pageranks"),
+    )
+
+
 def _q_kcore_forest(spark, sf_dir):
     g = customer_hierarchy_graph(spark, sf_dir)
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
@@ -804,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": _q_shortest_paths,
         "pagerank_dag": _q_pagerank_dag,
         "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_parallel": _q_pagerank_parallel,
         "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
         "bfs_paths": _q_bfs_paths,
@@ -1195,6 +1215,32 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN special s ON v.id = s.id), "
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "pagerank_parallel": (
+            # two closed-form chains (see pagerank_personalized), packed
+            # into an array in source order [customer 1001, nation 101];
+            # each chain normalizes over its own total mass. Elements cast
+            # to DOUBLE: list values are compared raw (no per-element float
+            # normalization), so the types must match Spark's array<double>
+            "WITH c1 AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS cid, "
+            "CAST(c_nationkey + 100 AS BIGINT) AS nid FROM customer "
+            "WHERE c_custkey = 1), "
+            "n1 AS (SELECT CAST(n_nationkey + 100 AS BIGINT) AS nid, "
+            "CAST(n_regionkey + 50 AS BIGINT) AS rid FROM nation), "
+            "sa AS (SELECT cid AS id, 0.15 AS pr FROM c1 "
+            "UNION ALL SELECT nid, 0.85 * 0.15 FROM c1 "
+            "UNION ALL SELECT n1.rid, 0.85 * 0.85 * 0.15 FROM c1 "
+            "JOIN n1 ON c1.nid = n1.nid), "
+            "sb AS (SELECT CAST(101 AS BIGINT) AS id, 0.15 AS pr "
+            "UNION ALL SELECT rid, 0.85 * 0.15 FROM n1 WHERE nid = 101), "
+            f"verts AS ({_VERTS_SMALL_SQL}), "
+            "raw AS (SELECT v.id, COALESCE(a.pr, 0.0) AS pra, "
+            "COALESCE(b.pr, 0.0) AS prb FROM verts v "
+            "LEFT JOIN sa a ON v.id = a.id LEFT JOIN sb b ON v.id = b.id), "
+            "tot AS (SELECT sum(pra) AS ta, sum(prb) AS tb FROM raw) "
+            "SELECT id, [round(CAST(pra / ta AS DOUBLE), 6), "
+            "round(CAST(prb / tb AS DOUBLE), 6)] AS pageranks "
+            "FROM raw, tot"
         ),
         "wcc_big": _wcc_big_sql(),
         "kcore_big": _kcore_big_sql(),

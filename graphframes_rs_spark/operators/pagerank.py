@@ -35,6 +35,7 @@ class PageRankBuilder:
         self.max_iter = 0  # 0 => run to convergence via voting
         self._checkpoint_dir = None
         self._sources = None
+        self._parallel_sources = None
         self._weight_col = None
         self.iterations_ = 0
 
@@ -54,6 +55,29 @@ class PageRankBuilder:
         source id exists in the graph the total mass is 0 and ranks are
         NULL — validate inputs upstream."""
         self._sources = [int(s) for s in source_ids]
+        return self
+
+    def parallel_personalized(self, source_ids) -> "PageRankBuilder":
+        """K personalized PageRanks in ONE Pregel loop (GraphFrames
+        ``parallelPersonalizedPageRank`` parity): the result frame carries
+        ``pageranks: array<double>`` — element ``i`` is the personalized
+        rank w.r.t. ``source_ids[i]``, each normalized to sum 1.
+
+        Spark-first batching: instead of K separate runs (K× the superstep
+        join cost), the K walks share ONE triplet join per superstep. The
+        per-source deltas ride a single array-valued message
+        (``F.array(delta_0/deg, ..., delta_{K-1}/deg)``) whose aggregate is
+        an array of element sums, so the shuffle moves one row per
+        (edge, superstep) regardless of K — exactly the amortization that
+        makes 100-source proximity scoring affordable on a 100 TB graph.
+        Participation/voting use ``greatest(delta_i)``: a vertex stays
+        active while ANY chain still moves, and the loop converges when
+        the slowest chain does. K is a plan-size knob (2·K state columns),
+        not a data knob — keep K ≲ a few hundred per call and batch larger
+        source sets across calls."""
+        self._parallel_sources = [int(s) for s in source_ids]
+        if not self._parallel_sources:
+            raise ValueError("parallel_personalized requires >= 1 source id")
         return self
 
     def weighted(self, weight_col: str = "weight") -> "PageRankBuilder":
@@ -134,6 +158,9 @@ class PageRankBuilder:
         vertices = self.graph.vertices.select(ID).join(degrees, ID, "left")
         prep = GraphFrame(vertices, edges)
 
+        if self._parallel_sources is not None:
+            return self._run_parallel(prep, prep_ckpt, alpha)
+
         new_delta = F.lit(alpha) * F.coalesce(Pregel.msg(), F.lit(0.0))
         if self._sources is None:
             seed = F.lit(self.reset_prob)
@@ -177,4 +204,87 @@ class PageRankBuilder:
         return (
             out.crossJoin(F.broadcast(total))
             .select(F.col(ID), (F.col(PAGERANK) / F.col("__pr_sum")).alias(PAGERANK))
+        )
+
+    def _run_parallel(self, prep: GraphFrame, prep_ckpt, alpha: float) -> DataFrame:
+        """K-chain personalized PageRank over one shared superstep join —
+        see :meth:`parallel_personalized` for the batching rationale."""
+        sources = self._parallel_sources
+        K = len(sources)
+        w = self._weight_col
+        from graphframes_rs_spark.pregel import _EDGE_PREFIX  # noqa: F401
+
+        deltas = [f"{PAGERANK_DELTA}_{i}" for i in range(K)]
+        prs = [f"{PAGERANK}_{i}" for i in range(K)]
+        msg = Pregel.msg("deltas")
+        new_deltas = [
+            F.lit(alpha) * F.coalesce(msg[i], F.lit(0.0)) for i in range(K)
+        ]
+        any_moving = F.greatest(*new_deltas) if K > 1 else new_deltas[0]
+
+        builder = prep.pregel()
+        for i, s in enumerate(sources):
+            seed_i = F.when(
+                F.col(ID) == F.lit(s), F.lit(self.reset_prob)
+            ).otherwise(F.lit(0.0))
+            builder = builder.add_vertex_column(
+                prs[i], seed_i, F.col(prs[i]) + new_deltas[i]
+            ).add_vertex_column(deltas[i], seed_i, new_deltas[i])
+        builder = (
+            builder.add_vertex_column(
+                "out_degree", F.col("out_degree"), F.col("out_degree")
+            )
+            .add_named_message(
+                "deltas",
+                F.array(
+                    *[
+                        Pregel.src(d) / Pregel.src("out_degree")
+                        if w is None
+                        else Pregel.src(d)
+                        * Pregel.edge(w)
+                        / Pregel.src("out_degree")
+                        for d in deltas
+                    ]
+                ),
+                MessageDirection.SRC_TO_DST,
+            )
+            # element-wise sum: every message row carries all K elements
+            # (0.0, never NULL, for chains with no mass at that source),
+            # so F.sum per element is the exact per-chain delta total
+            .add_named_aggregate_expr(
+                "deltas", F.array(*[F.sum(msg[i]) for i in range(K)])
+            )
+            .with_participation_column(
+                "participates", F.lit(True), any_moving > F.lit(self.tol)
+            )
+            .skip_dest_state()
+            .with_materialized_edges()
+        )
+        if w is not None:
+            builder = builder.add_edge_column(w)
+        if self._checkpoint_dir:
+            builder = builder.set_checkpoint_dir(self._checkpoint_dir)
+        if self.max_iter > 0:
+            builder = builder.max_iterations(self.max_iter)
+        else:
+            builder = builder.with_vertex_voting(
+                "active", any_moving > F.lit(self.tol)
+            )
+
+        out = builder.run()
+        self.iterations_ = builder.iterations_
+        prep_ckpt.purge()
+
+        # One 1-row broadcast carries all K normalizers.
+        totals = out.agg(
+            *[F.sum(p).alias(f"__pr_sum_{i}") for i, p in enumerate(prs)]
+        )
+        return out.crossJoin(F.broadcast(totals)).select(
+            F.col(ID),
+            F.array(
+                *[
+                    F.col(p) / F.col(f"__pr_sum_{i}")
+                    for i, p in enumerate(prs)
+                ]
+            ).alias("pageranks"),
         )

@@ -120,3 +120,57 @@ def test_weighted_pagerank_hand_checked(spark, ckpt_dir):
     )}
     assert abs(uni[2] - uni[3]) < 1e-9
     assert got[2] > uni[2] > got[3]
+
+
+def test_parallel_personalized_pagerank(spark, ckpt_dir):
+    """K=2 personalized walks batched into one Pregel loop must be
+    element-for-element identical to two independent personalized runs
+    (same graph, same rounds) — the batching is a plan optimization, not
+    a semantics change. Sources at different hierarchy levels exercise
+    chains that converge at different supersteps."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 3)], "src long, dst long"
+    )
+    g = GraphFrame(v, e)
+    par = {r["id"]: r["pageranks"] for r in (
+        g.page_rank().parallel_personalized([1, 5]).max_iterations(4)
+        .with_tol(0.0).set_checkpoint_dir(str(ckpt_dir) + "/par")
+        .run().collect()
+    )}
+    for i, src in enumerate((1, 5)):
+        single = {r["id"]: r["pagerank"] for r in (
+            g.page_rank().personalized([src]).max_iterations(4)
+            .with_tol(0.0).set_checkpoint_dir(f"{ckpt_dir}/s{src}")
+            .run().collect()
+        )}
+        for vid in range(1, 6):
+            assert abs(par[vid][i] - single[vid]) < 1e-9, (src, vid)
+    # chain 0 never reaches 5; chain 1 never reaches 1 or 2
+    assert par[5][0] == 0.0 and par[1][1] == 0.0 and par[2][1] == 0.0
+
+
+def test_parallel_personalized_voting_mode(spark, ckpt_dir):
+    """tol-voting converges when the SLOWEST chain stops moving; the
+    4-path chain needs more rounds than the 1-hop chain."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 3)], "src long, dst long"
+    )
+    g = GraphFrame(v, e)
+    pr = (
+        g.page_rank().parallel_personalized([1, 5]).with_tol(1e-12)
+        .set_checkpoint_dir(str(ckpt_dir) + "/vote")
+    )
+    got = {r["id"]: r["pageranks"] for r in pr.run().collect()}
+    # chain 0 fixpoint = full 4-hop geometric series, normalized
+    raw = [0.15 * 0.85**k for k in range(4)]
+    s = sum(raw)
+    for vid, expect in zip((1, 2, 3, 4), raw):
+        assert abs(got[vid][0] - expect / s) < 1e-9, (vid, got[vid])
+    # deltas die only after the long chain drains: >= 4 supersteps ran
+    assert pr.iterations_ >= 4
