@@ -495,6 +495,17 @@ def _q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T, max_doc_freq=None)
 
 
+def _q_ngram_dup_coverage(spark, sf_dir):
+    """Exact-substring-dedup estimate: per-doc fraction of 3-gram
+    positions (and of tokens, via span-union coverage) duplicated across
+    >= 2 documents. Oracle: the same positional-gram pipeline in plain SQL
+    over the raw gram strings (Spark shuffles 64-bit hashes instead — the
+    values agree unless xxhash64 collides, which at this scale it does
+    not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_ngram_coverage(docs, n=3)
+
+
 def _q_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
@@ -854,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
+        "ngram_dup_coverage": _q_ngram_dup_coverage,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
@@ -1447,6 +1459,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_sigs": _minhash_sig_sql(),
         "lsh_candidates": _lsh_candidates_sql(),
+        "ngram_dup_coverage": (
+            # positional (not distinct) 3-grams; dup = gram seen in >= 2
+            # docs; dup_tokens = union of the duplicated grams' 3-token
+            # spans (DISTINCT over pos+offset). DuckDB zips the two
+            # unnests in lockstep, pairing each position with its gram.
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "unnest(range(1, greatest(len(t) - 1, 1))) AS pos, "
+            "unnest(list_transform(range(1, greatest(len(t) - 1, 1)), "
+            "i -> array_to_string(t[i:i+2], ' '))) AS gram FROM toks), "
+            "dfq AS (SELECT gram FROM (SELECT gram, "
+            "count(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram) "
+            "WHERE dfreq >= 2), "
+            "dup AS (SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram)), "
+            "cov AS (SELECT DISTINCT doc_id, pos + o AS tok FROM dup "
+            "CROSS JOIN (VALUES (0), (1), (2)) AS v(o)), "
+            "ag AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1), "
+            "ad AS (SELECT doc_id, count(*) AS dup_grams FROM dup GROUP BY 1), "
+            "ac AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY 1) "
+            "SELECT d.doc_id, "
+            "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, "
+            "COALESCE(n_grams, 0) AS n_grams, "
+            "COALESCE(dup_grams, 0) AS dup_grams, "
+            "COALESCE(dup_tokens, 0) AS dup_tokens, "
+            "round(CASE WHEN COALESCE(n_grams, 0) > 0 THEN "
+            "CAST(COALESCE(dup_grams, 0) AS DOUBLE) / n_grams "
+            "ELSE 0.0 END, 6) AS dup_gram_frac, "
+            "round(CASE WHEN len(string_split(d.text, ' ')) > 0 THEN "
+            "CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / "
+            "len(string_split(d.text, ' ')) ELSE 0.0 END, 6) "
+            "AS dup_token_frac "
+            "FROM documents d LEFT JOIN ag USING (doc_id) "
+            "LEFT JOIN ad USING (doc_id) LEFT JOIN ac USING (doc_id)"
+        ),
         "jaccard_pairs": (
             f"WITH sh AS ({_SHINGLES_SQL}), "
             "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), "

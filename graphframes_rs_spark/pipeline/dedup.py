@@ -437,3 +437,96 @@ def semantic_dedup_clusters(
         F.col("component").alias("cluster"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def duplicated_ngram_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """[doc_id, n_tokens, n_grams, dup_grams, dup_tokens, dup_gram_frac,
+    dup_token_frac]: how much of each document is covered by word n-grams
+    that also occur in at least ``min_docs - 1`` OTHER documents — the
+    per-document "duplicated text" estimate behind exact-substring
+    deduplication (Lee et al. 2022, arXiv:2107.06499): a high
+    ``dup_token_frac`` marks boilerplate/mirror content even when no whole
+    document is a near-duplicate. ``dup_tokens`` is the size of the UNION
+    of the duplicated grams' token spans (overlapping grams don't double
+    count), so ``dup_token_frac`` is a true coverage fraction.
+
+    Scale design: positional grams are hashed to 64 bits immediately
+    (``xxhash64``) so nothing wider than 16 bytes per gram ever shuffles.
+    Three shuffles total, all on the gram hash or doc_id with map-side
+    combine: (doc, gram)-distinct -> per-gram doc frequency, the
+    dup-gram semi join, and the per-doc aggregates. Unlike the pair
+    operators there is NO candidate-pair stage, so ultra-common grams
+    cost a skewed groupBy count (AQE-splittable), never a |df|^2 pair
+    explosion — no ``max_doc_freq`` cap is needed. Docs shorter than
+    ``n`` tokens contribute zero grams and report zero fractions."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select("doc_id", toks.alias("__t"))
+    # full-width grams only; sequence() must not see start > stop (it
+    # would count DOWN), hence the explicit short-doc guard
+    positions = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__t", i, n))),
+            )
+        ).alias("__p0", "gram"),
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
+
+    doc_freq = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__dfreq"))
+    )
+    dup = grams.join(
+        doc_freq.where(F.col("__dfreq") >= min_docs).select("gram"), "gram"
+    )
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tok"),
+    ).distinct()
+
+    per_gram = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_dup = dup.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_grams"))
+    per_cov = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dup_tokens"))
+    return (
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(per_gram, "doc_id", "left")
+        .join(per_dup, "doc_id", "left")
+        .join(per_cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_gram_frac",
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0, F.col("dup_grams") / F.col("n_grams")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("dup_tokens") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )

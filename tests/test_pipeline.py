@@ -519,3 +519,33 @@ def test_curate_corpus_sampled_out_reason(spark):
         fractions={"en": 0.0}, default_fraction=0.0,
     ).collect()
     assert all(r["reason"] == "sampled_out" and not r["keep"] for r in got)
+
+
+def test_duplicated_ngram_coverage_hand_computed(spark):
+    """Span-union coverage on a 4-doc corpus: overlapping duplicated grams
+    must not double-count tokens, short docs report zeros, and a doc with
+    no shared grams reports zero fractions."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # shares "a b c" with doc 2 only
+            (2, "a b c x y"),
+            (3, "p q r s"),     # exact dup of doc 4: both grams dup,
+            (4, "p q r s"),     #   union span = 4 tokens (not 6)
+            (5, "u v"),         # shorter than n: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicated_ngram_coverage(docs, n=3).collect()
+    }
+    assert out[1]["n_grams"] == 3 and out[1]["dup_grams"] == 1
+    assert out[1]["dup_tokens"] == 3  # tokens a, b, c
+    assert abs(out[1]["dup_gram_frac"] - 1 / 3) < 1e-6
+    assert abs(out[1]["dup_token_frac"] - 3 / 5) < 1e-6
+    for d in (3, 4):  # overlapping dup grams: union, not sum
+        assert out[d]["n_grams"] == 2 and out[d]["dup_grams"] == 2
+        assert out[d]["dup_tokens"] == 4
+        assert out[d]["dup_token_frac"] == 1.0
+    assert out[5]["n_grams"] == 0 and out[5]["dup_token_frac"] == 0.0
+    assert out[5]["n_tokens"] == 2
