@@ -252,11 +252,12 @@ def _q_motif_triangles(spark, sf_dir):
     # would be recomputed three times here
     edges = g.edges.distinct().localCheckpoint(eager=True)
     gd = GraphFrame(g.vertices, edges)
-    # term order = join order (see operators/motif.py); on this graph both
-    # triangle orders route the intermediate through the supplier hubs
-    # (measured A/B: 24s vs 34s at sf0.1 — this is the faster), and the
-    # degree-ordered dedicated triangle_count stays the right tool when
-    # only counts are needed
+    # closed-triangle patterns take find()'s degree-ordered fast path
+    # (operators/motif.py:_triangle_bindings): every naive term order
+    # routes Σdeg(hub)² ≈ 360M wedge rows through the supplier hubs
+    # (measured 42-56s at sf0.1), while degree orientation bounds wedges
+    # by the low-degree endpoint (~28M) — measured 4.7-6s warm, identical
+    # 670k bindings
     out = gd.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
     return out.select(
         F.col("a.id").alias("a_id"),

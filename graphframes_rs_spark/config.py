@@ -72,3 +72,18 @@ def apply_session_prefs(spark: SparkSession) -> None:
     if prefer_smj(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+
+
+# Gated fast path for closed-triangle motif patterns in find(): enumerate
+# undirected triangles with degree-ordered wedges (bounding wedge fan-out
+# by the LOW-degree endpoint, the classic hub mitigation), then expand to
+# the pattern's directed bindings from per-pair direction counts. Same
+# bindings as the naive join chain — including duplicate-edge
+# multiplicities and self-loop degenerate matches — at a fraction of the
+# intermediate size on hub-heavy graphs. Disable to force the literal
+# term-order join chain.
+MOTIF_TRIANGLE_FAST_PATH = "spark.graphframes.motif.triangleFastPath"
+
+
+def motif_triangle_fast_path(spark: SparkSession) -> bool:
+    return str(_get(spark, MOTIF_TRIANGLE_FAST_PATH, "true")).lower() == "true"

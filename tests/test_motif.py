@@ -81,3 +81,82 @@ def test_motif_errors(g):
 def test_disconnected_components_cross_join(g):
     out = g.find("(a)-[]->(b); (c)-[]->(d)")
     assert out.count() == 25  # 5 edges x 5 edges
+
+
+def _bindings(df):
+    cols = df.columns
+    return sorted(tuple(r[c]["id"] for c in cols) for r in df.collect())
+
+
+def test_triangle_fast_path_matches_chain_adversarial(spark):
+    """The degree-ordered triangle fast path must reproduce the literal
+    join chain binding-for-binding (as a multiset) on a graph built to
+    break it: self-loops (degenerate repeated-vertex matches), parallel
+    duplicate edges (multiplicity expansion), 2-cycles, and both directed
+    triangle shapes (cyclic and transitive)."""
+    from graphframes_rs_spark import config as gf_config
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    edges = [
+        # transitive triangle 1,2,3 with a duplicated closing edge
+        (1, 2), (2, 3), (1, 3), (1, 3),
+        # cyclic triangle 4,5,6
+        (4, 5), (5, 6), (6, 4),
+        # 2-cycle + self-loop: degenerate triangle matches through 7
+        (7, 8), (8, 7), (7, 7),
+        # self-loop on a vertex that also closes a real triangle
+        (2, 2),
+        # dangling edge
+        (9, 1),
+    ]
+    v = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "id long"
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = GraphFrame(v, e)
+    patterns = [
+        "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)",
+        "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)",
+        "(a)-[]->(b); (a)-[]->(c); (b)-[]->(c)",
+    ]
+    key = gf_config.MOTIF_TRIANGLE_FAST_PATH
+    for pat in patterns:
+        spark.conf.set(key, "false")
+        try:
+            slow = _bindings(g.find(pat))
+        finally:
+            spark.conf.unset(key)
+        fast = _bindings(g.find(pat))
+        assert fast == slow, f"{pat}: fast path diverges from join chain"
+        assert len(fast) > 0  # the fixture must actually exercise matches
+    # composed with a negation: anti-join applies after either path
+    pat = "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c); !(c)-[]->(a)"
+    spark.conf.set(key, "false")
+    try:
+        slow = _bindings(g.find(pat))
+    finally:
+        spark.conf.unset(key)
+    assert _bindings(g.find(pat)) == slow
+
+
+def test_triangle_fast_path_gate_excludes_non_triangles(spark):
+    """Named-edge and repeated-pair patterns must not enter the fast path
+    (they fall back to the chain and still answer correctly)."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from graphframes_rs_spark.operators.motif import _parse, _triangle_gate
+
+    assert _triangle_gate(_parse("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")) \
+        is not None
+    for pat in [
+        "(a)-[e]->(b); (b)-[]->(c); (a)-[]->(c)",   # named edge
+        "(a)-[]->(b); (b)-[]->(a); (a)-[]->(b)",    # pair repeated
+        "(a)-[]->(b); (b)-[]->(c)",                 # open wedge
+        "(a)-[]->(a); (a)-[]->(b); (b)-[]->(c)",    # self-loop term
+        "(a)-[]->(b); (b)-[]->(c); (a)-[]->()",     # anonymous vertex
+    ]:
+        assert _triangle_gate(_parse(pat)) is None, pat
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    g = GraphFrame(v, e)
+    rows = g.find("(a)-[e]->(b); (b)-[]->(c); (a)-[]->(c)").collect()
+    assert len(rows) == 1 and rows[0]["e"]["src"] == 1
