@@ -301,6 +301,65 @@ def _q_pagerank_parallel(spark, sf_dir):
     )
 
 
+def _random_walks_sql(num_walks: int = 2, steps: int = 3, seed: int = 42) -> str:
+    """DuckDB replay of operators/random_walks.py: identical md5-derived
+    hash60 rank order and per-step choice, unrolled over ``steps`` CTEs,
+    on the reversed hierarchy edge set."""
+
+    def h(expr: str) -> str:
+        return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+    walk_rows = ", ".join(f"({i})" for i in range(num_walks))
+    ctes = [
+        f"e AS (SELECT dst AS src, src AS dst FROM ({_EDGES_SMALL_SQL}))",
+        (
+            "ranked AS (SELECT src, dst, row_number() OVER ("
+            "PARTITION BY src ORDER BY "
+            + h(f"CAST(dst AS VARCHAR)||'|{seed}'")
+            + ", dst) AS rank, count(*) OVER (PARTITION BY src) AS odeg "
+            "FROM (SELECT DISTINCT src, dst FROM e))"
+        ),
+        f"verts AS ({_VERTS_SMALL_SQL})",
+        (
+            f"w0 AS (SELECT v.id * {num_walks} + t.n AS walk_id, "
+            "v.id AS cur, [v.id] AS path FROM verts v "
+            f"CROSS JOIN (VALUES {walk_rows}) AS t(n))"
+        ),
+    ]
+    for t in range(1, steps + 1):
+        prev = f"w{t - 1}"
+        choice = h(f"CAST(walk_id AS VARCHAR)||'|{t}|{seed}'")
+        ctes.append(
+            f"w{t} AS (SELECT walk_id, COALESCE(r.dst, cur) AS cur, "
+            "CASE WHEN r.dst IS NULL THEN path "
+            "ELSE list_append(path, r.dst) END AS path "
+            f"FROM {prev} LEFT JOIN ranked r ON r.src = {prev}.cur "
+            f"AND r.rank = {choice} % r.odeg + 1)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT walk_id, path[1] AS start, path FROM w{steps}"
+    )
+
+
+def _q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus on the REVERSED hierarchy graph
+    (region -> its nations -> their customers), so every hop exercises the
+    hash choice over real branching (regions have 5 nation children,
+    nations ~tens of customers). Oracle: the identical md5-hash walk
+    process unrolled in SQL — rank neighbours by hash60(dst|seed), pick
+    rank = hash60(walk_id|step|seed) % out_degree + 1, three steps."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    rev = GraphFrame(
+        g.vertices,
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    return rev.random_walks(num_walks=2, walk_length=3, seed=42)
+
+
 def _q_kcore_forest(spark, sf_dir):
     g = customer_hierarchy_graph(spark, sf_dir)
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
@@ -836,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_dag": _q_pagerank_dag,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_parallel": _q_pagerank_parallel,
+        "random_walks": _q_random_walks,
         "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
         "bfs_paths": _q_bfs_paths,
@@ -1229,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
         ),
+        "random_walks": _random_walks_sql(),
         "pagerank_parallel": (
             # two closed-form chains (see pagerank_personalized), packed
             # into an array in source order [customer 1001, nation 101];

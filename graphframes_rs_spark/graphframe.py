@@ -324,6 +324,13 @@ class GraphFrame:
 
         return triangle_count(self)
 
+    def random_walks(
+        self, num_walks: int = 1, walk_length: int = 3, seed: int = 42
+    ) -> DataFrame:
+        from graphframes_rs_spark.operators.random_walks import random_walks
+
+        return random_walks(self, num_walks, walk_length, seed)
+
     def clustering_coefficient(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import clustering_coefficient
 

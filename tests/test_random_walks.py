@@ -1,0 +1,82 @@
+"""random_walks: exact agreement with an independent pure-python replay
+of the hash-choice process, plus partitioning-independence."""
+
+import hashlib
+from collections import defaultdict
+
+from graphframes_rs_spark.graphframe import GraphFrame
+
+EDGES = [
+    (1, 2), (1, 3), (1, 4),      # branching source
+    (2, 3), (3, 1),              # cycle 1-2-3
+    (4, 5),                      # chain into a sink
+    (2, 3),                      # duplicate edge: must collapse
+    (6, 6),                      # self-loop: a valid 1-cycle walk
+]
+VERTICES = list(range(1, 8))     # 7 is isolated: walk stays [7]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _simulate(num_walks, walk_length, seed):
+    adj = defaultdict(set)
+    for s, d in EDGES:
+        adj[s].add(d)
+    ranked = {
+        s: sorted(ds, key=lambda d: (_h60(f"{d}|{seed}"), d))
+        for s, ds in adj.items()
+    }
+    out = {}
+    for v in VERTICES:
+        for w in range(num_walks):
+            wid = v * num_walks + w
+            cur, path = v, [v]
+            for t in range(1, walk_length + 1):
+                nbrs = ranked.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[_h60(f"{wid}|{t}|{seed}") % len(nbrs)]
+                path.append(cur)
+            out[wid] = path
+    return out
+
+
+def _run(spark, num_walks, walk_length, seed, repartition=None):
+    v = spark.createDataFrame([(i,) for i in VERTICES], "id long")
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    if repartition:
+        v, e = v.repartition(repartition), e.repartition(repartition, "dst")
+    g = GraphFrame(v, e)
+    rows = g.random_walks(
+        num_walks=num_walks, walk_length=walk_length, seed=seed
+    ).collect()
+    return {r["walk_id"]: list(r["path"]) for r in rows}
+
+
+def test_walks_match_pure_python_replay(spark):
+    for seed in (42, 7):
+        got = _run(spark, num_walks=2, walk_length=4, seed=seed)
+        want = _simulate(2, 4, seed)
+        assert got == want
+
+
+def test_walks_partitioning_independent(spark):
+    base = _run(spark, 1, 3, 42)
+    assert base == _run(spark, 1, 3, 42, repartition=5)
+    # sanity: sink and isolated vertices stop/never move
+    assert base[5] == [5]
+    assert base[7] == [7]
+    # self-loop walks keep cycling
+    assert base[6] == [6, 6, 6, 6]
+
+
+def test_walk_start_column(spark):
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = GraphFrame(v, e).random_walks(num_walks=3, walk_length=2)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(r["start"] == r["path"][0] for r in rows)
+    assert len({r["walk_id"] for r in rows}) == 6
