@@ -343,6 +343,25 @@ def _random_walks_sql(num_walks: int = 2, steps: int = 3, seed: int = 42) -> str
     )
 
 
+def _skipgram_pairs_sql(window: int = 2, **walk_kwargs) -> str:
+    """The walk replay extended with the skip-gram window expansion
+    (DuckDB lists are 1-based; Spark's 0-based j-bounds translate to
+    1 <= j <= len)."""
+    walks = _random_walks_sql(**walk_kwargs)
+    offs = ", ".join(
+        f"({o})" for o in range(-window, window + 1) if o != 0
+    )
+    return (
+        f"WITH walks AS ({walks}), "
+        "pos AS (SELECT path, unnest(range(1, len(path) + 1)) AS i "
+        "FROM walks), "
+        'pr AS (SELECT path[i] AS center, o.off AS "offset", '
+        f"i + o.off AS j, path FROM pos CROSS JOIN (VALUES {offs}) AS o(off)) "
+        'SELECT center, path[j] AS context, "offset" FROM pr '
+        "WHERE j >= 1 AND j <= len(path)"
+    )
+
+
 def _q_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus on the REVERSED hierarchy graph
     (region -> its nations -> their customers), so every hop exercises the
@@ -358,6 +377,23 @@ def _q_random_walks(spark, sf_dir):
         g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
     return rev.random_walks(num_walks=2, walk_length=3, seed=42)
+
+
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, offset) training pairs over the same
+    deterministic walk corpus as ``random_walks`` — the full
+    walks -> pairs embedding input pipeline, end to end. Oracle: the walk
+    replay SQL extended with the positional window expansion."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from graphframes_rs_spark.operators.random_walks import skipgram_pairs
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    rev = GraphFrame(
+        g.vertices,
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    walks = rev.random_walks(num_walks=2, walk_length=3, seed=42)
+    return skipgram_pairs(walks, window=2)
 
 
 def _q_kcore_forest(spark, sf_dir):
@@ -896,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_parallel": _q_pagerank_parallel,
         "random_walks": _q_random_walks,
+        "skipgram_pairs": _q_skipgram_pairs,
         "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
         "bfs_paths": _q_bfs_paths,
@@ -1290,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
         ),
         "random_walks": _random_walks_sql(),
+        "skipgram_pairs": _skipgram_pairs_sql(),
         "pagerank_parallel": (
             # two closed-form chains (see pagerank_personalized), packed
             # into an array in source order [customer 1001, nation 101];

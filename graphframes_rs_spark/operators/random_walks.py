@@ -130,3 +130,38 @@ def random_walks(
     return walks.select(
         "walk_id", F.col("path")[0].alias("start"), "path"
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, path_col: str = "path"
+) -> DataFrame:
+    """[center, context, offset] — skip-gram training pairs from a walk
+    corpus (the step after :func:`random_walks` in a DeepWalk/node2vec
+    embedding pipeline): for every position i in every path, emit
+    (path[i], path[j], j - i) for all j != i within ``window`` hops.
+
+    Pure narrow projection: one ``posexplode`` over the path plus an
+    offset explode — no joins, no shuffle; at 100 TB this pipelines
+    straight from the walk output into the training-data sink. Pair
+    counts follow corpus multiplicities exactly (no dedup): SGD consumers
+    weight by frequency."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    p = F.col(path_col)
+    exploded = walks.select(
+        p.alias("__path"), F.posexplode(p).alias("__i", "center")
+    )
+    offsets = [o for o in range(-window, window + 1) if o != 0]
+    return (
+        exploded.select(
+            "center",
+            F.explode(F.array(*[F.lit(o) for o in offsets])).alias("offset"),
+            F.col("__i"),
+            F.col("__path"),
+        )
+        .withColumn("__j", F.col("__i") + F.col("offset"))
+        .filter(
+            (F.col("__j") >= 0) & (F.col("__j") < F.size("__path"))
+        )
+        .select("center", F.col("__path")[F.col("__j")].alias("context"), "offset")
+    )

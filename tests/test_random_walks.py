@@ -80,3 +80,25 @@ def test_walk_start_column(spark):
     assert len(rows) == 6
     assert all(r["start"] == r["path"][0] for r in rows)
     assert len({r["walk_id"] for r in rows}) == 6
+
+
+def test_skipgram_pairs_hand_checked(spark):
+    from graphframes_rs_spark.operators.random_walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, [40])],
+        "walk_id long, path array<long>",
+    )
+    got = sorted(
+        (r["center"], r["context"], r["offset"])
+        for r in skipgram_pairs(walks, window=2).collect()
+    )
+    want = sorted([
+        (10, 20, 1), (10, 30, 2),
+        (20, 10, -1), (20, 30, 1),
+        (30, 10, -2), (30, 20, -1),
+    ])  # the singleton path emits nothing
+    assert got == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)
