@@ -602,6 +602,11 @@ def _q_ngram_dup_coverage(spark, sf_dir):
     return dedup.duplicated_ngram_coverage(docs, n=3)
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.tfidf_topk_terms(docs, k=5)
+
+
 def _q_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
@@ -964,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
         "ngram_dup_coverage": _q_ngram_dup_coverage,
+        "tfidf_topk": _q_tfidf_topk,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
@@ -1559,6 +1565,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_sigs": _minhash_sig_sql(),
         "lsh_candidates": _lsh_candidates_sql(),
+        "tfidf_topk": (
+            "WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM ("
+            "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t "
+            "FROM documents) GROUP BY 1, 2), "
+            "d AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) AS nd FROM documents), "
+            "s AS (SELECT doc_id, token, tf, dfreq, "
+            "round(tf * ln(CAST(nd AS DOUBLE) / dfreq), 6) AS tfidf "
+            "FROM tf JOIN d USING (token), n), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, token) AS BIGINT) AS rank FROM s) "
+            "SELECT doc_id, token, tf, dfreq, tfidf, rank FROM r "
+            "WHERE rank <= 5"
+        ),
         "ngram_dup_coverage": (
             # positional (not distinct) 3-grams; dup = gram seen in >= 2
             # docs; dup_tokens = union of the duplicated grams' 3-token

@@ -379,3 +379,54 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round((total_bg - once) / safe_total, 6), F.lit(0.0)
         ).alias("dup_bigram_frac"),
     )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """[doc_id, token, tf, dfreq, tfidf, rank] — each document's ``k``
+    highest-TF-IDF tokens: the per-document keyword signal used for
+    topic tagging, clustering features, and near-dup triage.
+    ``tfidf = tf * ln(N / dfreq)`` (raw term count x inverse document
+    frequency over the corpus), rounded to 6 before ranking so the sort
+    key (and therefore the rank) is identical across engines; ties break
+    on token.
+
+    Scale design: three shuffles, all combine-enabled or bounded —
+    per-(doc, token) counts, per-token document frequency, and a window
+    partitioned BY DOCUMENT (each partition holds one doc's distinct
+    tokens — bounded by doc length, never corpus-sized; compare
+    ``token_topk``'s note on unpartitioned windows). The corpus size N
+    rides a 1-row broadcast, not a driver-side count action."""
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    total = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

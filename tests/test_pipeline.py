@@ -549,3 +549,27 @@ def test_duplicated_ngram_coverage_hand_computed(spark):
         assert out[d]["dup_token_frac"] == 1.0
     assert out[5]["n_grams"] == 0 and out[5]["dup_token_frac"] == 0.0
     assert out[5]["n_tokens"] == 2
+
+
+def test_tfidf_topk_terms_hand_computed(spark):
+    """Hand-checked tf·ln(N/df) scores, tie-break on token, per-doc rank."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r
+        for r in text.tfidf_topk_terms(docs, k=2).collect()
+    }
+    # doc 1: b (1·ln3 ≈ 1.098612) beats a (2·ln1.5 ≈ 0.810930)
+    assert out[(1, 1)]["token"] == "b"
+    assert abs(out[(1, 1)]["tfidf"] - round(math.log(3), 6)) < 1e-9
+    assert out[(1, 2)]["token"] == "a"
+    assert abs(out[(1, 2)]["tfidf"] - round(2 * math.log(1.5), 6)) < 1e-9
+    # doc 2: a and c tie exactly — token order decides
+    assert out[(2, 1)]["token"] == "a" and out[(2, 2)]["token"] == "c"
+    # doc 3: only one distinct token
+    assert out[(3, 1)]["token"] == "c" and (3, 2) not in out
+    assert out[(3, 1)]["tf"] == 3 and out[(3, 1)]["dfreq"] == 2
