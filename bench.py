@@ -38,6 +38,24 @@ def _bench_bfs_big(spark, sf_dir):
     return g.shortest_paths(landmarks).set_checkpoint_dir(tempfile.mkdtemp()).run()
 
 
+def _bench_random_walks(spark, sf_dir):
+    # DeepWalk corpus over the 171k-vertex lineitem bipartite graph:
+    # 2 walks x 5 hops per vertex = 342k walks, five (src, rank) equi-joins
+    from graphframes_rs_spark.operators.random_walks import skipgram_pairs
+
+    g = lineitem_graph(spark, sf_dir)
+    walks = g.random_walks(num_walks=2, walk_length=5, seed=42)
+    return skipgram_pairs(walks, window=2)
+
+
+def _bench_ngram_dup_coverage(spark, sf_dir):
+    # the production 8-gram configuration (the oracle entry gates n=3)
+    from graphframes_rs_spark.pipeline.dedup import duplicated_ngram_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_ngram_coverage(docs, n=8)
+
+
 def _bench_ann_lsh(spark, sf_dir):
     # raw approximate operator at the driver entries' dials (the queries()
     # twin additionally computes the exact baseline for its recall gate)
@@ -258,6 +276,7 @@ BENCH_QUERIES = {
     "bfs_big": _bench_bfs_big,
     "triangles": entry.queries()["triangles"],
     "motif_triangles": entry.queries()["motif_triangles"],
+    "random_walks": _bench_random_walks,
     # relational core
     "in_degrees": entry.queries()["in_degrees"],
     "triplets": entry.queries()["triplets"],
@@ -272,6 +291,8 @@ BENCH_QUERIES = {
     "lsh_candidates": entry.queries()["lsh_candidates"],
     "jaccard_pairs": entry.queries()["jaccard_pairs"],
     "simhash": entry.queries()["simhash"],
+    "ngram_dup_coverage": _bench_ngram_dup_coverage,
+    "tfidf_topk": entry.queries()["tfidf_topk"],
     "embedding_neardup": entry.queries()["embedding_neardup"],
     "ann_topk": entry.queries()["ann_topk"],
     "ann_lsh": _bench_ann_lsh,
