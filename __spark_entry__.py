@@ -379,6 +379,19 @@ def _q_random_walks(spark, sf_dir):
     return rev.random_walks(num_walks=2, walk_length=3, seed=42)
 
 
+def _q_hits(spark, sf_dir):
+    """HITS hubs & authorities, two Jacobi iterations on the hierarchy
+    DAG. Oracle: a2 = Σ in-neighbours' out-degree, h2 = Σ out-neighbours'
+    in-degree (the t=2 iterates from all-ones), each normalized."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    hb = g.hits().max_iterations(2).set_checkpoint_dir(_ckpt())
+    return hb.run().select(
+        "id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
 def _q_skipgram_pairs(spark, sf_dir):
     """Skip-gram (center, context, offset) training pairs over the same
     deterministic walk corpus as ``random_walks`` — the full
@@ -938,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parallel": _q_pagerank_parallel,
         "random_walks": _q_random_walks,
         "skipgram_pairs": _q_skipgram_pairs,
+        "hits": _q_hits,
         "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
         "bfs_paths": _q_bfs_paths,
@@ -1334,6 +1348,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "random_walks": _random_walks_sql(),
         "skipgram_pairs": _skipgram_pairs_sql(),
+        "hits": (
+            f"WITH e AS ({_EDGES_SMALL_SQL}), "
+            f"verts AS ({_VERTS_SMALL_SQL}), "
+            "outd AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS h1 "
+            "FROM e GROUP BY 1), "
+            "ind AS (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS a1 "
+            "FROM e GROUP BY 1), "
+            "a2 AS (SELECT e.dst AS id, sum(COALESCE(o.h1, 0)) AS a "
+            "FROM e LEFT JOIN outd o ON e.src = o.id GROUP BY 1), "
+            "h2 AS (SELECT e.src AS id, sum(COALESCE(i.a1, 0)) AS h "
+            "FROM e LEFT JOIN ind i ON e.dst = i.id GROUP BY 1), "
+            "raw AS (SELECT v.id, COALESCE(a, 0) AS a, COALESCE(h, 0) AS h "
+            "FROM verts v LEFT JOIN a2 USING (id) LEFT JOIN h2 USING (id)), "
+            "tot AS (SELECT sum(a) AS ta, sum(h) AS th FROM raw) "
+            "SELECT id, round(a / ta, 6) AS authority, "
+            "round(h / th, 6) AS hub FROM raw, tot"
+        ),
         "pagerank_parallel": (
             # two closed-form chains (see pagerank_personalized), packed
             # into an array in source order [customer 1001, nation 101];

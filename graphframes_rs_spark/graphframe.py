@@ -324,6 +324,11 @@ class GraphFrame:
 
         return triangle_count(self)
 
+    def hits(self) -> "HITSBuilder":
+        from graphframes_rs_spark.operators.hits import HITSBuilder
+
+        return HITSBuilder(self)
+
     def random_walks(
         self, num_walks: int = 1, walk_length: int = 3, seed: int = 42
     ) -> DataFrame:

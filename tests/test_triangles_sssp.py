@@ -63,3 +63,25 @@ def test_weighted_sssp_matches_unweighted_on_unit_weights(spark, ckpt_dir):
     for r in joined:
         expected = float(r["dist_0"]) if r["dist_0"] < 2**31 - 1 else float("inf")
         assert r["dist"] == expected
+
+
+def test_hits_hand_computed(spark, ckpt_dir):
+    """Two Jacobi iterations on 1->2, 2->3, 1->3, hand-unrolled:
+    a2 = (0, 2, 3), h2 = (3, 2, 0) before normalization."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    hb = GraphFrame(v, e).hits().max_iterations(2)
+    got = {
+        r["id"]: (r["authority"], r["hub"])
+        for r in hb.set_checkpoint_dir(str(ckpt_dir) + "/hits").run().collect()
+    }
+    assert hb.iterations_ == 2
+    want_a = {1: 0.0, 2: 2 / 5, 3: 3 / 5}
+    want_h = {1: 3 / 5, 2: 2 / 5, 3: 0.0}
+    for vid in (1, 2, 3):
+        assert abs(got[vid][0] - want_a[vid]) < 1e-9, (vid, got[vid])
+        assert abs(got[vid][1] - want_h[vid]) < 1e-9, (vid, got[vid])
