@@ -453,6 +453,45 @@ def _q_mis_forest(spark, sf_dir):
     )
 
 
+def _q_coloring_forest(spark, sf_dir):
+    """Per-vertex proper-coloring invariant gate (same style as
+    ``mis_forest``): ``ok`` = colored AND no neighbour shares the color
+    AND color <= degree (the Jones–Plassmann bound). The coloring itself
+    is seed-dependent, so the oracle asserts the all-true invariant; any
+    missing, conflicting, or out-of-bound color flips a row to false and
+    fails the value hash."""
+    from graphframes_rs_spark.graphframe import symmetrize_edges
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    colors = g.greedy_coloring().set_checkpoint_dir(_ckpt()).run()
+    und = symmetrize_edges(g.edges, deduplicate=True)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    c_src = colors.select(F.col("id").alias("src"), F.col("color").alias("__c1"))
+    c_dst = colors.select(F.col("id").alias("dst"), F.col("color").alias("__c2"))
+    conflicted = (
+        und.join(c_src, "src")
+        .join(c_dst, "dst")
+        .filter(F.col("__c1") == F.col("__c2"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("__bad", F.lit(True))
+    )
+    return (
+        colors.join(deg, "id", "left")
+        .join(conflicted, "id", "left")
+        .select(
+            "id",
+            (
+                F.col("color").isNotNull()
+                & F.col("__bad").isNull()
+                & (F.col("color") <= F.coalesce(F.col("__deg"), F.lit(0)))
+            ).alias("ok"),
+        )
+    )
+
+
 def _q_wcc_big(spark, sf_dir):
     g = lineitem_graph(spark, sf_dir)
     return g.connected_components().set_checkpoint_dir(_ckpt()).run()
@@ -958,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_rings": _q_scc_rings,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
+        "coloring_forest": _q_coloring_forest,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
@@ -1395,6 +1435,9 @@ def oracle_sql() -> dict[str, str]:
         "kcore_big": _kcore_big_sql(),
         "label_propagation": _label_propagation_sql(5),
         "mis_forest": (
+            f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
+        ),
+        "coloring_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
         ),
         "ann_lsh": (

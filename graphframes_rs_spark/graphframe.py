@@ -324,6 +324,11 @@ class GraphFrame:
 
         return triangle_count(self)
 
+    def greedy_coloring(self) -> "ColoringBuilder":
+        from graphframes_rs_spark.operators.coloring import ColoringBuilder
+
+        return ColoringBuilder(self)
+
     def hits(self) -> "HITSBuilder":
         from graphframes_rs_spark.operators.hits import HITSBuilder
 
