@@ -453,6 +453,16 @@ def _q_mis_forest(spark, sf_dir):
     )
 
 
+def _q_betweenness(spark, sf_dir):
+    """Sampled-source Brandes betweenness from customers 1-3 on the
+    hierarchy DAG: every source's only intermediate vertex is its nation
+    (customer -> nation -> region), so betweenness(nation) = number of
+    sampled sources in it and 0 elsewhere — closed-form oracle."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    b = g.betweenness([1001, 1002, 1003]).set_checkpoint_dir(_ckpt())
+    return b.run()
+
+
 def _q_coloring_forest(spark, sf_dir):
     """Per-vertex proper-coloring invariant gate (same style as
     ``mis_forest``): ``ok`` = colored AND no neighbour shares the color
@@ -998,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "coloring_forest": _q_coloring_forest,
+        "betweenness": _q_betweenness,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
@@ -1439,6 +1450,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "coloring_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
+        ),
+        "betweenness": (
+            "WITH srcs AS (SELECT CAST(c_nationkey + 100 AS BIGINT) AS nid "
+            "FROM customer WHERE c_custkey IN (1, 2, 3)), "
+            "b AS (SELECT nid AS id, CAST(count(*) AS DOUBLE) AS bw "
+            "FROM srcs GROUP BY 1), "
+            f"verts AS ({_VERTS_SMALL_SQL}) "
+            "SELECT v.id, round(COALESCE(bw, 0.0), 6) AS betweenness "
+            "FROM verts v LEFT JOIN b USING (id)"
         ),
         "ann_lsh": (
             "SELECT vec_id AS query_id, true AS recall_ok "

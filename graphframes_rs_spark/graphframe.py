@@ -324,6 +324,11 @@ class GraphFrame:
 
         return triangle_count(self)
 
+    def betweenness(self, sources) -> "BetweennessBuilder":
+        from graphframes_rs_spark.operators.betweenness import BetweennessBuilder
+
+        return BetweennessBuilder(self, sources)
+
     def greedy_coloring(self) -> "ColoringBuilder":
         from graphframes_rs_spark.operators.coloring import ColoringBuilder
 

@@ -1,0 +1,63 @@
+"""Sampled-source Brandes betweenness: hand-computed paths, diamonds
+(path multiplicity), undirected star vs the known closed form, and
+unreachable-source robustness."""
+
+from graphframes_rs_spark.graphframe import GraphFrame, symmetrize_edges
+
+
+def _bw(spark, ckpt, vertices, edges, sources, sub, undirected=False):
+    v = spark.createDataFrame([(i,) for i in vertices], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if undirected:
+        e = symmetrize_edges(e, deduplicate=True)
+    b = GraphFrame(v, e).betweenness(sources)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in b.set_checkpoint_dir(f"{ckpt}/{sub}").run().collect()
+    }
+    return got, b
+
+
+def test_betweenness_directed_path(spark, ckpt_dir):
+    """1->2->3->4 from source 1: delta(2)=2, delta(3)=1, source excluded."""
+    got, b = _bw(
+        spark, ckpt_dir, [1, 2, 3, 4],
+        [(1, 2), (2, 3), (3, 4)], [1], "path",
+    )
+    assert got == {1: 0.0, 2: 2.0, 3: 1.0, 4: 0.0}
+    assert b.max_distance_ == 3
+
+
+def test_betweenness_diamond_splits_dependency(spark, ckpt_dir):
+    """1->{2,3}->4: two shortest paths to 4, each middle carries 1/2."""
+    got, _ = _bw(
+        spark, ckpt_dir, [1, 2, 3, 4],
+        [(1, 2), (1, 3), (2, 4), (3, 4)], [1], "diamond",
+    )
+    assert got == {1: 0.0, 2: 0.5, 3: 0.5, 4: 0.0}
+
+
+def test_betweenness_undirected_star_exact(spark, ckpt_dir):
+    """All-sources undirected star: center betweenness = ordered leaf
+    pairs = 3*2 = 6; leaves 0 (the textbook closed form)."""
+    got, _ = _bw(
+        spark, ckpt_dir, [1, 2, 3, 4],
+        [(1, 2), (1, 3), (1, 4)], [1, 2, 3, 4], "star", undirected=True,
+    )
+    assert got == {1: 6.0, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_betweenness_sink_source_contributes_nothing(spark, ckpt_dir):
+    """A source with no out-edges adds zero everywhere; totals match the
+    single-source run."""
+    got, _ = _bw(
+        spark, ckpt_dir, [1, 2, 3, 4],
+        [(1, 2), (2, 3), (3, 4)], [1, 4], "sink",
+    )
+    assert got == {1: 0.0, 2: 2.0, 3: 1.0, 4: 0.0}
+
+
+def test_betweenness_no_edges(spark, ckpt_dir):
+    got, b = _bw(spark, ckpt_dir, [1, 2], [], [1], "empty")
+    assert got == {1: 0.0, 2: 0.0}
+    assert b.max_distance_ == 0
