@@ -38,6 +38,29 @@ def _bench_bfs_big(spark, sf_dir):
     return g.shortest_paths(landmarks).set_checkpoint_dir(tempfile.mkdtemp()).run()
 
 
+def _bench_hits_big(spark, sf_dir):
+    g = lineitem_graph(spark, sf_dir)
+    return g.hits().max_iterations(4).set_checkpoint_dir(tempfile.mkdtemp()).run()
+
+
+def _bench_betweenness_big(spark, sf_dir):
+    # sampled Brandes from 4 order sources on the undirected graph:
+    # forward BFS + backward dependency, ~2x BFS-depth supersteps
+    from graphframes_rs_spark.graphframe import GraphFrame, symmetrize_edges
+
+    g = lineitem_graph(spark, sf_dir)
+    und = GraphFrame(
+        g.vertices, symmetrize_edges(g.edges, deduplicate=True)
+    )
+    sources = [r["id"] for r in g.vertices.orderBy("id").limit(4).collect()]
+    return (
+        und.betweenness(sources)
+        .max_distance(6)  # bounded-distance estimator: 2x6 supersteps
+        .set_checkpoint_dir(tempfile.mkdtemp())
+        .run()
+    )
+
+
 def _bench_random_walks(spark, sf_dir):
     # DeepWalk corpus over the 171k-vertex lineitem bipartite graph:
     # 2 walks x 5 hops per vertex = 342k walks, five (src, rank) equi-joins
@@ -277,6 +300,8 @@ BENCH_QUERIES = {
     "triangles": entry.queries()["triangles"],
     "motif_triangles": entry.queries()["motif_triangles"],
     "random_walks": _bench_random_walks,
+    "hits_big": _bench_hits_big,
+    "betweenness_big": _bench_betweenness_big,
     # relational core
     "in_degrees": entry.queries()["in_degrees"],
     "triplets": entry.queries()["triplets"],

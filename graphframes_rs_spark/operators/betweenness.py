@@ -55,7 +55,21 @@ class BetweennessBuilder:
         if not self.sources:
             raise ValueError("betweenness needs >= 1 source vertex")
         self._checkpoint_dir = None
+        self._max_distance = None
         self.max_distance_ = 0
+
+    def max_distance(self, n: int) -> "BetweennessBuilder":
+        """Bounded-distance betweenness: ignore shortest paths longer
+        than ``n`` hops (the standard k-bounded estimator — Brandes &
+        Pich 2007). Caps BOTH phases at ``n`` supersteps, making the cost
+        O(k·E·n) independent of graph diameter; on small-world graphs
+        most dependency mass lives within a few hops, so small bounds
+        approximate the unbounded score well while large-diameter
+        stragglers stop dominating the wall clock."""
+        if n < 1:
+            raise ValueError("max_distance must be >= 1")
+        self._max_distance = n
+        return self
 
     def set_checkpoint_dir(self, d: str) -> "BetweennessBuilder":
         self._checkpoint_dir = d
@@ -121,6 +135,8 @@ class BetweennessBuilder:
             .skip_dest_state()
             .with_materialized_edges()
         )
+        if self._max_distance is not None:
+            fwd = fwd.max_iterations(self._max_distance)
         if self._ckpt("fwd"):
             fwd = fwd.set_checkpoint_dir(self._ckpt("fwd"))
         reached = fwd.run()

@@ -61,3 +61,22 @@ def test_betweenness_no_edges(spark, ckpt_dir):
     got, b = _bw(spark, ckpt_dir, [1, 2], [], [1], "empty")
     assert got == {1: 0.0, 2: 0.0}
     assert b.max_distance_ == 0
+
+
+def test_betweenness_max_distance_bound(spark, ckpt_dir):
+    """max_distance(2) on 1->2->3->4: only pairs within 2 hops count, so
+    vertex 2 keeps just the (1,3) intermediate credit and 3 loses its."""
+    got, b = _bw2(spark, ckpt_dir)
+    assert got == {1: 0.0, 2: 1.0, 3: 0.0, 4: 0.0}
+    assert b.max_distance_ == 2
+
+
+def _bw2(spark, ckpt):
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    b = GraphFrame(v, e).betweenness([1]).max_distance(2)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in b.set_checkpoint_dir(f"{ckpt}/bounded").run().collect()
+    }
+    return got, b
