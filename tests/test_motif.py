@@ -160,3 +160,33 @@ def test_triangle_fast_path_gate_excludes_non_triangles(spark):
     g = GraphFrame(v, e)
     rows = g.find("(a)-[e]->(b); (b)-[]->(c); (a)-[]->(c)").collect()
     assert len(rows) == 1 and rows[0]["e"]["src"] == 1
+
+
+def test_triangle_fast_path_randomized_equivalence(spark):
+    """Seeded random multigraphs (loops + duplicate edges allowed):
+    fast path == literal chain on every one, both triangle shapes."""
+    import random
+
+    from graphframes_rs_spark import config as gf_config
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    key = gf_config.MOTIF_TRIANGLE_FAST_PATH
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randint(1, 6), rng.randint(1, 6)) for _ in range(14)
+        ]
+        v = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+        e = spark.createDataFrame(edges, "src long, dst long")
+        g = GraphFrame(v, e)
+        for pat in (
+            "(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)",
+            "(a)-[]->(b); (b)-[]->(c); (c)-[]->(a)",
+        ):
+            spark.conf.set(key, "false")
+            try:
+                slow = _bindings(g.find(pat))
+            finally:
+                spark.conf.unset(key)
+            fast = _bindings(g.find(pat))
+            assert fast == slow, (seed, pat)
