@@ -453,6 +453,22 @@ def _q_mis_forest(spark, sf_dir):
     )
 
 
+def _q_ktruss(spark, sf_dir):
+    """4-truss on the hierarchy forest with a planted K5 over the five
+    region vertices: the forest closes no triangles (drops in round 1),
+    every K5 edge closes 3 >= k-2 (survives) — the truss is exactly the
+    10 clique edges with support 3, closed-form."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    regions = g.vertices.filter((F.col("id") >= 50) & (F.col("id") < 100))
+    a = regions.select(F.col("id").alias("src"))
+    b = regions.select(F.col("id").alias("dst"))
+    clique = a.crossJoin(b).filter(F.col("src") < F.col("dst"))
+    planted = GraphFrame(g.vertices, g.edges.unionByName(clique))
+    return planted.k_truss(4).set_checkpoint_dir(_ckpt()).run()
+
+
 def _q_betweenness(spark, sf_dir):
     """Sampled-source Brandes betweenness from customers 1-3 on the
     hierarchy DAG: every source's only intermediate vertex is its nation
@@ -1009,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_forest": _q_mis_forest,
         "coloring_forest": _q_coloring_forest,
         "betweenness": _q_betweenness,
+        "ktruss_planted": _q_ktruss,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
@@ -1450,6 +1467,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "coloring_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
+        ),
+        "ktruss_planted": (
+            "SELECT CAST(a.r_regionkey + 50 AS BIGINT) AS src, "
+            "CAST(b.r_regionkey + 50 AS BIGINT) AS dst, "
+            "CAST(3 AS BIGINT) AS support "
+            "FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey"
         ),
         "betweenness": (
             "WITH srcs AS (SELECT CAST(c_nationkey + 100 AS BIGINT) AS nid "

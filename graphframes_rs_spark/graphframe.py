@@ -324,6 +324,11 @@ class GraphFrame:
 
         return triangle_count(self)
 
+    def k_truss(self, k: int) -> "KTrussBuilder":
+        from graphframes_rs_spark.operators.truss import KTrussBuilder
+
+        return KTrussBuilder(self, k)
+
     def betweenness(self, sources) -> "BetweennessBuilder":
         from graphframes_rs_spark.operators.betweenness import BetweennessBuilder
 
