@@ -453,6 +453,21 @@ def _q_mis_forest(spark, sf_dir):
     )
 
 
+def _q_link_prediction(spark, sf_dir):
+    """Neighborhood-overlap link prediction on the nation->region layer:
+    the only wedge middles are the regions (each of degree exactly 5 in
+    TPC-H), so the candidates are the 10 nation pairs per region, each
+    with one witness — common=1, jaccard=1 (both nations have degree 1),
+    adamic_adar=1/ln(5). Closed-form oracle; max_degree=None for
+    exactness (the capped default is the production path)."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    layer_e = g.edges.filter((F.col("src") >= 100) & (F.col("src") < 1000))
+    layer_v = g.vertices.filter((F.col("id") >= 50) & (F.col("id") < 1000))
+    return GraphFrame(layer_v, layer_e).link_prediction(max_degree=None)
+
+
 def _q_ktruss(spark, sf_dir):
     """4-truss on the hierarchy forest with a planted K5 over the five
     region vertices: the forest closes no triangles (drops in round 1),
@@ -1026,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_forest": _q_coloring_forest,
         "betweenness": _q_betweenness,
         "ktruss_planted": _q_ktruss,
+        "link_prediction": _q_link_prediction,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
@@ -1467,6 +1483,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "coloring_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
+        ),
+        "link_prediction": (
+            "SELECT CAST(a.n_nationkey + 100 AS BIGINT) AS a, "
+            "CAST(b.n_nationkey + 100 AS BIGINT) AS b, "
+            "CAST(1 AS BIGINT) AS common, "
+            "CAST(1.0 AS DOUBLE) AS jaccard, "
+            "round(CAST(1.0 AS DOUBLE) / ln(5), 6) AS adamic_adar "
+            "FROM nation a JOIN nation b "
+            "ON a.n_regionkey = b.n_regionkey "
+            "AND a.n_nationkey < b.n_nationkey"
         ),
         "ktruss_planted": (
             "SELECT CAST(a.r_regionkey + 50 AS BIGINT) AS src, "

@@ -324,6 +324,13 @@ class GraphFrame:
 
         return triangle_count(self)
 
+    def link_prediction(
+        self, max_degree: Optional[int] = 10_000, min_common: int = 1
+    ) -> DataFrame:
+        from graphframes_rs_spark.operators.link_prediction import link_prediction
+
+        return link_prediction(self, max_degree, min_common)
+
     def k_truss(self, k: int) -> "KTrussBuilder":
         from graphframes_rs_spark.operators.truss import KTrussBuilder
 

@@ -1,0 +1,87 @@
+"""Neighborhood-overlap link prediction: common-neighbors, Jaccard, and
+Adamic-Adar scores for every 2-hop candidate pair.
+
+Not in the reference or GraphFrames; the standard "which edges are
+missing" primitives (Liben-Nowell & Kleinberg 2003) for recommendation
+and knowledge-graph completion.
+
+Undirected semantics (edges are symmetrized + deduped first). Candidate
+pairs are exactly the vertex pairs with >= 1 common neighbor — found by
+the same hub-bounded wedge join as ``triangle_count``: wedges anchor on
+the MIDDLE vertex, so per-middle work is deg(v)², with an explicit
+``max_degree`` dial to drop super-hub middles (a vertex of degree 10^6
+would otherwise contribute 10^12 candidate pairs; dropping it costs
+score mass only for pairs whose ONLY witness is that hub — exactly the
+pairs Adamic-Adar down-weights hardest, since 1/log(deg) vanishes).
+Already-connected pairs are excluded via a left-anti join (they're
+edges, not predictions).
+
+Adamic-Adar sums 1/ln(deg(v)) over common neighbors v; degree-1
+middles cannot exist (a wedge middle has >= 2 edges), so ln(deg) >= ln 2
+and the sum is always finite.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC, symmetrize_edges
+
+
+def link_prediction(
+    graph: GraphFrame,
+    max_degree: Optional[int] = 10_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """[a, b, common, jaccard, adamic_adar] for candidate pairs a < b
+    with >= ``min_common`` common neighbors and no existing edge.
+    ``max_degree`` drops wedge middles above the bound (None = exact)."""
+    und = symmetrize_edges(graph.edges.select(SRC, DST), deduplicate=True)
+    deg = und.groupBy(F.col(SRC).alias(ID)).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+    mids = deg if max_degree is None else deg.filter(
+        F.col("deg") <= max_degree
+    )
+    # wedge a - v - b, anchored on the middle v; a < b halves the pairs
+    w1 = und.select(F.col(SRC).alias("v"), F.col(DST).alias("a"))
+    w2 = und.select(F.col(SRC).alias("v"), F.col(DST).alias("b"))
+    wedges = (
+        w1.join(w2, "v")
+        .filter(F.col("a") < F.col("b"))
+        .join(mids.select(F.col(ID).alias("v"), "deg"), "v")
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias(
+            "adamic_adar"
+        ),
+    ).filter(F.col("common") >= min_common)
+
+    # drop pairs that are already edges (canonical orientation matches)
+    existing = und.filter(F.col(SRC) < F.col(DST)).select(
+        F.col(SRC).alias("a"), F.col(DST).alias("b")
+    )
+    scored = scored.join(existing, ["a", "b"], "left_anti")
+
+    da = deg.select(F.col(ID).alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col(ID).alias("b"), F.col("deg").alias("__db"))
+    return (
+        scored.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("__da") + F.col("__db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
