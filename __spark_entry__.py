@@ -850,6 +850,11 @@ def _q_audio_features(spark, sf_dir):
     return mm.audio_features(media)
 
 
+def _q_event_transitions(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return ev.event_transitions(events)
+
+
 def _q_events_hourly(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     out = ev.tumbling_counts(events, "1 hour")
@@ -1087,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_duration": _q_video_duration,
         "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
+        "event_transitions": _q_event_transitions,
         "sessions": _q_sessions,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
@@ -1968,6 +1974,17 @@ def oracle_sql() -> dict[str, str]:
             "round(sqrt(avg(pow(CAST(((doc_id * 31 + i * 7) % 256 - 128) AS DOUBLE)"
             " / 128.0, 2))), 6) AS rms "
             "FROM sm GROUP BY doc_id"
+        ),
+        "event_transitions": (
+            "WITH p AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS to_type FROM events), "
+            "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT from_type, sum(n) AS tt FROM c GROUP BY 1) "
+            "SELECT c.from_type, c.to_type, n, "
+            "round(CAST(n AS DOUBLE) / tt, 6) AS prob "
+            "FROM c JOIN t USING (from_type)"
         ),
         "events_hourly": (
             # epoch_ms // 1000 floors like Spark's timestamp->long cast

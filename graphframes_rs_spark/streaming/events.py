@@ -191,3 +191,44 @@ def streaming_user_stats(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """[from_type, to_type, n, prob] — the user-journey Markov matrix:
+    for each user's time-ordered event stream, count consecutive
+    (event_type -> next event_type) transitions and normalize per source
+    type. The standard funnel/journey primitive.
+
+    Scale design: ONE window shuffle partitioned by user (per-partition
+    work is each user's own history, never corpus-sized) feeding a
+    combine-enabled groupBy; the per-source normalizer joins back on the
+    tiny type-cardinality frame. Equal timestamps are ordered by
+    ``tiebreak_col`` so the matrix is deterministic under any
+    partitioning."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (
+        counts.join(totals, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("prob"),
+        )
+    )

@@ -486,3 +486,29 @@ def test_streaming_exact_dedup_watermark_bounded(spark, tmp_path):
     # all 50 rows land within the 10-minute window: exact collapse to 10
     assert len(got) == 10
     assert len({r["content_hash"] for r in got}) == 10
+
+
+def test_event_transitions_hand_computed(spark):
+    """Per-user time-ordered journeys: u1 a->b->a gives (a,b) and (b,a);
+    u2 a->a gives (a,a); probabilities normalize per source type."""
+    import datetime as dt
+
+    rows = [
+        (1, 10, dt.datetime(2024, 1, 1, 0, 0, 0), "a"),
+        (2, 10, dt.datetime(2024, 1, 1, 0, 1, 0), "b"),
+        (3, 10, dt.datetime(2024, 1, 1, 0, 2, 0), "a"),
+        (4, 20, dt.datetime(2024, 1, 1, 0, 0, 0), "a"),
+        (5, 20, dt.datetime(2024, 1, 1, 0, 5, 0), "a"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in ev.event_transitions(events).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "a"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
