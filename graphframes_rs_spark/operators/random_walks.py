@@ -66,11 +66,19 @@ def random_walks(
     )
     # each hop row also carries the DESTINATION's out-degree so the next
     # step needs no degree lookup
-    hops = ranked.join(
-        outdeg.select(F.col(ID).alias(DST), F.col("odeg").alias("dst_odeg")),
-        DST,
-        "left",
-    ).select(SRC, "rank", DST, "dst_odeg")
+    hops = (
+        ranked.join(
+            outdeg.select(
+                F.col(ID).alias(DST), F.col("odeg").alias("dst_odeg")
+            ),
+            DST,
+            "left",
+        )
+        .select(SRC, "rank", DST, "dst_odeg")
+        # referenced once per hop: materialize so the window + degree
+        # joins run once, not walk_length times
+        .localCheckpoint(eager=False)
+    )
 
     walks = (
         graph.vertices.select(ID)
