@@ -172,3 +172,52 @@ def test_vocab_stats_approximate_plan(spark):
     assert exact["n_distinct_tokens"] == 201  # 200 tok{i} (tok0..6 reused) + common
     assert abs(approx["n_distinct_tokens"] - 201) <= 201 * 0.15
     assert approx["n_docs"] == 200 and approx["n_tokens"] == exact["n_tokens"]
+
+
+def test_new_operators_plan_hygiene(spark):
+    """The round-5 operators must plan with pruned scans and no
+    cartesian products; tfidf's only nested-loop join is the intended
+    1-row corpus-size broadcast."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from graphframes_rs_spark.pipeline import dedup, text
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    e = v.select(
+        F.col("id").alias("src"), ((F.col("id") % 5) + 1).alias("dst")
+    )
+    g = GraphFrame(v, e)
+
+    for name, df in [
+        ("ngram_dup_coverage", dedup.duplicated_ngram_coverage(docs, n=2)),
+        ("random_walks", g.random_walks(walk_length=2)),
+        ("link_prediction", g.link_prediction()),
+    ]:
+        plan = _executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    tfidf_plan = _executed_plan(text.tfidf_topk_terms(docs, k=2))
+    assert "CartesianProduct" not in tfidf_plan
+    # exactly one BNLJ: the 1-row count broadcast (a real join key would
+    # be a bug; more than one would mean an accidental cross join)
+    assert tfidf_plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_motif_fast_path_plan_has_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    e = v.select(
+        F.col("id").alias("src"), ((F.col("id") % 5) + 1).alias("dst")
+    )
+    g = GraphFrame(v, e)
+    plan = _executed_plan(g.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
