@@ -393,7 +393,12 @@ def main():
     # dial comparison affordable (both variants run in one warm session,
     # back-to-back, so their *ratio* is load-comparable). Single-shot for
     # the sub-second relational/pipeline queries.
-    REPEATED = {"pagerank_big", "wcc_big", "kcore_big", "bfs_big"}
+    REPEATED = {
+        "pagerank_big", "wcc_big", "kcore_big", "bfs_big",
+        # join-heavy round-5 queries: first run pays AQE/codegen planning
+        # (measured motif 9.1s cold vs 4.7-6s warm)
+        "motif_triangles", "hits_big", "random_walks",
+    }
     SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_cc"}
 
     timings = {}
