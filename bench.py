@@ -291,6 +291,14 @@ def _bench_scale_kcore(tier, count_compression=False):
     return run
 
 
+def _bench_scale_walks(tier):
+    def run(spark, sf_dir):
+        g = _scale_graph(spark, tier)
+        return g.random_walks(num_walks=1, walk_length=3, seed=42)
+
+    return run
+
+
 BENCH_QUERIES = {
     # graph algorithms at scale (lineitem bipartite graph)
     "pagerank_big": _bench_pagerank_big,
@@ -345,6 +353,9 @@ BENCH_QUERIES = {
     "scale_pagerank_skew18m": _bench_scale_pagerank("skew18m"),
     "scale_kcore_skew18m": _bench_scale_kcore("skew18m"),
     "scale_kcore_skew18m_cc": _bench_scale_kcore("skew18m", count_compression=True),
+    # walk-corpus scale proof: 2M walks x 3 hops over the 6M-edge tier
+    # (ranked-hop prep = one window shuffle; each hop one equi-join)
+    "scale_walks_6m": _bench_scale_walks("6m"),
     # pipeline scale proof: full dedup composition at 40x the sf0.1 corpus
     # (minhash -> LSH -> exact rescore -> WCC clusters; recovers the
     # planted 20k near-dup triples exactly — see SCALE_DOCS)
