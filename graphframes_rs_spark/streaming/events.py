@@ -232,3 +232,65 @@ def event_transitions(
             F.round(F.col("n") / F.col("__t"), 6).alias("prob"),
         )
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    item_col: str = "event_type",
+    capacity: int = 8,
+    num_shards: int = 4,
+) -> DataFrame:
+    """Bounded-state streaming heavy hitters: sharded Misra–Gries
+    summaries via ``applyInPandasWithState`` — [shard, item, est_count].
+
+    Items are hash-sharded, so each item's FULL stream lives in exactly
+    one shard and each shard maintains an MG summary of at most
+    ``capacity`` (item, count) pairs — total state is
+    ``num_shards * capacity`` tuples NO MATTER how many distinct items
+    the stream carries, the property that makes global top-k affordable
+    on an unbounded stream (an exact streaming groupBy count grows state
+    with the key cardinality). Each micro-batch is pre-counted
+    vectorized (``value_counts``) and merged with the classic mergeable-
+    summaries step: add counts, then subtract the (capacity+1)-th
+    largest and drop non-positives. Standard MG guarantee per shard:
+    every item with true count > shard_stream_length / (capacity + 1)
+    is retained, and estimates undercount by at most that ratio.
+
+    Update-mode output re-emits a shard's current summary each batch
+    that touches it; downstream takes the last emission per (shard,
+    item). Scale dials: ``num_shards`` spreads state/CPU across
+    executors, ``capacity`` trades memory for estimate accuracy."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = stream.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(num_shards))
+        .alias("shard"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        items, counts = state.get if state.exists else ([], [])
+        mg = dict(zip(items, counts))
+        for pdf in pdfs:
+            for it, c in pdf["item"].value_counts().items():
+                mg[it] = mg.get(it, 0) + int(c)
+        if len(mg) > capacity:
+            cut = sorted(mg.values(), reverse=True)[capacity]
+            mg = {k: v - cut for k, v in mg.items() if v - cut > 0}
+        state.update((list(mg.keys()), [int(v) for v in mg.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(mg),
+                "item": list(mg.keys()),
+                "est_count": [int(v) for v in mg.values()],
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="shard long, item string, est_count long",
+        stateStructType="items array<string>, counts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -512,3 +512,70 @@ def test_event_transitions_hand_computed(spark):
         ("a", "a"): (1, 0.5),
         ("b", "a"): (1, 1.0),
     }
+
+
+def test_streaming_heavy_hitters_exact_when_under_capacity(spark, tmp_path):
+    """With capacity >= distinct items Misra-Gries never evicts, so the
+    last emission per (shard, item) equals the exact count — across two
+    micro-batches against the same state."""
+    import os
+
+    events = load_table(spark, SF_DIR, "events").limit(200).cache()
+    src = str(tmp_path / "hh_src")
+    os.makedirs(src, exist_ok=True)
+    half = events.limit(100)
+    half.coalesce(1).write.mode("overwrite").parquet(src)
+    events.subtract(half).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ev.streaming_heavy_hitters(stream, capacity=16, num_shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_exact")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from (select *, row_number() over "
+        "(partition by shard, item order by est_count desc) rn "
+        "from hh_exact) where rn = 1"
+    ).collect()
+    got = {r["item"]: r["est_count"] for r in rows}
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    events.unpersist()
+
+
+def test_streaming_heavy_hitters_eviction_keeps_heavy_item(spark, tmp_path):
+    """Over capacity the merge subtracts the (capacity+1)-th largest
+    count: 50x 'hot' + 20 singletons at capacity 4 leaves exactly
+    {hot: 49} — the deterministic MG outcome — and state stays bounded."""
+    rows = [("hot",)] * 50 + [(f"cold{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_type string")
+    src = str(tmp_path / "hh_skew")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = ev.streaming_heavy_hitters(stream, capacity=4, num_shards=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_skew")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["item"]: r["est_count"]
+        for r in spark.sql("select * from hh_skew").collect()
+    }
+    assert got == {"hot": 49}
