@@ -44,14 +44,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphframes_rs_spark.graphframe import GraphFrame, ID
+from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC
 from graphframes_rs_spark.pregel import MessageDirection, Pregel
 
 
 class BetweennessBuilder:
     def __init__(self, graph: GraphFrame, sources):
         self.graph = graph
-        self.sources = [int(s) for s in sources]
+        # dedupe, order-preserving: a repeated source would run the same
+        # accumulation twice and silently double its dependency mass.
+        # Sources absent from the vertex frame contribute zero (documented).
+        self.sources = list(dict.fromkeys(int(s) for s in sources))
         if not self.sources:
             raise ValueError("betweenness needs >= 1 source vertex")
         self._checkpoint_dir = None
@@ -87,9 +90,26 @@ class BetweennessBuilder:
         dists = [f"__bw_d_{i}" for i in range(K)]
         sigmas = [f"__bw_s_{i}" for i in range(K)]
 
+        # Materialize the edge projection ONCE (bucketed by src) and feed
+        # the SAME checkpoint to both Pregel phases — the
+        # with_materialized_edges contract (see k_core/pagerank prep):
+        # otherwise each of the 2·T supersteps would re-run the caller's
+        # edge lineage and re-exchange it.
+        from graphframes_rs_spark import config as gf_config
+        from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+        spark = self.graph.vertices.sparkSession
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        prep_ckpt = ParquetCheckpointer(spark, self._ckpt("prep"))
+        raw = self.graph.edges.select(SRC, DST)
+        if gf_config.use_bucketed_checkpoints(spark):
+            edges = prep_ckpt.push_bucketed(raw, SRC, shuffle_n, "edges")
+        else:
+            edges = prep_ckpt.push_partitioned(raw, SRC, shuffle_n, "edges")
+
         # ---- phase 1: lockstep multi-source BFS with path counts --------
         msg = Pregel.msg("sig")
-        fwd = self.graph.pregel()
+        fwd = GraphFrame(self.graph.vertices, edges).pregel()
         for i, s in enumerate(self.sources):
             is_src = F.col(ID) == F.lit(s)
             fwd = fwd.add_vertex_column(
@@ -146,6 +166,7 @@ class BetweennessBuilder:
         ).collect()[0][0]
         self.max_distance_ = int(t_max or 0)
         if self.max_distance_ == 0:  # no source reaches anything
+            prep_ckpt.purge()
             return self.graph.vertices.select(
                 ID, F.lit(0.0).alias("betweenness")
             )
@@ -153,7 +174,7 @@ class BetweennessBuilder:
         # ---- phase 2: countdown-layered dependency accumulation ---------
         deltas = [f"__bw_x_{i}" for i in range(K)]
         bmsg = Pregel.msg("dep")
-        back = GraphFrame(reached, self.graph.edges).pregel()
+        back = GraphFrame(reached, edges).pregel()
         for i in range(K):
             back = (
                 back.add_vertex_column(dists[i], F.col(dists[i]), F.col(dists[i]))
@@ -198,6 +219,7 @@ class BetweennessBuilder:
         if self._ckpt("back"):
             back = back.set_checkpoint_dir(self._ckpt("back"))
         acc = back.run()
+        prep_ckpt.purge()  # both phases re-materialized their results
 
         contribs = [
             F.when(

@@ -41,8 +41,21 @@ class HITSBuilder:
         self.iterations_ = 0
 
     def max_iterations(self, n: int) -> "HITSBuilder":
+        """1 <= n <= 50. The upper bound is the overflow guard for the
+        end-normalization design: un-normalized magnitudes grow like
+        (principal singular value)^n, and even a pathological sigma of
+        ~10^6 stays inside double range (10^300) for n = 50 — past that
+        the totals could reach inf and normalize to 0/NaN silently.
+        HITS direction typically converges in well under 30 rounds; for
+        more, renormalize externally between calls."""
         if n < 1:
             raise ValueError("HITS needs at least one iteration")
+        if n > 50:
+            raise ValueError(
+                "max_iterations > 50 can overflow the un-normalized "
+                "iterates (scores normalize once at the END); chain "
+                "shorter runs if you genuinely need more rounds"
+            )
         self.max_iter = n
         return self
 

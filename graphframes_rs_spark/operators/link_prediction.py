@@ -47,14 +47,18 @@ def link_prediction(
     mids = deg if max_degree is None else deg.filter(
         F.col("deg") <= max_degree
     )
-    # wedge a - v - b, anchored on the middle v; a < b halves the pairs
-    w1 = und.select(F.col(SRC).alias("v"), F.col(DST).alias("a"))
-    w2 = und.select(F.col(SRC).alias("v"), F.col(DST).alias("b"))
-    wedges = (
-        w1.join(w2, "v")
-        .filter(F.col("a") < F.col("b"))
-        .join(mids.select(F.col(ID).alias("v"), "deg"), "v")
+    # attach the middle's degree (and apply the hub cap) BEFORE the
+    # quadratic self-join — joining the cap in afterwards would still
+    # stream deg(hub)^2 wedge rows for every super-hub first
+    mid_edges = und.join(
+        mids.select(F.col(ID).alias(SRC), "deg"), SRC
     )
+    # wedge a - v - b, anchored on the middle v; a < b halves the pairs
+    w1 = mid_edges.select(
+        F.col(SRC).alias("v"), F.col(DST).alias("a"), "deg"
+    )
+    w2 = mid_edges.select(F.col(SRC).alias("v"), F.col(DST).alias("b"))
+    wedges = w1.join(w2, "v").filter(F.col("a") < F.col("b"))
     scored = wedges.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("common"),
         F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias(

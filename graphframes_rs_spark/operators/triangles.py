@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC, symmetrize_edges
 
 
+def enumerate_triangles(canon: DataFrame) -> DataFrame:
+    """DataFrame[a, b, c] with a < b < c — each triangle of a CANONICAL
+    (``src < dst``, deduped, loop-free) undirected edge set exactly once,
+    via the oriented wedge-close joins described in the module docstring.
+    Shared by :func:`triangle_count` and the k-truss peeling loop."""
+    e1 = canon.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
+    e2 = canon.select(F.col(SRC).alias("b"), F.col(DST).alias("c"))
+    e3 = canon.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"])
+
+
 def triangle_count(graph: GraphFrame) -> DataFrame:
     """DataFrame[id, triangles] — number of triangles through each vertex
     (vertices in no triangle report 0)."""
@@ -33,11 +44,7 @@ def triangle_count(graph: GraphFrame) -> DataFrame:
         symmetrize_edges(graph.edges.select(SRC, DST), deduplicate=True)
         .filter(F.col(SRC) < F.col(DST))
     )
-    e1 = canon.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
-    e2 = canon.select(F.col(SRC).alias("b"), F.col(DST).alias("c"))
-    e3 = canon.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
-    wedges = e1.join(e2, "b")
-    triangles = wedges.join(e3, ["a", "c"])  # one row per triangle (a<b<c)
+    triangles = enumerate_triangles(canon)  # one row per triangle (a<b<c)
     corners = triangles.select(
         F.explode(F.array("a", "b", "c")).alias(ID)
     )

@@ -64,12 +64,14 @@ class KTrussBuilder:
         if prev_n == 0:
             return cur
 
+        converged = False
         for rnd in range(1, self.max_iter + 1):
+            from graphframes_rs_spark.operators.triangles import (
+                enumerate_triangles,
+            )
+
             base = cur.select(SRC, DST)
-            e1 = base.select(F.col(SRC).alias("a"), F.col(DST).alias("b"))
-            e2 = base.select(F.col(SRC).alias("b"), F.col(DST).alias("c"))
-            e3 = base.select(F.col(SRC).alias("a"), F.col(DST).alias("c"))
-            tri = e1.join(e2, "b").join(e3, ["a", "c"])  # a < b < c, once
+            tri = enumerate_triangles(base)  # a < b < c, once
             sides = tri.select(
                 F.explode(
                     F.array(
@@ -96,6 +98,18 @@ class KTrussBuilder:
             self.iterations_ = rnd
             ckpt.evict_all_but_latest()
             if n == prev_n or n == 0:
+                converged = True
                 break
             prev_n = n
+        if not converged:
+            import warnings
+
+            warnings.warn(
+                f"k_truss stopped at max_iterations={self.max_iter} "
+                "before the peeling fixpoint: the result is NOT a "
+                "k-truss (its support column predates the final round's "
+                "drops). Raise max_iterations to converge.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return cur
