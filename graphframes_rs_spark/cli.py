@@ -9,7 +9,10 @@ Mirrors the reference's CLI entry point (reference: src/main.rs:38-127):
 * ``ALGORITHM``: ``pagerank`` (PARAM = tolerance, reference main.rs:85-105)
   or ``wcc`` (PARAM = random seed, main.rs:107-124); plus the natural
   extensions ``bfs`` (PARAM = comma-separated landmarks), ``kcore``
-  (PARAM ignored) and ``mis`` (PARAM = seed).
+  (PARAM ignored), ``mis``/``coloring`` (PARAM = seed), ``hits``
+  (PARAM = iterations), ``ktruss`` (PARAM = k), ``betweenness``
+  (PARAM = comma-separated source ids) and ``walks`` (PARAM = walk
+  length).
 * Edge files with ``source``/``target`` columns are renamed to
   ``src``/``dst`` on load, like the reference (main.rs:75-81).
 * ``--memory`` maps the reference's spill-pool byte cap onto
@@ -73,11 +76,20 @@ def main(argv=None) -> int:
     p.add_argument("vertices", help="vertices parquet path (id column)")
     p.add_argument("edges", help="edges parquet path (src/dst or source/target)")
     p.add_argument(
-        "algorithm", choices=["pagerank", "wcc", "bfs", "kcore", "mis"]
+        "algorithm",
+        choices=[
+            "pagerank", "wcc", "bfs", "kcore", "mis",
+            "hits", "coloring", "ktruss", "betweenness", "walks",
+        ],
     )
     p.add_argument(
         "param",
-        help="pagerank: tolerance; wcc/mis: seed; bfs: comma-separated landmarks; kcore: ignored",
+        help=(
+            "pagerank: tolerance; wcc/mis/coloring: seed; bfs: "
+            "comma-separated landmarks; kcore: ignored; hits: iterations; "
+            "ktruss: k; betweenness: comma-separated source ids; "
+            "walks: walk length"
+        ),
     )
     p.add_argument("out", help="output parquet directory")
     p.add_argument("--partitions", type=int, default=32)
@@ -108,13 +120,32 @@ def main(argv=None) -> int:
         builder = g.shortest_paths(landmarks).set_checkpoint_dir(ckpt)
     elif args.algorithm == "kcore":
         builder = g.k_core().set_checkpoint_dir(ckpt)
-    else:  # mis
+    elif args.algorithm == "mis":
         builder = (
             g.maximal_independent_set()
             .with_random_seed(int(args.param))
             .set_checkpoint_dir(ckpt)
         )
-    if args.max_iterations is not None and args.algorithm != "wcc":
+    elif args.algorithm == "hits":
+        builder = g.hits().max_iterations(int(args.param)).set_checkpoint_dir(ckpt)
+    elif args.algorithm == "coloring":
+        builder = (
+            g.greedy_coloring()
+            .with_seed(int(args.param))
+            .set_checkpoint_dir(ckpt)
+        )
+    elif args.algorithm == "ktruss":
+        builder = g.k_truss(int(args.param)).set_checkpoint_dir(ckpt)
+    elif args.algorithm == "betweenness":
+        sources = [int(x) for x in args.param.split(",") if x]
+        builder = g.betweenness(sources).set_checkpoint_dir(ckpt)
+    else:  # walks
+        class _WalksRunner:
+            def run(self):
+                return g.random_walks(walk_length=int(args.param))
+
+        builder = _WalksRunner()
+    if args.max_iterations is not None and args.algorithm not in ("wcc", "walks", "hits"):
         builder = builder.max_iterations(args.max_iterations)
     result = builder.run()
 

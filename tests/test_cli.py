@@ -49,3 +49,31 @@ def test_cli_wcc_end_to_end(graph_parquet, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rows = duckdb.sql(f"SELECT id, component FROM '{out}/*.parquet' ORDER BY id").fetchall()
     assert rows == [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)]
+
+
+def test_cli_new_algorithms_dispatch(graph_parquet, tmp_path):
+    """The round-5 algorithms run end-to-end through the CLI: coloring
+    (proper, non-NULL), hits (normalized), walks (one per vertex)."""
+    import duckdb
+
+    for algo, param, check in [
+        ("coloring", "7", "SELECT count(*) FROM __T__ WHERE color IS NULL"),
+        ("hits", "3", "SELECT count(*) FROM __T__ WHERE authority < 0"),
+        ("walks", "2", "SELECT count(*) - 6 FROM __T__"),
+    ]:
+        out = tmp_path / f"{algo}_out"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "graphframes_rs_spark",
+                f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+                algo, param, str(out),
+                "--partitions", "2", "--cpus", "2",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, (algo, r.stderr[-2000:])
+        con = duckdb.connect()
+        bad = con.execute(
+            check.replace("__T__", f"'{out}/*.parquet'")
+        ).fetchone()[0]
+        assert bad == 0, (algo, bad)
