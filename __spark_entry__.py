@@ -453,6 +453,14 @@ def _q_mis_forest(spark, sf_dir):
     )
 
 
+def _q_assortativity(spark, sf_dir):
+    """Degree assortativity of the hierarchy forest — strongly negative
+    (pure hub-and-spoke). Oracle: the same corr over the symmetrized
+    simple edge set in DuckDB."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return g.degree_assortativity()
+
+
 def _q_link_prediction(spark, sf_dir):
     """Neighborhood-overlap link prediction on the nation->region layer:
     the only wedge middles are the regions (each of degree exactly 5 in
@@ -1047,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "ktruss_planted": _q_ktruss,
         "link_prediction": _q_link_prediction,
+        "assortativity": _q_assortativity,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
@@ -1489,6 +1498,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "coloring_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
+        ),
+        "assortativity": (
+            f"WITH e0 AS ({_EDGES_SMALL_SQL}), "
+            "und AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)), "
+            "deg AS (SELECT src AS id, count(*) AS d FROM und GROUP BY 1) "
+            "SELECT round(corr(a.d, b.d), 6) AS assortativity "
+            "FROM und JOIN deg a ON und.src = a.id "
+            "JOIN deg b ON und.dst = b.id"
         ),
         "link_prediction": (
             "SELECT CAST(a.n_nationkey + 100 AS BIGINT) AS a, "

@@ -346,6 +346,47 @@ class GraphFrame:
 
         return ColoringBuilder(self)
 
+    def degree_assortativity(self) -> DataFrame:
+        """One-row DataFrame[assortativity] — Newman's degree-correlation
+        coefficient: the Pearson correlation of endpoint degrees over the
+        undirected simple edge set (both orientations, so the measure is
+        symmetric). Positive on social-style graphs (hubs link hubs),
+        negative on hub-and-spoke/bipartite graphs, NULL when every
+        degree is identical (zero variance — correlation undefined).
+
+        Scale shape: one degree groupBy, two broadcast-friendly joins to
+        put (deg_src, deg_dst) on every edge row, one corr() aggregate —
+        all combine-enabled, nothing quadratic. Rounded to 6 for
+        cross-engine oracle stability."""
+        und = symmetrize_edges(self.edges.select(SRC, DST), deduplicate=True)
+        deg = und.groupBy(F.col(SRC).alias(ID)).agg(
+            F.count(F.lit(1)).alias("__deg")
+        )
+        paired = und.join(
+            deg.select(F.col(ID).alias(SRC), F.col("__deg").alias("__ds")),
+            SRC,
+        ).join(
+            deg.select(F.col(ID).alias(DST), F.col("__deg").alias("__dd")),
+            DST,
+        )
+        # explicit Pearson from covar/stddev: ANSI mode makes corr() THROW
+        # on zero degree variance (regular graphs); the guard returns NULL
+        # there instead — matching DuckDB corr()'s NULL
+        stats = paired.agg(
+            F.covar_pop("__ds", "__dd").alias("__cov"),
+            F.stddev_pop("__ds").alias("__sx"),
+            F.stddev_pop("__dd").alias("__sy"),
+        )
+        return stats.select(
+            F.round(
+                F.when(
+                    F.col("__sx") * F.col("__sy") > 0,
+                    F.col("__cov") / (F.col("__sx") * F.col("__sy")),
+                ),
+                6,
+            ).alias("assortativity")
+        )
+
     def hits(self) -> "HITSBuilder":
         from graphframes_rs_spark.operators.hits import HITSBuilder
 

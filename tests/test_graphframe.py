@@ -176,3 +176,18 @@ def test_subgraph_helpers(spark):
     assert {r["id"] for r in pruned.vertices.collect()} == {3, 4, 5}
     # edge attrs survive the semi joins
     assert {r["w"] for r in fv.edges.collect()} == {2.0, 3.0, 4.0}
+
+
+def test_degree_assortativity_closed_forms(spark):
+    """Star: perfectly disassortative (-1); path of 4: -0.5 (hand
+    computed); regular cycle: NULL (zero degree variance)."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    def r(edges, n):
+        v = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return GraphFrame(v, e).degree_assortativity().collect()[0][0]
+
+    assert r([(1, i) for i in range(2, 6)], 5) == -1.0
+    assert abs(r([(1, 2), (2, 3), (3, 4)], 4) - (-0.5)) < 1e-9
+    assert r([(1, 2), (2, 3), (3, 1)], 3) is None
