@@ -409,6 +409,122 @@ def _q_skipgram_pairs(spark, sf_dir):
     return skipgram_pairs(walks, window=2)
 
 
+def _node2vec_graph(spark, sf_dir):
+    """Symmetrized hierarchy graph plus customer<->region shortcut edges —
+    the triangles (customer, nation, region) make all three node2vec
+    weight classes reachable: return (x == prev), distance-1 (edge
+    prev -> x exists), and distance-2."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cr = cust.join(
+        nation, cust["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        (F.col("c_custkey") + 1000).cast("long").alias("src"),
+        (F.col("n_regionkey") + 50).cast("long").alias("dst"),
+    )
+    base = g.edges.unionByName(cr)
+    edges = base.unionByName(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return GraphFrame(g.vertices, edges)
+
+
+_N2V_EDGES_SQL = (
+    f"{_EDGES_SMALL_SQL} "
+    "UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), "
+    "CAST(n_regionkey + 50 AS BIGINT) FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey"
+)
+
+
+def _node2vec_sql(
+    num_walks: int = 1,
+    steps: int = 3,
+    p: float = 4.0,
+    q: float = 0.25,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of operators/random_walks.py::node2vec_walks:
+    identical hash60 rank order, integer bias weights
+    (round(840/p) / 840 / round(840/q)), and cumulative-weight draw
+    ``u = hash60(walk_id|step|seed) % total`` — unrolled per step."""
+    w_ret = max(1, round(840 / p))
+    w_d2 = max(1, round(840 / q))
+
+    def h(expr: str) -> str:
+        return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+    walk_rows = ", ".join(f"({i})" for i in range(num_walks))
+    ctes = [
+        f"eb AS ({_N2V_EDGES_SQL})",
+        "e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb)",
+        (
+            "ranked AS (SELECT src, dst, row_number() OVER ("
+            "PARTITION BY src ORDER BY "
+            + h(f"CAST(dst AS VARCHAR)||'|{seed}'")
+            + ", dst) AS rank, count(*) OVER (PARTITION BY src) AS odeg "
+            "FROM e)"
+        ),
+        f"verts AS ({_VERTS_SMALL_SQL})",
+        (
+            f"w0 AS (SELECT v.id * {num_walks} + t.n AS walk_id, "
+            "CAST(NULL AS BIGINT) AS prev, v.id AS cur, [v.id] AS path "
+            f"FROM verts v CROSS JOIN (VALUES {walk_rows}) AS t(n))"
+        ),
+        (
+            "w1 AS (SELECT walk_id, "
+            "CASE WHEN r.dst IS NOT NULL THEN cur END AS prev, "
+            "COALESCE(r.dst, cur) AS cur, "
+            "CASE WHEN r.dst IS NULL THEN path "
+            "ELSE list_append(path, r.dst) END AS path "
+            "FROM w0 LEFT JOIN ranked r ON r.src = w0.cur AND r.rank = "
+            + h(f"CAST(walk_id AS VARCHAR)||'|1|{seed}'")
+            + " % r.odeg + 1)"
+        ),
+    ]
+    for t in range(2, steps + 1):
+        u = h(f"CAST(walk_id AS VARCHAR)||'|{t}|{seed}'")
+        ctes.append(
+            f"cand{t} AS (SELECT w.walk_id, r.rank, r.dst AS cand, "
+            f"CASE WHEN r.dst = w.prev THEN {w_ret} "
+            f"WHEN d1.src IS NOT NULL THEN 840 ELSE {w_d2} END AS wt "
+            f"FROM w{t - 1} w JOIN ranked r ON r.src = w.cur "
+            "LEFT JOIN e d1 ON d1.src = w.prev AND d1.dst = r.dst)"
+        )
+        ctes.append(
+            f"pick{t} AS (SELECT walk_id, cand FROM ("
+            "SELECT walk_id, cand, wt, "
+            "sum(wt) OVER (PARTITION BY walk_id ORDER BY rank) AS cum, "
+            f"sum(wt) OVER (PARTITION BY walk_id) AS tot FROM cand{t}) "
+            f"WHERE {u} % tot < cum AND {u} % tot >= cum - wt)"
+        )
+        ctes.append(
+            f"w{t} AS (SELECT w.walk_id, "
+            "CASE WHEN p.cand IS NOT NULL THEN w.cur END AS prev, "
+            "COALESCE(p.cand, w.cur) AS cur, "
+            "CASE WHEN p.cand IS NULL THEN w.path "
+            "ELSE list_append(w.path, p.cand) END AS path "
+            f"FROM w{t - 1} w LEFT JOIN pick{t} p USING (walk_id))"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT walk_id, path[1] AS start, path FROM w{steps}"
+    )
+
+
+def _q_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (p=4, q=0.25: DFS-leaning) on the
+    symmetrized hierarchy graph with customer<->region shortcuts, so
+    return / distance-1 / distance-2 weights all fire. Oracle: the
+    identical integer-weight hash draw unrolled in SQL."""
+    g = _node2vec_graph(spark, sf_dir)
+    return g.node2vec_walks(
+        num_walks=1, walk_length=3, p=4.0, q=0.25, seed=42
+    )
+
+
 def _q_kcore_forest(spark, sf_dir):
     g = customer_hierarchy_graph(spark, sf_dir)
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
@@ -1043,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_parallel": _q_pagerank_parallel,
         "random_walks": _q_random_walks,
+        "node2vec_walks": _q_node2vec_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "hits": _q_hits,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1446,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
         ),
         "random_walks": _random_walks_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "skipgram_pairs": _skipgram_pairs_sql(),
         "hits": (
             f"WITH e AS ({_EDGES_SMALL_SQL}), "

@@ -399,6 +399,18 @@ class GraphFrame:
 
         return random_walks(self, num_walks, walk_length, seed)
 
+    def node2vec_walks(
+        self,
+        num_walks: int = 1,
+        walk_length: int = 3,
+        p: float = 1.0,
+        q: float = 1.0,
+        seed: int = 42,
+    ) -> DataFrame:
+        from graphframes_rs_spark.operators.random_walks import node2vec_walks
+
+        return node2vec_walks(self, num_walks, walk_length, p, q, seed)
+
     def clustering_coefficient(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import clustering_coefficient
 

@@ -173,3 +173,171 @@ def skipgram_pairs(
         )
         .select("center", F.col("__path")[F.col("__j")].alias("context"), "offset")
     )
+
+
+WEIGHT_SCALE = 840  # divisible by 1..8: p,q in {1/4,1/3,1/2,1,2,3,4,...} stay exact
+
+
+def node2vec_walks(
+    graph: GraphFrame,
+    num_walks: int = 1,
+    walk_length: int = 3,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame[walk_id, start, path: array<long>] — deterministic
+    second-order biased walks (node2vec, Grover & Leskovec KDD'16).
+
+    From current vertex ``v`` (arrived from ``t``), neighbour ``x`` is
+    drawn with unnormalized weight 1/p if ``x == t`` (return), 1 if the
+    edge ``t -> x`` exists (BFS-ish), else 1/q (DFS-ish). The first hop
+    is uniform (no predecessor), matching the paper. Weights are scaled
+    to integers (``round(WEIGHT_SCALE / p)`` etc.) so the categorical
+    draw is exact integer arithmetic — bit-reproducible across runs,
+    partitionings, and engines (the DuckDB oracle replays it in SQL).
+
+    Spark-first plan, per step: walks fan out to the current vertex's
+    DISTINCT out-neighbours (one equi-join on ``cur``), a left join
+    against the edge set marks distance-1 candidates, and one window
+    over ``walk_id`` (rank order) turns the integer cumulative weight
+    into the categorical draw ``u = H(walk_id|step|seed) % total``. The
+    chosen row joins back to the slim walk state, so the path array
+    never rides the fan-out. Unlike the uniform walk (one equi-join per
+    step), the fan-out is inherent to node2vec — the transition law
+    depends on the whole neighbour set of ``cur`` — and is the same
+    Σ out-degree cost the paper's alias tables pay to build.
+
+    Sinks stop extending (path stays short); parallel edges collapse
+    (DISTINCT out-neighbours)."""
+    if num_walks < 1 or walk_length < 1:
+        raise ValueError("num_walks and walk_length must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    w_ret = max(1, round(WEIGHT_SCALE / p))
+    w_d1 = WEIGHT_SCALE
+    w_d2 = max(1, round(WEIGHT_SCALE / q))
+
+    edges = graph.edges.select(SRC, DST).distinct()
+    w_rank = Window.partitionBy(SRC).orderBy(
+        hash60(F.concat_ws("|", F.col(DST), F.lit(seed))), DST
+    )
+    w_all = Window.partitionBy(SRC)
+    ranked = edges.select(
+        SRC,
+        DST,
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("odeg"),
+    ).localCheckpoint(eager=False)
+    outdeg = ranked.groupBy(F.col(SRC).alias(ID)).agg(F.max("odeg").alias("odeg"))
+
+    walks = (
+        graph.vertices.select(ID)
+        .join(outdeg, ID, "left")
+        .select(
+            ID,
+            "odeg",
+            F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("__w"),
+        )
+        .select(
+            (F.col(ID) * num_walks + F.col("__w")).alias("walk_id"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col(ID).alias("cur"),
+            F.col("odeg").alias("cur_odeg"),
+            F.array(F.col(ID)).alias("path"),
+        )
+    )
+
+    # step 1: uniform (no predecessor) — single (src, rank) equi-join
+    first_choice = (
+        F.pmod(
+            hash60(F.concat_ws("|", F.col("walk_id"), F.lit(1), F.lit(seed))),
+            F.col("cur_odeg"),
+        )
+        + 1
+    )
+    hop1 = ranked.select(
+        F.col(SRC).alias("__hop_src"),
+        F.col("rank").alias("__rank"),
+        F.col(DST).alias("__nxt"),
+    )
+    walks = (
+        walks.withColumn("__choice", first_choice)
+        .join(
+            hop1,
+            (F.col("cur") == F.col("__hop_src"))
+            & (F.col("__choice") == F.col("__rank")),
+            "left",
+        )
+        .select(
+            "walk_id",
+            F.when(F.col("__nxt").isNotNull(), F.col("cur")).alias("prev"),
+            F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"),
+            F.when(
+                F.col("__nxt").isNotNull(),
+                F.concat(F.col("path"), F.array(F.col("__nxt"))),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    )
+
+    hops = ranked.select(
+        F.col(SRC).alias("__hop_src"),
+        F.col("rank").alias("__rank"),
+        F.col(DST).alias("__cand"),
+    )
+    d1_edges = edges.select(
+        F.col(SRC).alias("__d1_src"), F.col(DST).alias("__d1_dst")
+    )
+    w_cum = (
+        Window.partitionBy("walk_id")
+        .orderBy("__rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("walk_id")
+    for step in range(2, walk_length + 1):
+        state = walks.select("walk_id", "prev", "cur")
+        cand = (
+            state.join(hops, F.col("cur") == F.col("__hop_src"))
+            .join(
+                d1_edges,
+                (F.col("prev") == F.col("__d1_src"))
+                & (F.col("__cand") == F.col("__d1_dst")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "__rank",
+                "__cand",
+                F.when(F.col("__cand") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("__d1_src").isNotNull(), F.lit(w_d1))
+                .otherwise(F.lit(w_d2))
+                .alias("__w"),
+            )
+        )
+        u = F.pmod(
+            hash60(F.concat_ws("|", F.col("walk_id"), F.lit(step), F.lit(seed))),
+            F.sum("__w").over(w_tot),
+        )
+        pick = (
+            cand.withColumn("__cum", F.sum("__w").over(w_cum))
+            .withColumn("__u", u)
+            .filter(
+                (F.col("__u") < F.col("__cum"))
+                & (F.col("__u") >= F.col("__cum") - F.col("__w"))
+            )
+            .select("walk_id", F.col("__cand").alias("__nxt"))
+        )
+        walks = walks.join(pick, "walk_id", "left").select(
+            "walk_id",
+            F.when(F.col("__nxt").isNotNull(), F.col("cur")).alias("prev"),
+            F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"),
+            F.when(
+                F.col("__nxt").isNotNull(),
+                F.concat(F.col("path"), F.array(F.col("__nxt"))),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+    return walks.select("walk_id", F.col("path")[0].alias("start"), "path")
