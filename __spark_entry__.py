@@ -525,6 +525,74 @@ def _q_node2vec_walks(spark, sf_dir):
     )
 
 
+def _neighborhood_sql(k: int = 4, radius: int = 3, seed: int = 42) -> str:
+    """DuckDB replay of operators/neighborhood.py: identical one-hot FM
+    register init (h & -h of hash60(id|i|seed)) and per-round bit_or
+    closure over OUT-neighbours, on the REVERSED hierarchy edge set;
+    estimate = 2^mean(lowest-zero-bit) / 0.77351."""
+
+    def h(expr: str) -> str:
+        return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+    def one_hot(i: int) -> str:
+        hx = h(f"CAST(id AS VARCHAR)||'|{i}|{seed}'")
+        return f"({hx} & -({hx})) AS r{i}"
+
+    init_cols = ", ".join(one_hot(i) for i in range(k))
+    ctes = [
+        f"e AS (SELECT dst AS src, src AS dst FROM ({_EDGES_SMALL_SQL}))",
+        f"verts AS ({_VERTS_SMALL_SQL})",
+        f"m0 AS (SELECT id, {init_cols} FROM verts)",
+    ]
+    for t in range(1, radius + 1):
+        prev = f"m{t - 1}"
+        agg = ", ".join(f"bit_or(n.r{i}) AS r{i}" for i in range(k))
+        mrg = ", ".join(
+            f"m.r{i} | COALESCE(a.r{i}, 0) AS r{i}" for i in range(k)
+        )
+        ctes.append(
+            f"m{t} AS (SELECT m.id, {mrg} FROM {prev} m LEFT JOIN "
+            f"(SELECT e.src AS id, {agg} FROM e JOIN {prev} n "
+            "ON n.id = e.dst GROUP BY e.src) a USING (id))"
+        )
+    mean_r = " + ".join(
+        f"(bit_count(xor(r{i}, r{i} + 1)) - 1)" for i in range(k)
+    )
+    regs = ", ".join(f"r{i} AS reg_{i}" for i in range(k))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT id, round(pow(2.0, ({mean_r}) / {float(k)}) / 0.77351, 6)"
+        f" AS nf_est, {regs} FROM m{radius}"
+    )
+
+
+def _q_neighborhood(spark, sf_dir):
+    """Approximate neighborhood function (FM sketches, k=4) on the
+    REVERSED hierarchy graph — regions reach their whole subtree, so
+    register closure is non-trivial while the DAG depth (2) exercises
+    the early-stop voting inside the radius-3 budget. Oracle: the
+    identical integer bit_or closure unrolled in SQL (registers are
+    bit-exact; the estimate is a pure function of them)."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    rev = GraphFrame(
+        g.vertices,
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    out = (
+        rev.neighborhood_function()
+        .max_radius(3)
+        .with_registers(4)
+        .with_seed(42)
+        .run()
+    )
+    return out.select(
+        "id",
+        F.round("nf_est", 6).alias("nf_est"),
+        *[f"reg_{i}" for i in range(4)],
+    )
+
+
 def _q_kcore_forest(spark, sf_dir):
     g = customer_hierarchy_graph(spark, sf_dir)
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
@@ -1160,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parallel": _q_pagerank_parallel,
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
+        "neighborhood_fn": _q_neighborhood,
         "skipgram_pairs": _q_skipgram_pairs,
         "hits": _q_hits,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1564,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "random_walks": _random_walks_sql(),
         "node2vec_walks": _node2vec_sql(),
+        "neighborhood_fn": _neighborhood_sql(),
         "skipgram_pairs": _skipgram_pairs_sql(),
         "hits": (
             f"WITH e AS ({_EDGES_SMALL_SQL}), "

@@ -411,6 +411,13 @@ class GraphFrame:
 
         return node2vec_walks(self, num_walks, walk_length, p, q, seed)
 
+    def neighborhood_function(self) -> "NeighborhoodFunctionBuilder":
+        from graphframes_rs_spark.operators.neighborhood import (
+            NeighborhoodFunctionBuilder,
+        )
+
+        return NeighborhoodFunctionBuilder(self)
+
     def clustering_coefficient(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import clustering_coefficient
 
