@@ -95,6 +95,19 @@ def _bench_ann_lsh(spark, sf_dir):
     )
 
 
+def _bench_ann_pq(spark, sf_dir):
+    from graphframes_rs_spark.pipeline import similarity
+    from graphframes_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    # rerank scales with the corpus tier: 150 covers sf0.01's gate; 300 at
+    # sf0.1 keeps the candidate fraction honest (see __spark_entry__)
+    return similarity.pq_topk(emb, q, k=entry.ANN_K, m=8, nbits=6, rerank=300)
+
+
 def _bench_ann_ivf(spark, sf_dir):
     from graphframes_rs_spark.pipeline import similarity
     from graphframes_rs_spark.sources.tables import load_table
@@ -330,6 +343,7 @@ BENCH_QUERIES = {
     "ann_topk": entry.queries()["ann_topk"],
     "ann_lsh": _bench_ann_lsh,
     "ann_ivf": _bench_ann_ivf,
+    "ann_pq": _bench_ann_pq,
     "simhash_neardups": entry.queries()["simhash_neardups"],
     "image_features": entry.queries()["image_features"],
     "doc_repetition": entry.queries()["doc_repetition"],

@@ -357,3 +357,154 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _pq_fit(sample: np.ndarray, m: int, ncodes: int, seed: int, iters: int = 10):
+    """Per-subspace Lloyd k-means on the driver sample (deterministic:
+    seeded centroid init by hash-free RandomState, fixed iteration
+    count). Returns codebooks of shape (m, ncodes, d/m)."""
+    n, d = sample.shape
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ncodes, sub))
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        centers = x[rng.choice(n, size=min(ncodes, n), replace=False)]
+        if len(centers) < ncodes:  # degenerate tiny sample: pad by repeat
+            centers = np.resize(centers, (ncodes, sub))
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ncodes):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = x[mask].mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via product quantization (Jégou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI'11) with
+    asymmetric-distance scoring and exact re-ranking.
+
+    The 100 TB shuffle-compression path: each L2-normalized base vector is
+    encoded once into ``m`` sub-codes of ``nbits`` bits (64-d float64 =
+    512 B -> 8 B at the defaults, a 64x reduction), so the scoring scan
+    ships codes, not vectors. Per query, cosine ≈ sum over subspaces of
+    ``LUT[j][code_j]`` where ``LUT[j][c] = <q_j / |q|, codebook[j][c]>`` —
+    one numpy gather per Arrow batch for ALL queries at once (the LUTs,
+    ``m * 2^nbits * n_queries`` doubles, broadcast as a UDF constant).
+    The top-``rerank`` ADC candidates per query are then re-scored with
+    the exact sequential-fold SQL cosine, so quantization error affects
+    only WHICH candidates are considered, never the reported scores —
+    same contract as ``lsh_topk`` / ``ivf_topk``.
+
+    Fit is sample-bounded and driver-side (hash-ordered ``limit``, no
+    count-star — same discipline as ``ivf_topk``); codebooks are
+    deterministic for a given seed. Requires ``dim % m == 0``."""
+    ncodes = 2 ** nbits
+    if nbits < 1 or nbits > 8:
+        raise ValueError("nbits must be in [1, 8]")
+    if rerank < k:
+        raise ValueError("rerank must be >= k")
+
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+
+    fit_sample = max(100 * ncodes, 256)
+    train = (
+        base.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .limit(fit_sample)
+        .select("nv")
+        .toPandas()
+    )
+    sample = np.stack(train["nv"].to_numpy())
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(norms == 0, 1.0, norms)
+    books = _pq_fit(sample, m, ncodes, seed)  # (m, ncodes, sub)
+    sub = dim // m
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(nrm == 0, 1.0, nrm)
+        codes = np.empty((len(x), m), dtype="int32")
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    # LUTs for the whole (small, broadcastable) query set: (nq, m, ncodes)
+    qpd = q.toPandas()
+    qids = qpd["query_id"].to_numpy()
+    qx = np.stack(qpd["qv"].to_numpy())
+    qnrm = np.linalg.norm(qx, axis=1, keepdims=True)
+    qx = qx / np.where(qnrm == 0, 1.0, qnrm)
+    # LUT[i, j, c] = <query_i subspace j, codebook[j][c]>: one einsum over
+    # the reshaped query block
+    luts = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
+
+    @pandas_udf("array<double>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())  # (n, m)
+        n = len(c)
+        # gather: for each query, sum LUT[q, j, c[:, j]] over j
+        out = np.empty((n, len(qids)))
+        for qi in range(len(qids)):
+            out[:, qi] = luts[qi, np.arange(m)[None, :], c].sum(axis=1)
+        return pd.Series(list(out))
+
+    coded = base.select("neighbor_id", encode(F.col("nv")).alias("codes"))
+    scored = coded.select(
+        "neighbor_id", F.posexplode(adc_scores(F.col("codes"))).alias("__qi", "adc")
+    )
+    qmap = q.sparkSession.createDataFrame(
+        [(int(i), int(qid)) for i, qid in enumerate(qids)],
+        "__qi int, query_id long",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cands = (
+        scored.join(F.broadcast(qmap), "__qi")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore on the candidate set only
+    rescored = (
+        cands.join(base, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
