@@ -960,6 +960,47 @@ def _q_ann_lsh(spark, sf_dir):
     return _recall_gate(exact, approx)
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4-style corpus-global exact line dedup. The synthetic docs have no
+    newlines, so words are first chunked deterministically into 4-word
+    lines (both engines apply the identical transform); the planted
+    near-duplicate groups then share whole lines, which must survive only
+    at their first (doc_id, pos) occurrence. Oracle: the same
+    min-key-first / reassemble logic in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(4)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(F.slice(words, i * 4 + 1, 4), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = dedup.line_dedup(chunked)
+    return out.select("doc_id", "text", "n_kept", "n_dropped")
+
+
+_LINE_DEDUP_SQL = (
+    "WITH d2 AS (SELECT doc_id, list_transform("
+    "range(1, CAST(ceil(len(string_split(text, ' ')) / 4.0) AS BIGINT) + 1), "
+    "i -> array_to_string((string_split(text, ' '))[(i-1)*4+1:(i-1)*4+4], ' ')"
+    ") AS lines FROM documents), "
+    "seg AS (SELECT doc_id, unnest(range(1, len(lines)+1)) AS i, lines FROM d2), "
+    "segl AS (SELECT doc_id, i - 1 AS pos, lines[i] AS line FROM seg), "
+    "firsts AS (SELECT line, min(doc_id * 4096 + pos) AS fk FROM segl GROUP BY line), "
+    "surv AS (SELECT s.doc_id, s.pos, s.line FROM segl s JOIN firsts f "
+    "ON s.line = f.line AND s.doc_id * 4096 + s.pos = f.fk), "
+    "tot AS (SELECT doc_id, count(*) AS n_total FROM segl GROUP BY doc_id) "
+    "SELECT s.doc_id, string_agg(s.line, chr(10) ORDER BY s.pos) AS text, "
+    "count(*) AS n_kept, any_value(t.n_total) - count(*) AS n_dropped "
+    "FROM surv s JOIN tot t ON s.doc_id = t.doc_id GROUP BY s.doc_id"
+)
+
+
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ANN (m=8 subspaces x 6 bits, ADC scoring,
     exact rerank of the top 150): same per-query recall@5 gate as the
@@ -1279,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "token_topk": _q_token_topk,
         "dedup_exact": _q_dedup_exact,
+        "line_dedup": _q_line_dedup,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1934,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
             "AS rank FROM g) "
             "SELECT token, n, rank FROM r WHERE rank <= 20"
         ),
+        "line_dedup": _LINE_DEDUP_SQL,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "
             "c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1) "

@@ -312,6 +312,30 @@ def _bench_scale_walks(tier):
     return run
 
 
+def _bench_scale_node2vec(tier):
+    def run(spark, sf_dir):
+        g = _scale_graph(spark, tier)
+        return g.node2vec_walks(num_walks=1, walk_length=3, p=4.0, q=0.25, seed=42)
+
+    return run
+
+
+def _bench_scale_neighborhood(tier):
+    def run(spark, sf_dir):
+        import tempfile as _tf
+
+        g = _scale_graph(spark, tier)
+        return (
+            g.neighborhood_function()
+            .max_radius(4)
+            .with_registers(8)
+            .set_checkpoint_dir(_tf.mkdtemp())
+            .run()
+        )
+
+    return run
+
+
 BENCH_QUERIES = {
     # graph algorithms at scale (lineitem bipartite graph)
     "pagerank_big": _bench_pagerank_big,
@@ -370,6 +394,12 @@ BENCH_QUERIES = {
     # walk-corpus scale proof: 2M walks x 3 hops over the 6M-edge tier
     # (ranked-hop prep = one window shuffle; each hop one equi-join)
     "scale_walks_6m": _bench_scale_walks("6m"),
+    # second-order (node2vec) walks: per-step cost is the full neighbour
+    # fan-out (inherent to the transition law) + one walk_id window draw
+    "scale_node2vec_6m": _bench_scale_node2vec("6m"),
+    # FM-sketch neighborhood function: per-round profile ~ one PageRank
+    # round (8 longs per edge, map-side bit_or combine)
+    "scale_anf_6m": _bench_scale_neighborhood("6m"),
     # pipeline scale proof: full dedup composition at 40x the sf0.1 corpus
     # (minhash -> LSH -> exact rescore -> WCC clusters; recovers the
     # planted 20k near-dup triples exactly — see SCALE_DOCS)

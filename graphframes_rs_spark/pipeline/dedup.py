@@ -530,3 +530,76 @@ def duplicated_ngram_coverage(
             ),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """[doc_id, text, n_kept, n_dropped] — corpus-global exact line
+    deduplication, C4-style (Raffel et al., JMLR'20 §2.2 drop repeated
+    three-sentence spans; RefinedWeb/Gopher do it at line granularity):
+    every distinct line is kept ONLY in the first document/position it
+    appears ((doc_id, position) order); later occurrences are dropped and
+    the surviving lines are re-joined in original order. Boilerplate
+    (cookie banners, nav text) collapses to one copy corpus-wide. Docs
+    whose every line is dropped disappear from the output.
+
+    Lines shorter than ``min_line_chars`` are kept verbatim without
+    entering the dedup (blank separators stay put).
+
+    Scale design: first-occurrence is ``min(struct(doc_id, pos))`` per
+    line — a combine-enabled aggregation (map-side partial min), NOT a
+    ``row_number`` window, so an ultra-hot boilerplate line costs one
+    combiner cell per map task instead of a single reducer sorting all
+    its occurrences. One shuffle for the min, one equi-join on the line
+    back to the exploded stream, one groupBy(doc) to reassemble — all
+    keyed shuffles, no driver state."""
+    import re as _re
+
+    seg = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
+    )
+    dedupable = seg.filter(F.length("line") >= min_line_chars)
+    firsts = dedupable.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    survivors = (
+        dedupable.join(firsts, "line")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "line")
+        .unionByName(
+            seg.filter(F.length("line") < min_line_chars).select(
+                "doc_id", "pos", "line"
+            )
+        )
+    )
+    totals = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n_total"))
+    return (
+        survivors.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            "n_kept",
+            (F.col("__n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )

@@ -573,3 +573,52 @@ def test_tfidf_topk_terms_hand_computed(spark):
     # doc 3: only one distinct token
     assert out[(3, 1)]["token"] == "c" and (3, 2) not in out
     assert out[(3, 1)]["tf"] == 3 and out[(3, 1)]["dfreq"] == 2
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from graphframes_rs_spark.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nBOILER\nunique two"),
+            (2, "BOILER\nother text"),          # BOILER dropped (doc 1 pos 1 wins)
+            (3, "BOILER\nBOILER"),              # both copies dropped
+            (4, "other text\nfresh line"),      # "other text" dropped (doc 2 wins)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["text"] == "unique one\nBOILER\nunique two"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "other text"
+    assert out[2]["n_dropped"] == 1
+    assert 3 not in out                       # every line dropped -> doc gone
+    assert out[4]["text"] == "fresh line"
+    assert out[4]["n_kept"] == 1 and out[4]["n_dropped"] == 1
+
+
+def test_line_dedup_within_doc_and_short_lines(spark):
+    from graphframes_rs_spark.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c\n\na b c\nxy")],
+        "doc_id long, text string",
+    )
+    # duplicate INSIDE one doc dedups too; the empty line (below
+    # min_line_chars) is kept verbatim in place
+    out = line_dedup(docs).collect()[0]
+    assert out["text"] == "a b c\n\nxy"
+    assert out["n_kept"] == 3 and out["n_dropped"] == 1
+
+
+def test_line_dedup_custom_separator_is_literal(spark):
+    from graphframes_rs_spark.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x.y"), (2, "x.z")],
+        "doc_id long, text string",
+    )
+    # "." must split literally (escaped), not as a regex wildcard
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, sep=".").collect()}
+    assert out[1] == "x.y"
+    assert out[2] == "z"
