@@ -960,6 +960,29 @@ def _q_ann_lsh(spark, sf_dir):
     return _recall_gate(exact, approx)
 
 
+def _q_bipartite_projection(spark, sf_dir):
+    """One-mode projection of the lineitem bipartite graph onto suppliers:
+    supplier pairs weighted by shared-order count (>= 2). Oracle passes
+    the hub cap explicitly uncapped so the gate checks the exact
+    projection semantics; the production default keeps the cap ON."""
+    from graphframes_rs_spark.operators.link_prediction import (
+        bipartite_projection,
+    )
+
+    g = lineitem_graph(spark, sf_dir)
+    return bipartite_projection(
+        g.edges, side="dst", max_degree=None, min_common=2
+    )
+
+
+_BIPROJ_SQL = (
+    f"WITH e AS ({_EDGES_BIG_SQL}) "
+    "SELECT l.dst AS a, r.dst AS b, count(*) AS n_common "
+    "FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst "
+    "GROUP BY l.dst, r.dst HAVING count(*) >= 2"
+)
+
+
 def _q_line_dedup(spark, sf_dir):
     """C4-style corpus-global exact line dedup. The synthetic docs have no
     newlines, so words are first chunked deterministically into 4-word
@@ -1321,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "dedup_exact": _q_dedup_exact,
         "line_dedup": _q_line_dedup,
+        "bipartite_projection": _q_bipartite_projection,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -1977,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, n, rank FROM r WHERE rank <= 20"
         ),
         "line_dedup": _LINE_DEDUP_SQL,
+        "bipartite_projection": _BIPROJ_SQL,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "
             "c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1) "

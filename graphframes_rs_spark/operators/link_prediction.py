@@ -89,3 +89,47 @@ def link_prediction(
             "adamic_adar",
         )
     )
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    side: str = "src",
+    max_degree: int | None = 10_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """[a, b, n_common] (a < b) — one-mode projection of a bipartite
+    graph: two ``side`` vertices are linked iff they share a neighbour on
+    the other side, weighted by the shared-neighbour count. The standard
+    graph-construction step for co-occurrence analytics (orders sharing
+    suppliers, documents sharing entities, users sharing items).
+
+    Scale design: the projection is a self-join of the edge list keyed on
+    the OTHER side — each other-side vertex of degree d contributes
+    d·(d−1)/2 pairs, so one celebrity hub can dominate the output
+    quadratically. ``max_degree`` (default ON, like the dedup family's
+    stop-shingle caps) drops other-side hubs above the cap BEFORE the
+    join: at web scale those hubs connect nearly everything to nearly
+    everything and carry no co-occurrence signal, while the cap bounds
+    per-key join work to max_degree². Pass ``None`` for the exact
+    uncapped projection (the oracle does). ``min_common`` prunes weak
+    links post-aggregation (combine-enabled count)."""
+    if side not in ("src", "dst"):
+        raise ValueError("side must be 'src' or 'dst'")
+    other = "dst" if side == "src" else "src"
+    e = edges.select(
+        F.col(side).alias("v"), F.col(other).alias("o")
+    ).distinct()
+    if max_degree is not None:
+        deg = e.groupBy("o").agg(F.count(F.lit(1)).alias("__d"))
+        e = e.join(
+            deg.filter(F.col("__d") <= max_degree).select("o"), "o"
+        )
+    left = e.select(F.col("o"), F.col("v").alias("a"))
+    right = e.select(F.col("o"), F.col("v").alias("b"))
+    return (
+        left.join(right, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -50,3 +50,52 @@ def test_min_common_threshold(spark):
     got = _lp(spark, edges, 5, min_common=1)
     assert set(got) == {(1, 3), (2, 4), (3, 5)}
     assert all(r["common"] == 1 for r in got.values())
+
+
+def test_bipartite_projection_counts_and_cap(spark):
+    from graphframes_rs_spark.operators.link_prediction import (
+        bipartite_projection,
+    )
+
+    # orders o1..o3 -> suppliers; o3 is a "hub" with 3 suppliers
+    e = spark.createDataFrame(
+        [
+            (1, 10), (1, 11),
+            (2, 10), (2, 11),
+            (3, 10), (3, 11), (3, 12),
+        ],
+        "src long, dst long",
+    )
+    out = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in bipartite_projection(e, side="dst", max_degree=None).collect()
+    }
+    assert out == {(10, 11): 3, (10, 12): 1, (11, 12): 1}
+
+    # cap drops the degree-3 hub order before the join
+    capped = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in bipartite_projection(e, side="dst", max_degree=2).collect()
+    }
+    assert capped == {(10, 11): 2}
+
+    # min_common prunes weak links
+    strong = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in bipartite_projection(
+            e, side="dst", max_degree=None, min_common=2
+        ).collect()
+    }
+    assert strong == {(10, 11): 3}
+
+    # side="src": orders sharing a supplier
+    src_side = {
+        (r["a"], r["b"]): r["n_common"]
+        for r in bipartite_projection(e, side="src", max_degree=None).collect()
+    }
+    assert src_side == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bipartite_projection(e, side="mid")
