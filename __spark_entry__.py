@@ -960,6 +960,28 @@ def _q_ann_lsh(spark, sf_dir):
     return _recall_gate(exact, approx)
 
 
+def _q_attribution(spark, sf_dir):
+    """Conversion attribution: click -> purchase pairs per user within a
+    30-minute horizon (the batch face of the stream-stream interval
+    join; the streaming face is pytest-exercised via readStream)."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.attribution_join(events, horizon_minutes=30)
+
+
+_ATTRIBUTION_SQL = (
+    "WITH t AS (SELECT user_id, event_id AS trigger_id, ts AS trigger_ts "
+    "FROM events WHERE event_type = 'click'), "
+    "o AS (SELECT user_id, event_id AS outcome_id, ts AS outcome_ts "
+    "FROM events WHERE event_type = 'purchase') "
+    "SELECT t.user_id, trigger_id, outcome_id, trigger_ts, outcome_ts, "
+    "CAST(floor(epoch(outcome_ts)) - floor(epoch(trigger_ts)) AS BIGINT) "
+    "AS lag_seconds "
+    "FROM t JOIN o ON t.user_id = o.user_id "
+    "AND outcome_ts > trigger_ts "
+    "AND outcome_ts <= trigger_ts + INTERVAL 30 MINUTE"
+)
+
+
 def _q_bipartite_projection(spark, sf_dir):
     """One-mode projection of the lineitem bipartite graph onto suppliers:
     supplier pairs weighted by shared-order count (>= 2). Oracle passes
@@ -1370,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_duration": _q_video_duration,
         "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
+        "attribution": _q_attribution,
         "event_transitions": _q_event_transitions,
         "sessions": _q_sessions,
         "pricing_summary": _q_pricing_summary,
@@ -2282,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(n AS DOUBLE) / tt, 6) AS prob "
             "FROM c JOIN t USING (from_type)"
         ),
+        "attribution": _ATTRIBUTION_SQL,
         "events_hourly": (
             # epoch_ms // 1000 floors like Spark's timestamp->long cast
             # (DuckDB CAST(double AS BIGINT) would round instead)

@@ -294,3 +294,105 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_join(
+    events: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    horizon_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """[user_id, trigger_id, outcome_id, trigger_ts, outcome_ts, lag_seconds]
+    — every (trigger, outcome) pair for the same user where the outcome
+    lands in ``(trigger_ts, trigger_ts + horizon]`` (batch face). The
+    classic conversion-attribution interval join (click -> purchase within
+    30 minutes); downstream policies (first-touch, last-touch) are one
+    window over this pair stream.
+
+    One equi-join on ``user_id`` with the range predicate pushed into the
+    join condition — at 100 TB both sides shuffle once on the user key and
+    the per-user range check never leaves the join operator."""
+    trig = events.filter(F.col("event_type") == trigger_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id").alias("trigger_id"),
+        F.col(ts_col).alias("trigger_ts"),
+    )
+    outc = events.filter(F.col("event_type") == outcome_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id").alias("outcome_id"),
+        F.col(ts_col).alias("outcome_ts"),
+    )
+    horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    return (
+        trig.join(outc, "user_id")
+        .filter(
+            (F.col("outcome_ts") > F.col("trigger_ts"))
+            & (F.col("outcome_ts") <= F.col("trigger_ts") + horizon)
+        )
+        .select(
+            "user_id",
+            "trigger_id",
+            "outcome_id",
+            "trigger_ts",
+            "outcome_ts",
+            (
+                F.unix_timestamp("outcome_ts") - F.unix_timestamp("trigger_ts")
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+def streaming_attribution_join(
+    stream: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    horizon_minutes: int = 30,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming face: a watermarked stream-stream interval join — Spark
+    buffers each side's state only within the watermark + horizon bound,
+    so state is O(events in the horizon window), not O(stream). Both
+    sides MUST carry a watermark and the join condition MUST bound
+    outcome_ts relative to trigger_ts for state eviction to kick in
+    (Structured Streaming's inner-join requirement)."""
+    trig = (
+        stream.filter(F.col("event_type") == trigger_type)
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col("event_id").alias("trigger_id"),
+            F.col(ts_col).alias("trigger_ts"),
+        )
+        .withWatermark("trigger_ts", watermark)
+    )
+    outc = (
+        stream.filter(F.col("event_type") == outcome_type)
+        .select(
+            F.col(user_col).alias("o_user_id"),
+            F.col("event_id").alias("outcome_id"),
+            F.col(ts_col).alias("outcome_ts"),
+        )
+        .withWatermark("outcome_ts", watermark)
+    )
+    return trig.join(
+        outc,
+        F.expr(
+            f"""
+            user_id = o_user_id AND
+            outcome_ts > trigger_ts AND
+            outcome_ts <= trigger_ts + INTERVAL {int(horizon_minutes)} MINUTES
+            """
+        ),
+    ).select(
+        "user_id",
+        "trigger_id",
+        "outcome_id",
+        "trigger_ts",
+        "outcome_ts",
+        (
+            F.unix_timestamp("outcome_ts") - F.unix_timestamp("trigger_ts")
+        ).alias("lag_seconds"),
+    )

@@ -579,3 +579,36 @@ def test_streaming_heavy_hitters_eviction_keeps_heavy_item(spark, tmp_path):
         for r in spark.sql("select * from hh_skew").collect()
     }
     assert got == {"hot": 49}
+
+
+def test_streaming_attribution_join_matches_batch(spark, tmp_path):
+    """Real stream-stream interval join: readStream both sides (same
+    parquet source filtered to the two event types), availableNow
+    micro-batches, append sink — the joined pairs must equal the batch
+    face exactly."""
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_attr")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = ev.streaming_attribution_join(
+        stream, horizon_minutes=30, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"], r["lag_seconds"])
+        for r in spark.sql("select * from stream_attr").collect()
+    }
+    want = {
+        (r["user_id"], r["trigger_id"], r["outcome_id"], r["lag_seconds"])
+        for r in ev.attribution_join(events, horizon_minutes=30).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    assert all(0 <= lag <= 1800 for _, _, _, lag in want)
