@@ -960,6 +960,80 @@ def _q_ann_lsh(spark, sf_dir):
     return _recall_gate(exact, approx)
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Epoch-weighted mixture sampling on the documents table, strata =
+    doc_id % 3 rendered as a label: weight 2.5 repeats stratum-0 docs
+    2-3x (hash fraction), 0.4 downsamples stratum-1, stratum-2 keeps the
+    default single epoch. Oracle: identical hash rule + epoch explode."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")).alias(
+            "stratum"
+        ),
+    )
+    out = curation.mixture_sample(
+        docs, "stratum", {"s0": 2.5, "s1": 0.4}, default_weight=1.0
+    )
+    return out.select("doc_id", "stratum", "epoch")
+
+
+_MIXTURE_SQL = (
+    "WITH d AS (SELECT doc_id, 's' || CAST(doc_id % 3 AS VARCHAR) AS stratum "
+    "FROM documents), "
+    "wtd AS (SELECT doc_id, stratum, "
+    "CASE stratum WHEN 's0' THEN 2.5 WHEN 's1' THEN 0.4 ELSE 1.0 END AS w, "
+    "('0x'||substr(md5('42:' || stratum || ':' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT "
+    "% 1000000 AS b FROM d), "
+    "cnt AS (SELECT doc_id, stratum, CAST(floor(w) AS INT) + "
+    "CASE WHEN b < (w - floor(w)) * 1000000 THEN 1 ELSE 0 END AS n FROM wtd) "
+    "SELECT doc_id, stratum, unnest(range(0, n)) AS epoch FROM cnt WHERE n > 0"
+)
+
+
+def _q_corpus_shuffle(spark, sf_dir):
+    """Deterministic hash shuffle into 8 training shards; output is the
+    (shard, pos) layout for every doc. Oracle: the same two hash draws
+    (shard assignment + within-shard order) in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return curation.corpus_shuffle(docs, num_shards=8)
+
+
+_SHUFFLE_SQL = (
+    "WITH d AS (SELECT doc_id, "
+    "('0x'||substr(md5('42:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 8 "
+    "AS shard, "
+    "('0x'||substr(md5('pos|42:' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT "
+    "AS ord FROM documents) "
+    "SELECT CAST(shard AS INT) AS shard, "
+    "CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 "
+    "AS BIGINT) AS pos, doc_id FROM d"
+)
+
+
+def _q_sample_neighbors(spark, sf_dir):
+    """GraphSAGE fanout sampling (k=3) on the REVERSED hierarchy graph
+    (regions/nations have real branching). Oracle: the identical
+    hash-ranked row_number filter in SQL."""
+    from graphframes_rs_spark.operators.random_walks import sample_neighbors
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    rev = GraphFrame(
+        g.vertices,
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    return sample_neighbors(rev, k=3, seed=42)
+
+
+_SAMPLE_NBRS_SQL = (
+    f"WITH e AS (SELECT dst AS src, src AS dst FROM ({_EDGES_SMALL_SQL})), "
+    "r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY "
+    "('0x'||substr(md5(CAST(dst AS VARCHAR)||'|42'),1,15))::BIGINT, dst) "
+    "AS rank FROM (SELECT DISTINCT src, dst FROM e)) "
+    "SELECT src AS id, dst AS neighbor, CAST(rank AS INT) AS rank "
+    "FROM r WHERE rank <= 3"
+)
+
+
 def _q_attribution(spark, sf_dir):
     """Conversion attribution: click -> purchase pairs per user within a
     30-minute horizon (the batch face of the stream-stream interval
@@ -1393,6 +1467,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
         "attribution": _q_attribution,
+        "mixture_sample": _q_mixture_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "sample_neighbors": _q_sample_neighbors,
         "event_transitions": _q_event_transitions,
         "sessions": _q_sessions,
         "pricing_summary": _q_pricing_summary,
@@ -2306,6 +2383,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM c JOIN t USING (from_type)"
         ),
         "attribution": _ATTRIBUTION_SQL,
+        "mixture_sample": _MIXTURE_SQL,
+        "corpus_shuffle": _SHUFFLE_SQL,
+        "sample_neighbors": _SAMPLE_NBRS_SQL,
         "events_hourly": (
             # epoch_ms // 1000 floors like Spark's timestamp->long cast
             # (DuckDB CAST(double AS BIGINT) would round instead)

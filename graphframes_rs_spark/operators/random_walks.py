@@ -341,3 +341,33 @@ def node2vec_walks(
             .alias("path"),
         )
     return walks.select("walk_id", F.col("path")[0].alias("start"), "path")
+
+
+def sample_neighbors(
+    graph: GraphFrame, k: int, seed: int = 42
+) -> DataFrame:
+    """[id, neighbor, rank] — at most ``k`` deterministic hash-sampled
+    DISTINCT out-neighbours per vertex (rank 1..k in the seeded-hash
+    order): the GraphSAGE/GNN fanout-sampling primitive (Hamilton, Ying
+    & Leskovec, NeurIPS'17). Multi-layer fanouts compose by joining a
+    layer's ``neighbor`` column onto the next call's ``id``.
+
+    One window shuffle on ``src`` (identical prep to
+    :func:`random_walks` — per-vertex hash ranking), then a narrow
+    ``rank <= k`` filter: no per-row RNG state, stable under
+    re-partitioning, replayable in SQL. Vertices with out-degree < k
+    keep all their neighbours; isolated vertices emit nothing."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges = graph.edges.select(SRC, DST).distinct()
+    w_rank = Window.partitionBy(SRC).orderBy(
+        hash60(F.concat_ws("|", F.col(DST), F.lit(seed))), DST
+    )
+    return (
+        edges.select(
+            F.col(SRC).alias(ID),
+            F.col(DST).alias("neighbor"),
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )

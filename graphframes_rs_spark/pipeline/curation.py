@@ -246,3 +246,98 @@ def source_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.countDistinct(F.col("lang")).alias("n_langs"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: Dict[str, float],
+    default_weight: float = 1.0,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Weighted UP/DOWN-sampling for training-mixture construction: each
+    row is emitted ``floor(w)`` times plus one more with probability
+    ``frac(w)`` (w = its stratum's weight) — so ``weights={"web": 0.3,
+    "code": 2.5}`` keeps ~30% of web docs and repeats code docs ~2.5
+    epochs, the standard way domain mix ratios are realized in LLM
+    pre-training data (cf. the epoch factors in Llama/GPT-3 data tables).
+
+    Output adds an ``epoch`` column (0-based copy index) so downstream
+    shuffling/packing can spread repeats across shards.
+
+    Deterministic and shuffle-free: the fractional decision reuses the
+    same md5-hash rule as :func:`stratified_sample` (stable under
+    re-partitioning, replayable in SQL); the integer repeats are a
+    row-local ``explode(sequence(...))``. Weights must be < 100 —
+    epoch-style repetition beyond that is a config error, not a mix."""
+    if any(w < 0 or w >= 100 for w in weights.values()) or not (
+        0 <= default_weight < 100
+    ):
+        raise ValueError("mixture weights must be in [0, 100)")
+    w_expr = F.lit(float(default_weight))
+    for k in sorted(weights):
+        w_expr = F.when(
+            F.col(strata_col) == F.lit(k), F.lit(float(weights[k]))
+        ).otherwise(w_expr)
+    key = F.concat_ws(
+        ":",
+        F.lit(str(seed)),
+        F.col(strata_col).cast("string"),
+        F.col(key_col).cast("string"),
+    )
+    bucket = F.pmod(hash60(key), F.lit(resolution))
+    whole = F.floor(w_expr).cast("int")
+    frac_keep = (
+        bucket < (w_expr - whole.cast("double")) * F.lit(float(resolution))
+    )
+    n_copies = (whole + frac_keep.cast("int")).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    num_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """[shard, pos, <row...>] — deterministic global shuffle + sharding
+    for training-data writing: every row's shard is a seeded md5 hash mod
+    ``num_shards`` (each shard is therefore a uniform random sample of
+    the corpus — what data loaders assume when streaming shards
+    independently), and ``pos`` orders rows WITHIN the shard by a second
+    hash draw, breaking any storage-order locality.
+
+    Scale shape: no global total order anywhere — a global
+    ``row_number()`` would funnel 100 TB through one task. The per-shard
+    position window parallelizes across shards (pick num_shards >> cores;
+    training shard counts are typically 2^10-2^14, so skew is ±sqrt
+    noise). Follow with ``.repartition("shard")`` +
+    ``partitionBy("shard")`` on write so each shard lands contiguously.
+    Epoch variation = change the seed."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    h = hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(h, F.lit(num_shards)).cast("int")
+    order = hash60(
+        F.concat_ws(":", F.lit(f"pos|{seed}"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("__ord", key_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
+        .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+        .select("shard", "pos", *df.columns)
+    )

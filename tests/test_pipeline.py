@@ -622,3 +622,53 @@ def test_line_dedup_custom_separator_is_literal(spark):
     out = {r["doc_id"]: r["text"] for r in line_dedup(docs, sep=".").collect()}
     assert out[1] == "x.y"
     assert out[2] == "z"
+
+
+def test_mixture_sample_epochs_and_validation(spark):
+    import pytest as _pt
+
+    from graphframes_rs_spark.pipeline.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "code" if i % 2 == 0 else "web") for i in range(200)],
+        "doc_id long, stratum string",
+    )
+    out = mixture_sample(docs, "stratum", {"code": 2.5, "web": 0.4}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every code doc appears 2 or 3 times with contiguous epochs 0..n-1
+    code_counts = [len(v) for d, v in by_doc.items() if d % 2 == 0]
+    assert set(code_counts) <= {2, 3} and 2 in code_counts
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+    # web docs appear 0 or 1 times, roughly 40%
+    n_web = sum(1 for d in by_doc if d % 2 == 1)
+    assert 20 <= n_web <= 60
+    # deterministic across runs
+    again = mixture_sample(docs, "stratum", {"code": 2.5, "web": 0.4}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with _pt.raises(ValueError):
+        mixture_sample(docs, "stratum", {"code": 100.0})
+
+
+def test_corpus_shuffle_layout(spark):
+    import pytest as _pt
+
+    from graphframes_rs_spark.pipeline.curation import corpus_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = corpus_shuffle(docs, num_shards=8).collect()
+    assert len(out) == 1000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 0..n-1 within every shard
+    assert all(sorted(v) == list(range(len(v))) for v in by_shard.values())
+    # shards are roughly balanced (hash uniformity)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and min(sizes) > 70 and max(sizes) < 180
+    # stable under repartitioning
+    again = corpus_shuffle(docs.repartition(7), num_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with _pt.raises(ValueError):
+        corpus_shuffle(docs, num_shards=0)

@@ -102,3 +102,31 @@ def test_skipgram_pairs_hand_checked(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         skipgram_pairs(walks, window=0)
+
+
+def test_sample_neighbors_fanout(spark):
+    import pytest as _pt
+
+    from graphframes_rs_spark.operators.random_walks import sample_neighbors
+
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    e = spark.createDataFrame(
+        [(1, d) for d in (2, 3, 4, 5, 6)] + [(2, 3), (3, 3), (4, 5), (4, 5)],
+        "src long, dst long",
+    )
+    g = GraphFrame(v, e)
+    out = sample_neighbors(g, k=3, seed=42).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append((r["rank"], r["neighbor"]))
+    assert len(by_id[1]) == 3                       # capped at k
+    assert sorted(r for r, _ in by_id[1]) == [1, 2, 3]
+    assert by_id[2] == [(1, 3)]                     # degree < k keeps all
+    assert by_id[4] == [(1, 5)]                     # duplicate edge collapses
+    assert 5 not in by_id and 6 not in by_id        # sinks emit nothing
+    # the chosen subset matches the walk ranking (same hash, same order)
+    s1 = sample_neighbors(g, k=3, seed=42).collect()
+    s2 = sample_neighbors(g, k=3, seed=42).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    with _pt.raises(ValueError):
+        sample_neighbors(g, k=0)
