@@ -221,3 +221,68 @@ def test_motif_fast_path_plan_has_no_cartesian(spark):
     plan = _executed_plan(g.find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session5_operators_plan_hygiene(spark):
+    """Round-5 session-3 operators: no cartesian products anywhere; the
+    narrow curation ops (mixture, stratified-style hashes) must plan
+    ZERO shuffles; line_dedup's first-occurrence agg must combine
+    map-side (partial_min), not sort a window."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from graphframes_rs_spark.operators.link_prediction import (
+        bipartite_projection,
+    )
+    from graphframes_rs_spark.operators.random_walks import (
+        node2vec_walks,
+        sample_neighbors,
+    )
+    from graphframes_rs_spark.pipeline import curation, dedup
+    from graphframes_rs_spark.streaming import events as ev
+
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d"), (2, "c d\ne f")], "doc_id long, text string"
+    )
+    v = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    e = v.select(
+        F.col("id").alias("src"), ((F.col("id") % 5) + 1).alias("dst")
+    )
+    g = GraphFrame(v, e)
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "click", 1.0),
+         (2, "2024-01-01 00:10:00", 7, "purchase", 2.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    for name, df in [
+        ("line_dedup", dedup.line_dedup(docs)),
+        ("bipartite_projection", bipartite_projection(e)),
+        ("attribution", ev.attribution_join(events)),
+        ("node2vec", node2vec_walks(g, walk_length=2)),
+        ("sample_neighbors", sample_neighbors(g, k=2)),
+        ("neighborhood_fn",
+         g.neighborhood_function().max_radius(2).with_registers(2).run()),
+    ]:
+        plan = _executed_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # line_dedup: skew-safe first-occurrence = combine-enabled min agg,
+    # never a per-line row_number window
+    ld_plan = _executed_plan(dedup.line_dedup(docs))
+    assert "partial_min" in ld_plan
+    assert "Window" not in ld_plan
+
+    # mixture_sample: pure narrow projection — zero shuffles
+    mix = curation.mixture_sample(
+        docs.select("doc_id", F.lit("s").alias("stratum")),
+        "stratum",
+        {"s": 2.5},
+    )
+    assert "Exchange" not in _executed_plan(mix)
+
+    # attribution batch face: the range predicate rides the user_id
+    # equi-join (one join, no post-join cross blowup)
+    at_plan = _executed_plan(ev.attribution_join(events))
+    assert at_plan.count("Join") <= 2  # one join node (+AQE naming slack)
