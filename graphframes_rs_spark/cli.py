@@ -80,6 +80,7 @@ def main(argv=None) -> int:
         choices=[
             "pagerank", "wcc", "bfs", "kcore", "mis",
             "hits", "coloring", "ktruss", "betweenness", "walks",
+            "node2vec", "anf", "fanout",
         ],
     )
     p.add_argument(
@@ -88,7 +89,8 @@ def main(argv=None) -> int:
             "pagerank: tolerance; wcc/mis/coloring: seed; bfs: "
             "comma-separated landmarks; kcore: ignored; hits: iterations; "
             "ktruss: k; betweenness: comma-separated source ids; "
-            "walks: walk length"
+            "walks: walk length; node2vec: length,p,q; anf: radius; "
+            "fanout: k"
         ),
     )
     p.add_argument("out", help="output parquet directory")
@@ -139,13 +141,38 @@ def main(argv=None) -> int:
     elif args.algorithm == "betweenness":
         sources = [int(x) for x in args.param.split(",") if x]
         builder = g.betweenness(sources).set_checkpoint_dir(ckpt)
+    elif args.algorithm == "anf":
+        builder = (
+            g.neighborhood_function()
+            .max_radius(int(args.param))
+            .set_checkpoint_dir(ckpt)
+        )
+    elif args.algorithm == "node2vec":
+        parts = args.param.split(",")
+        length, pp, qq = int(parts[0]), float(parts[1]), float(parts[2])
+
+        class _N2VRunner:
+            def run(self):
+                return g.node2vec_walks(walk_length=length, p=pp, q=qq)
+
+        builder = _N2VRunner()
+    elif args.algorithm == "fanout":
+        from graphframes_rs_spark.operators.random_walks import sample_neighbors
+
+        class _FanoutRunner:
+            def run(self):
+                return sample_neighbors(g, k=int(args.param))
+
+        builder = _FanoutRunner()
     else:  # walks
         class _WalksRunner:
             def run(self):
                 return g.random_walks(walk_length=int(args.param))
 
         builder = _WalksRunner()
-    if args.max_iterations is not None and args.algorithm not in ("wcc", "walks", "hits"):
+    if args.max_iterations is not None and args.algorithm not in (
+        "wcc", "walks", "hits", "node2vec", "fanout", "anf"
+    ):
         builder = builder.max_iterations(args.max_iterations)
     result = builder.run()
 

@@ -77,3 +77,31 @@ def test_cli_new_algorithms_dispatch(graph_parquet, tmp_path):
             check.replace("__T__", f"'{out}/*.parquet'")
         ).fetchone()[0]
         assert bad == 0, (algo, bad)
+
+
+def test_cli_session3_algorithms_dispatch(graph_parquet, tmp_path):
+    """node2vec (one walk per vertex), anf (positive estimates), fanout
+    (rank bounded by k) run end-to-end through the CLI."""
+    import duckdb
+
+    for algo, param, check in [
+        ("node2vec", "2,4.0,0.25", "SELECT count(*) - 6 FROM __T__"),
+        ("anf", "2", "SELECT count(*) FROM __T__ WHERE nf_est <= 0"),
+        ("fanout", "2", "SELECT count(*) FROM __T__ WHERE rank > 2"),
+    ]:
+        out = tmp_path / f"{algo}_out"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "graphframes_rs_spark",
+                f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+                algo, param, str(out),
+                "--partitions", "2", "--cpus", "2",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, (algo, r.stderr[-2000:])
+        con = duckdb.connect()
+        bad = con.execute(
+            check.replace("__T__", f"'{out}/*.parquet'")
+        ).fetchone()[0]
+        assert bad == 0, (algo, bad)
