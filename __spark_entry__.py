@@ -593,6 +593,75 @@ def _q_neighborhood(spark, sf_dir):
     )
 
 
+def _effective_diameter_sql(
+    k: int = 4, radius: int = 8, ratio: float = 0.9, seed: int = 42
+) -> str:
+    """DuckDB replay of operators/neighborhood.py::effective_diameter on
+    the SYMMETRIZED hierarchy graph: per-round FM register closure (same
+    integer bit ops as _neighborhood_sql), per-round global estimate
+    sums, then the smallest t covering ``ratio`` of the fixpoint total.
+    Robust to Spark's early-stop: past closure every round's sum equals
+    the fixpoint, so min-t and the totals agree regardless of how many
+    no-change rounds each engine ran."""
+
+    def h(expr: str) -> str:
+        return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+    def one_hot(i: int) -> str:
+        hx = h(f"CAST(id AS VARCHAR)||'|{i}|{seed}'")
+        return f"({hx} & -({hx})) AS r{i}"
+
+    init_cols = ", ".join(one_hot(i) for i in range(k))
+    est = (
+        "pow(2.0, ("
+        + " + ".join(f"(bit_count(xor(r{i}, r{i} + 1)) - 1)" for i in range(k))
+        + f") / {float(k)}) / 0.77351"
+    )
+    ctes = [
+        f"eb AS ({_EDGES_SMALL_SQL})",
+        "e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb)",
+        f"verts AS ({_VERTS_SMALL_SQL})",
+        f"m0 AS (SELECT id, {init_cols} FROM verts)",
+    ]
+    for t in range(1, radius + 1):
+        prev = f"m{t - 1}"
+        agg = ", ".join(f"bit_or(n.r{i}) AS r{i}" for i in range(k))
+        mrg = ", ".join(
+            f"m.r{i} | COALESCE(a.r{i}, 0) AS r{i}" for i in range(k)
+        )
+        ctes.append(
+            f"m{t} AS (SELECT m.id, {mrg} FROM {prev} m LEFT JOIN "
+            f"(SELECT e.src AS id, {agg} FROM e JOIN {prev} n "
+            "ON n.id = e.dst GROUP BY e.src) a USING (id))"
+        )
+    sums = " UNION ALL ".join(
+        f"SELECT {t} AS t, sum({est}) AS s FROM m{t}"
+        for t in range(radius + 1)
+    )
+    ctes.append(f"sums AS ({sums})")
+    ctes.append(
+        f"tot AS (SELECT s AS total FROM sums WHERE t = {radius})"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT CAST(t AS INT) AS effective_diameter, "
+        "round(s, 6) AS n_pairs_est, round(total, 6) AS total_pairs_est "
+        f"FROM sums, tot WHERE s >= {ratio} * total ORDER BY t LIMIT 1"
+    )
+
+
+def _q_effective_diameter(spark, sf_dir):
+    """ANF effective diameter (ratio 0.9, k=4 registers) of the
+    SYMMETRIZED hierarchy graph (true diameter 4: customer -> nation ->
+    region -> nation' -> customer'). Oracle: full per-round register
+    replay + the identical min-t selection."""
+    g = customer_hierarchy_graph(spark, sf_dir).symmetrize()
+    return g.effective_diameter(
+        ratio=0.9, max_radius=8, num_registers=4, seed=42
+    )
+
+
 def _q_kcore_forest(spark, sf_dir):
     g = customer_hierarchy_graph(spark, sf_dir)
     return g.k_core().set_checkpoint_dir(_ckpt()).run()
@@ -1405,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
         "neighborhood_fn": _q_neighborhood,
+        "effective_diameter": _q_effective_diameter,
         "skipgram_pairs": _q_skipgram_pairs,
         "hits": _q_hits,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1817,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(),
         "node2vec_walks": _node2vec_sql(),
         "neighborhood_fn": _neighborhood_sql(),
+        "effective_diameter": _effective_diameter_sql(),
         "skipgram_pairs": _skipgram_pairs_sql(),
         "hits": (
             f"WITH e AS ({_EDGES_SMALL_SQL}), "

@@ -418,6 +418,13 @@ class GraphFrame:
 
         return NeighborhoodFunctionBuilder(self)
 
+    def effective_diameter(self, ratio: float = 0.9, **kwargs) -> DataFrame:
+        from graphframes_rs_spark.operators.neighborhood import (
+            effective_diameter,
+        )
+
+        return effective_diameter(self, ratio=ratio, **kwargs)
+
     def clustering_coefficient(self) -> DataFrame:
         from graphframes_rs_spark.operators.triangles import clustering_coefficient
 

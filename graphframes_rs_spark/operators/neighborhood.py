@@ -61,6 +61,7 @@ class NeighborhoodFunctionBuilder:
         self.num_registers = 8
         self.seed = 42
         self._checkpoint_dir = None
+        self._history = False
         self.iterations_ = 0
 
     def max_radius(self, r: int) -> "NeighborhoodFunctionBuilder":
@@ -83,8 +84,17 @@ class NeighborhoodFunctionBuilder:
         self._checkpoint_dir = d
         return self
 
+    def with_history(self, flag: bool = True) -> "NeighborhoodFunctionBuilder":
+        """Also return ``nf_hist: array<double>`` — the per-radius estimate
+        trail N(v, 0..t). The history column rides the same superstep (one
+        extra array append per round, no extra jobs); it is what
+        :func:`effective_diameter` consumes."""
+        self._history = flag
+        return self
+
     def run(self) -> DataFrame:
-        """DataFrame[id, nf_est: double, reg_0..reg_{k-1}: long].
+        """DataFrame[id, nf_est: double, reg_0..reg_{k-1}: long
+        (, nf_hist: array<double> with ``with_history()``)].
         ``nf_est`` estimates |{w : dist(id -> w) <= radius}| (counting
         ``id``); the registers are the raw merged FM sketches —
         deterministic given the seed, so downstream unions of sketches
@@ -108,6 +118,18 @@ class NeighborhoodFunctionBuilder:
             ),
             lambda x, y: x.bitwiseOR(y),
         )
+        def est_of(regs_expr):
+            mean_r = sum(
+                (
+                    F.bit_count(
+                        regs_expr[i].bitwiseXOR(regs_expr[i] + 1)
+                    )
+                    - 1
+                )
+                for i in range(k)
+            ) / F.lit(float(k))
+            return F.pow(F.lit(2.0), mean_r) / F.lit(FM_PHI)
+
         builder = (
             self.graph.pregel()
             .add_vertex_column("regs", F.array(*inits), merged)
@@ -123,6 +145,12 @@ class NeighborhoodFunctionBuilder:
             .max_iterations(self.radius)
             .with_vertex_voting("active", merged != F.col("regs"))
         )
+        if self._history:
+            builder = builder.add_vertex_column(
+                "nf_hist",
+                F.array(est_of(F.array(*inits))),
+                F.concat(F.col("nf_hist"), F.array(est_of(merged))),
+            )
         if self._checkpoint_dir:
             builder = builder.set_checkpoint_dir(self._checkpoint_dir)
         out = builder.run()
@@ -134,8 +162,64 @@ class NeighborhoodFunctionBuilder:
         mean_r = sum(
             (F.bit_count(reg(i).bitwiseXOR(reg(i) + 1)) - 1) for i in range(k)
         ) / F.lit(float(k))
+        extra = [F.col("nf_hist")] if self._history else []
         return out.select(
             ID,
             (F.pow(F.lit(2.0), mean_r) / F.lit(FM_PHI)).alias("nf_est"),
             *[reg(i).alias(_reg(i)) for i in range(k)],
+            *extra,
         )
+
+
+def effective_diameter(
+    graph: GraphFrame,
+    ratio: float = 0.9,
+    max_radius: int = 16,
+    num_registers: int = 8,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """One row [effective_diameter: int, n_pairs_est: double,
+    total_pairs_est: double] — the smallest radius t at which the
+    estimated number of reachable (ordered) pairs Σ_v N(v, t) covers
+    ``ratio`` of the fixpoint total (the ANF/HyperANF definition of
+    effective diameter). One ANF run with history; the per-radius global
+    sums are one explode + groupBy over the trail — no extra graph
+    iteration, no all-pairs anything.
+
+    The early-stop voting means the trail ends exactly at closure, so the
+    last entry IS the fixpoint total even when ``max_radius`` overshoots
+    the true diameter."""
+    if not 0 < ratio <= 1:
+        raise ValueError("ratio must be in (0, 1]")
+    b = (
+        NeighborhoodFunctionBuilder(graph)
+        .max_radius(max_radius)
+        .with_registers(num_registers)
+        .with_seed(seed)
+        .with_history()
+    )
+    if checkpoint_dir:
+        b = b.set_checkpoint_dir(checkpoint_dir)
+    hist = b.run().select("nf_hist")
+    sums = (
+        hist.select(F.posexplode("nf_hist").alias("t", "est"))
+        .groupBy("t")
+        .agg(F.sum("est").alias("n_pairs_est"))
+    )
+    total = sums.orderBy(F.desc("t")).limit(1).select(
+        F.col("n_pairs_est").alias("total_pairs_est")
+    )
+    return (
+        sums.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_pairs_est") >= F.lit(float(ratio)) * F.col("total_pairs_est")
+        )
+        .orderBy("t")
+        .limit(1)
+        .select(
+            F.col("t").alias("effective_diameter"),
+            F.round("n_pairs_est", 6).alias("n_pairs_est"),
+            F.round("total_pairs_est", 6).alias("total_pairs_est"),
+        )
+    )

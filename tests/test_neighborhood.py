@@ -113,3 +113,66 @@ def test_validation(spark):
         g.neighborhood_function().max_radius(0)
     with pytest.raises(ValueError):
         g.neighborhood_function().with_registers(0)
+
+
+def _replay_history(radius, k, seed):
+    """Per-round global estimate sums, replaying the exact engine math."""
+    adj = defaultdict(set)
+    for s, d in EDGES:
+        adj[s].add(d)
+    masks = {
+        v: [(h := _h60(f"{v}|{i}|{seed}")) & -h for i in range(k)]
+        for v in VERTICES
+    }
+    sums = [sum(_est(m) for m in masks.values())]
+    for _ in range(radius):
+        nxt = {}
+        changed = False
+        for v in VERTICES:
+            regs = list(masks[v])
+            for w in adj[v]:
+                for i in range(k):
+                    regs[i] |= masks[w][i]
+            if regs != masks[v]:
+                changed = True
+            nxt[v] = regs
+        masks = nxt
+        sums.append(sum(_est(m) for m in masks.values()))
+        if not changed:
+            break
+    return sums
+
+
+def test_effective_diameter_matches_replay(spark):
+    from graphframes_rs_spark.operators.neighborhood import effective_diameter
+
+    v = spark.createDataFrame([(i,) for i in VERTICES], "id long")
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    g = GraphFrame(v, e)
+    row = effective_diameter(
+        g, ratio=0.9, max_radius=8, num_registers=4, seed=42
+    ).collect()[0]
+    sums = _replay_history(8, 4, 42)
+    total = sums[-1]
+    want_t = next(t for t, s in enumerate(sums) if s >= 0.9 * total)
+    assert row["effective_diameter"] == want_t
+    assert row["total_pairs_est"] == pytest.approx(total, rel=1e-6)
+    assert row["n_pairs_est"] == pytest.approx(sums[want_t], rel=1e-6)
+
+
+def test_history_trail_is_monotone(spark):
+    v = spark.createDataFrame([(i,) for i in VERTICES], "id long")
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    out = (
+        GraphFrame(v, e)
+        .neighborhood_function()
+        .max_radius(6)
+        .with_registers(4)
+        .with_history()
+        .run()
+        .collect()
+    )
+    for r in out:
+        hist = r["nf_hist"]
+        assert hist[-1] == pytest.approx(r["nf_est"])
+        assert all(a <= b + 1e-9 for a, b in zip(hist, hist[1:]))
