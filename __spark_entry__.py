@@ -1103,6 +1103,30 @@ _SAMPLE_NBRS_SQL = (
 )
 
 
+def _q_events_sliding(spark, sf_dir):
+    """Sliding-window counts (1 h window, 15 min slide): every event lands
+    in exactly 4 overlapping windows. Oracle: explicit k=0..3 window-start
+    expansion with Spark's floor alignment (epoch 0, slide-aligned)."""
+    events = load_table(spark, sf_dir, "events")
+    out = ev.sliding_counts(events, "1 hour", "15 minutes")
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+_SLIDING_SQL = (
+    "WITH w AS (SELECT event_type, value, "
+    "((epoch_ms(ts) // 1000) // 900 - k.k) * 900 AS ws "
+    "FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) k(k)) "
+    "SELECT ws AS window_start_epoch, event_type, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "round(sum(value), 6) AS total_value FROM w GROUP BY 1, 2"
+)
+
+
 def _q_attribution(spark, sf_dir):
     """Conversion attribution: click -> purchase pairs per user within a
     30-minute horizon (the batch face of the stream-stream interval
@@ -1537,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
         "attribution": _q_attribution,
+        "events_sliding": _q_events_sliding,
         "mixture_sample": _q_mixture_sample,
         "corpus_shuffle": _q_corpus_shuffle,
         "sample_neighbors": _q_sample_neighbors,
@@ -2454,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c JOIN t USING (from_type)"
         ),
         "attribution": _ATTRIBUTION_SQL,
+        "events_sliding": _SLIDING_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "corpus_shuffle": _SHUFFLE_SQL,
         "sample_neighbors": _SAMPLE_NBRS_SQL,

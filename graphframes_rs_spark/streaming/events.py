@@ -396,3 +396,65 @@ def streaming_attribution_join(
             F.unix_timestamp("outcome_ts") - F.unix_timestamp("trigger_ts")
         ).alias("lag_seconds"),
     )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """[window_start, <key>, n_events, total_value] per SLIDING window
+    (batch face): each event lands in duration/slide overlapping windows
+    — the standard trailing-window rate/monitoring aggregate. Spark's
+    ``window(ts, duration, slide)`` expands the row to its windows
+    map-side; the shuffle is one combine-enabled aggregation on
+    (window, key), so the overlap factor inflates pre-combine rows, not
+    shuffled groups."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window_duration, slide).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sliding_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Streaming face of :func:`sliding_counts`, watermarked: a window
+    finalizes (append mode) once the watermark passes its end; state is
+    bounded by windows-in-flight x keys."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration, slide).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -612,3 +612,34 @@ def test_streaming_attribution_join_matches_batch(spark, tmp_path):
     assert got == want
     assert len(want) > 0
     assert all(0 <= lag <= 1800 for _, _, _, lag in want)
+
+
+def test_streaming_sliding_counts_matches_batch(spark, tmp_path):
+    """readStream -> sliding windows -> memory sink (complete mode): the
+    finalized window/key aggregates must equal the batch face."""
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_sliding")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = ev.streaming_sliding_counts(
+        stream, "1 hour", "15 minutes", watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from stream_sliding").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.sliding_counts(events, "1 hour", "15 minutes").collect()
+    }
+    assert got == want
+    # every event contributes to exactly duration/slide = 4 windows
+    assert sum(n for n, _ in want.values()) == 4 * events.count()
