@@ -651,6 +651,71 @@ def _effective_diameter_sql(
     )
 
 
+def _q_conductance(spark, sf_dir):
+    """Per-community conductance of the nation partition on the hierarchy
+    graph (customers + their nation in one community; regions are
+    singletons): each nation community's only cut edge is its region
+    link. Oracle: the same cut/internal/volume tallies in SQL over the
+    canonical undirected edge set."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    labels = (
+        cust.select(
+            (F.col("c_custkey") + 1000).cast("long").alias("id"),
+            (F.col("c_nationkey") + 100).cast("long").alias("label"),
+        )
+        .unionByName(
+            nation.select(
+                (F.col("n_nationkey") + 100).cast("long").alias("id"),
+                (F.col("n_nationkey") + 100).cast("long").alias("label"),
+            )
+        )
+        .unionByName(
+            region.select(
+                (F.col("r_regionkey") + 50).cast("long").alias("id"),
+                (F.col("r_regionkey") + 50).cast("long").alias("label"),
+            )
+        )
+    )
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return g.conductance(labels)
+
+
+_CONDUCTANCE_SQL = (
+    # hierarchy edges all run high id -> low id, so the canonical
+    # undirected simple pair is just (dst, src); labels: customer/nation ->
+    # nation, region -> itself
+    f"WITH e AS (SELECT DISTINCT dst AS a, src AS b FROM ({_EDGES_SMALL_SQL})), "
+    "lab AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, "
+    "CAST(c_nationkey + 100 AS BIGINT) AS label FROM customer "
+    "UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), "
+    "CAST(n_nationkey + 100 AS BIGINT) FROM nation "
+    "UNION ALL SELECT CAST(r_regionkey + 50 AS BIGINT), "
+    "CAST(r_regionkey + 50 AS BIGINT) FROM region), "
+    "le AS (SELECT la.label AS sl, lb.label AS dl FROM e "
+    "JOIN lab la ON la.id = e.a JOIN lab lb ON lb.id = e.b), "
+    "side AS (SELECT sl AS label, "
+    "CASE WHEN sl <> dl THEN 1 ELSE 0 END AS cut, "
+    "CASE WHEN sl = dl THEN 1 ELSE 0 END AS own FROM le "
+    "UNION ALL SELECT dl, 1, 0 FROM le WHERE sl <> dl), "
+    "tal AS (SELECT label, sum(cut) AS cut_edges, sum(own) AS internal_edges "
+    "FROM side GROUP BY label), "
+    "mem AS (SELECT label, count(*) AS n_members FROM lab GROUP BY label), "
+    "m AS (SELECT count(*) AS total FROM e) "
+    "SELECT mem.label, n_members, COALESCE(cut_edges, 0) AS cut_edges, "
+    "COALESCE(internal_edges, 0) AS internal_edges, "
+    "COALESCE(cut_edges, 0) + 2 * COALESCE(internal_edges, 0) AS volume, "
+    "CASE WHEN least(COALESCE(cut_edges, 0) + 2 * COALESCE(internal_edges, 0), "
+    "2 * total - (COALESCE(cut_edges, 0) + 2 * COALESCE(internal_edges, 0))) > 0 "
+    "THEN round(COALESCE(cut_edges, 0) / least("
+    "COALESCE(cut_edges, 0) + 2 * COALESCE(internal_edges, 0), "
+    "2 * total - (COALESCE(cut_edges, 0) + 2 * COALESCE(internal_edges, 0))), 6) "
+    "END AS conductance "
+    "FROM mem LEFT JOIN tal USING (label) CROSS JOIN m"
+)
+
+
 def _q_effective_diameter(spark, sf_dir):
     """ANF effective diameter (ratio 0.9, k=4 registers) of the
     SYMMETRIZED hierarchy graph (true diameter 4: customer -> nation ->
@@ -1512,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_planted": _q_ktruss,
         "link_prediction": _q_link_prediction,
         "assortativity": _q_assortativity,
+        "conductance": _q_conductance,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
@@ -1966,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
         ),
+        "conductance": _CONDUCTANCE_SQL,
         "assortativity": (
             f"WITH e0 AS ({_EDGES_SMALL_SQL}), "
             "und AS (SELECT DISTINCT src, dst FROM ("

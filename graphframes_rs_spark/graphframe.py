@@ -435,6 +435,11 @@ class GraphFrame:
 
         return TopologicalLayersBuilder(self)
 
+    def conductance(self, labels: DataFrame, label_col: str = "label") -> DataFrame:
+        from graphframes_rs_spark.operators.modularity import conductance
+
+        return conductance(self, labels, label_col)
+
     def modularity(self, labels: DataFrame, label_col: str = "label") -> DataFrame:
         from graphframes_rs_spark.operators.modularity import modularity
 

@@ -90,3 +90,83 @@ def modularity(
             ).alias("modularity"),
         )
     )
+
+
+def conductance(
+    graph: GraphFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """[label, n_members, cut_edges, internal_edges, volume, conductance]
+    — per-community conductance φ(S) = cut(S) / min(vol(S), vol(V∖S)),
+    the other standard community-quality score (modularity rewards
+    density, conductance penalizes leaky boundaries; Leskovec et al.'s
+    NCP plots are exactly this per size). Computed on the canonical
+    undirected simple graph like :func:`modularity`, so any input
+    orientation scores identically.
+
+    Communities whose volume is 0 (all members isolated) get conductance
+    NULL rather than a division blow-up. Vertices missing from ``labels``
+    form implicit singletons, so partial labellings still score.
+
+    Scale shape: label both endpoints (two |V|-keyed joins), then ONE
+    combine-enabled aggregation per community for cut/internal sums and
+    one for volumes — no iteration, nothing driver-side."""
+    lab = (
+        graph.vertices.select(ID)
+        .join(labels.select(ID, F.col(label_col).alias("__lab")), ID, "left")
+        .select(ID, F.coalesce(F.col("__lab"), F.col(ID)).alias("__lab"))
+    )
+    canon = (
+        symmetrize_edges(graph.edges.select(SRC, DST), deduplicate=True)
+        .filter(F.col(SRC) < F.col(DST))
+    )
+    labelled = (
+        canon.join(
+            lab.select(F.col(ID).alias(SRC), F.col("__lab").alias("__sl")),
+            SRC,
+        )
+        .join(
+            lab.select(F.col(ID).alias(DST), F.col("__lab").alias("__dl")),
+            DST,
+        )
+    )
+    # per-community tallies: an internal edge counts once for its own
+    # community; a cut edge counts once for EACH endpoint community
+    per_side = labelled.select(
+        F.col("__sl").alias("label"),
+        (F.col("__sl") != F.col("__dl")).cast("long").alias("__cut"),
+        (F.col("__sl") == F.col("__dl")).cast("long").alias("__int"),
+    ).unionByName(
+        labelled.filter(F.col("__sl") != F.col("__dl")).select(
+            F.col("__dl").alias("label"),
+            F.lit(1).cast("long").alias("__cut"),
+            F.lit(0).cast("long").alias("__int"),
+        )
+    )
+    tallies = per_side.groupBy("label").agg(
+        F.sum("__cut").alias("cut_edges"),
+        F.sum("__int").alias("internal_edges"),
+    )
+    members = lab.groupBy(F.col("__lab").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    # total edge count rides as a 1-row broadcast (no count-star action)
+    total = canon.agg(F.count(F.lit(1)).alias("__m"))
+    out = (
+        members.join(tallies, "label", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            F.col("__m"),
+        )
+    )
+    vol = (F.col("cut_edges") + 2 * F.col("internal_edges")).alias("volume")
+    out = out.withColumn("volume", vol)
+    other_vol = 2 * F.col("__m") - F.col("volume")
+    denom = F.least(F.col("volume"), other_vol)
+    return out.withColumn(
+        "conductance",
+        F.when(denom > 0, F.round(F.col("cut_edges") / denom, 6)),
+    ).drop("__m")

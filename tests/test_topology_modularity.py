@@ -122,3 +122,54 @@ def test_clustering_coefficient_isolated_zero(spark):
     g = _graph(spark, [(1, 2)], vertices=[1, 2, 9])
     got = {r["id"]: r["coefficient"] for r in g.clustering_coefficient().collect()}
     assert got[9] == 0.0
+
+
+def test_conductance_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge: each community has cut 1,
+    internal 3, volume 7 -> phi = 1/7. Orientation must not matter."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(4, 5), (5, 6), (6, 4)]
+    bridge = [(3, 4)]
+    v = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    e = spark.createDataFrame(tri1 + tri2 + bridge, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, 100 if i <= 3 else 200) for i in range(1, 7)], "id long, label long"
+    )
+    g = GraphFrame(v, e)
+    out = {r["label"]: r for r in g.conductance(labels).collect()}
+    for lab in (100, 200):
+        assert out[lab]["cut_edges"] == 1
+        assert out[lab]["internal_edges"] == 3
+        assert out[lab]["volume"] == 7
+        assert out[lab]["conductance"] == pytest.approx(1 / 7, abs=1e-6)
+        assert out[lab]["n_members"] == 3
+    # reversed orientation scores identically
+    rev = GraphFrame(
+        v, e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out2 = {r["label"]: r for r in rev.conductance(labels).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }
+
+
+def test_conductance_edge_cases(spark):
+    """Isolated-members community -> NULL conductance; missing labels form
+    singletons; the whole-graph community has cut 0 -> NULL (denom 0
+    only when S or its complement has no volume)."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9)], "id long, label long"  # 4 unlabeled
+    )
+    out = {r["label"]: r for r in GraphFrame(v, e).conductance(labels).collect()}
+    # community 7 holds ALL edges: complement volume 0 -> NULL
+    assert out[7]["internal_edges"] == 1 and out[7]["cut_edges"] == 0
+    assert out[7]["conductance"] is None
+    # community 9 and singleton 4: no incident edges at all -> NULL
+    assert out[9]["volume"] == 0 and out[9]["conductance"] is None
+    assert out[4]["n_members"] == 1 and out[4]["conductance"] is None
