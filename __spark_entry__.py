@@ -1278,6 +1278,33 @@ _LINE_DEDUP_SQL = (
 )
 
 
+def _q_embedding_outliers(spark, sf_dir):
+    """Distance-to-centroid z-score outlier flags over the embeddings
+    table. Oracle: per-dimension mean via unnest indexing, the identical
+    sequential-fold distance, and population-stddev z-scores in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(emb, z_threshold=2.0)
+
+
+_EMB_OUTLIERS_SQL = (
+    # the distance fold is ORDERED (list_reduce over dimension order), so
+    # it reproduces Spark's sequential aggregate() fold bit-for-bit given
+    # the same mean vector
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "dims AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM e), "
+    "mu AS (SELECT list(m ORDER BY i) AS mv FROM "
+    "(SELECT i, avg(v[i]) AS m FROM dims GROUP BY i)), "
+    "dist AS (SELECT vec_id, sqrt(list_reduce(list_transform("
+    "range(1, len(v) + 1), i -> (v[i] - mv[i]) * (v[i] - mv[i])), "
+    "(a, b) -> a + b)) AS dist FROM e CROSS JOIN mu), "
+    "mom AS (SELECT avg(dist) AS md, stddev_pop(dist) AS sd FROM dist) "
+    "SELECT vec_id, round(dist, 6) AS dist, "
+    "round(CASE WHEN sd > 0 THEN (dist - md) / sd ELSE 0.0 END, 6) AS z, "
+    "(CASE WHEN sd > 0 THEN (dist - md) / sd ELSE 0.0 END) > 2.0 AS is_outlier "
+    "FROM dist CROSS JOIN mom"
+)
+
+
 def _q_ann_pq(spark, sf_dir):
     """Product-quantization ANN (m=8 subspaces x 6 bits, ADC scoring,
     exact rerank of the top 150): same per-query recall@5 gate as the
@@ -1620,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
+        "embedding_outliers": _q_embedding_outliers,
         "image_features": _q_image_features,
         "image_dims": _q_image_dims,
         "image_dims_png": _q_image_dims_png,
@@ -2080,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS query_id, true AS recall_ok "
             "FROM embeddings WHERE vec_id < 10"
         ),
+        "embedding_outliers": _EMB_OUTLIERS_SQL,
         "kcore_forest": (
             f"WITH v AS ({_VERTS_SMALL_SQL}), e AS ({_EDGES_SMALL_SQL}), "
             "deg AS (SELECT id, count(*) AS d FROM ("

@@ -508,3 +508,61 @@ def pq_topk(
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """[vec_id, dist, z, is_outlier] — corpus-QA outlier flagging: each
+    vector's Euclidean distance to the corpus MEAN embedding, z-scored
+    against the distance distribution. Far-from-centroid rows are the
+    usual suspects (wrong modality, empty inputs, encoder failures)
+    worth auditing before training.
+
+    Two combine-enabled aggregation passes (mean vector, then distance
+    moments), each re-broadcast as a 1-row frame — no collect, no
+    iteration; the corpus streams through twice and shuffles never.
+    Distances use the exact sequential-fold SQL expressions shared with
+    the ANN operators."""
+    d = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    head = d.select(F.size("v").alias("__n")).limit(1).collect()
+    if not head or head[0]["__n"] == 0:
+        raise ValueError("embeddings frame is empty or has empty vectors")
+    dim = head[0]["__n"]
+    mu = d.agg(
+        F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("mu")
+    )
+    with_dist = d.crossJoin(F.broadcast(mu)).select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("mu"), lambda x, m: (x - m) * (x - m)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("dist"),
+    )
+    moments = with_dist.agg(
+        F.avg("dist").alias("__md"), F.stddev_pop("dist").alias("__sd")
+    )
+    return (
+        with_dist.crossJoin(F.broadcast(moments))
+        .select(
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round(
+                F.when(
+                    F.col("__sd") > 0,
+                    (F.col("dist") - F.col("__md")) / F.col("__sd"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+        .withColumn("is_outlier", F.col("z") > z_threshold)
+    )

@@ -66,3 +66,21 @@ def test_pq_validation(spark):
         similarity.pq_topk(emb, q, nbits=9)
     with pytest.raises(ValueError):
         similarity.pq_topk(emb, q, k=10, rerank=5)
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(8) * 0.1]) for i in range(100)]
+    rows.append((999, [50.0] * 8))  # planted far-away point
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.embedding_outliers(emb).collect()}
+    assert out[999]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    assert out[999]["z"] > 3
+    # z-scores are centered: mean ~ 0 over the corpus
+    zs = [r["z"] for r in out.values()]
+    assert abs(sum(zs) / len(zs)) < 0.1
+    with pytest.raises(ValueError):
+        similarity.embedding_outliers(
+            spark.createDataFrame([], "vec_id long, embedding array<double>")
+        )
