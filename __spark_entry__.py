@@ -514,6 +514,85 @@ def _node2vec_sql(
     )
 
 
+def _weighted_walks_sql(
+    num_walks: int = 1, steps: int = 3, seed: int = 42
+) -> str:
+    """DuckDB replay of weighted_random_walks on the REVERSED weighted
+    hierarchy graph (weight = 1 + (src+dst) % 5, direction-symmetric):
+    identical hash rank order, integer cumulative intervals, and
+    ``u = hash60(walk_id|step|seed) % total`` draw."""
+
+    def h(expr: str) -> str:
+        return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
+
+    hd = h(f"CAST(dst AS VARCHAR)||'|{seed}'")
+    walk_rows = ", ".join(f"({i})" for i in range(num_walks))
+    ctes = [
+        (
+            "e AS (SELECT t.dst AS src, t.src AS dst, "
+            "CAST(round((1.0 + (t.src + t.dst) % 5) * 1000000) AS BIGINT) "
+            f"AS qw FROM ({_EDGES_SMALL_SQL}) t)"
+        ),
+        (
+            "r AS (SELECT src, dst, "
+            f"sum(qw) OVER (PARTITION BY src ORDER BY {hd}, dst "
+            "ROWS UNBOUNDED PRECEDING) - qw AS lo, "
+            f"sum(qw) OVER (PARTITION BY src ORDER BY {hd}, dst "
+            "ROWS UNBOUNDED PRECEDING) AS hi, "
+            "sum(qw) OVER (PARTITION BY src) AS tot FROM e)"
+        ),
+        "tots AS (SELECT src AS id, max(tot) AS tot FROM r GROUP BY src)",
+        f"verts AS ({_VERTS_SMALL_SQL})",
+        (
+            f"w0 AS (SELECT v.id * {num_walks} + t.n AS walk_id, v.id AS cur, "
+            "tots.tot AS cur_tot, [v.id] AS path FROM verts v "
+            "LEFT JOIN tots ON tots.id = v.id "
+            f"CROSS JOIN (VALUES {walk_rows}) AS t(n))"
+        ),
+    ]
+    for t in range(1, steps + 1):
+        prev = f"w{t - 1}"
+        u = h(f"CAST(walk_id AS VARCHAR)||'|{t}|{seed}'")
+        ctes.append(
+            f"w{t} AS (SELECT walk_id, COALESCE(r.dst, cur) AS cur, "
+            "CASE WHEN r.dst IS NOT NULL THEN t2.tot END AS cur_tot, "
+            "CASE WHEN r.dst IS NULL THEN path "
+            "ELSE list_append(path, r.dst) END AS path "
+            f"FROM {prev} LEFT JOIN r ON r.src = {prev}.cur "
+            f"AND {u} % {prev}.cur_tot >= r.lo "
+            f"AND {u} % {prev}.cur_tot < r.hi "
+            "LEFT JOIN tots t2 ON t2.id = r.dst)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT walk_id, path[1] AS start, path FROM w{steps}"
+    )
+
+
+def _q_weighted_walks(spark, sf_dir):
+    """Edge-weight-biased walks on the REVERSED weighted hierarchy graph
+    (the deterministic 1 + (src+dst) % 5 weights bias each region's
+    nation choice and each nation's customer choice). Oracle: the
+    integer cumulative-interval draw replayed in SQL."""
+    from graphframes_rs_spark.operators.random_walks import (
+        weighted_random_walks,
+    )
+
+    g = weighted_hierarchy_graph(spark, sf_dir)
+    rev = GraphFrame(
+        g.vertices,
+        g.edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "weight",
+        ),
+    )
+    return weighted_random_walks(
+        rev, "weight", num_walks=1, walk_length=3, seed=42
+    )
+
+
 def _q_node2vec_walks(spark, sf_dir):
     """Second-order biased walks (p=4, q=0.25: DFS-leaning) on the
     symmetrized hierarchy graph with customer<->region shortcuts, so
@@ -1589,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parallel": _q_pagerank_parallel,
         "random_walks": _q_random_walks,
         "node2vec_walks": _q_node2vec_walks,
+        "weighted_walks": _q_weighted_walks,
         "neighborhood_fn": _q_neighborhood,
         "effective_diameter": _q_effective_diameter,
         "skipgram_pairs": _q_skipgram_pairs,
@@ -2005,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "random_walks": _random_walks_sql(),
         "node2vec_walks": _node2vec_sql(),
+        "weighted_walks": _weighted_walks_sql(),
         "neighborhood_fn": _neighborhood_sql(),
         "effective_diameter": _effective_diameter_sql(),
         "skipgram_pairs": _skipgram_pairs_sql(),

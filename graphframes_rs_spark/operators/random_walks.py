@@ -371,3 +371,117 @@ def sample_neighbors(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+WEIGHT_QUANTUM = 1_000_000  # edge weights quantized to 1e-6 for exact draws
+
+
+def weighted_random_walks(
+    graph: GraphFrame,
+    weight_col: str,
+    num_walks: int = 1,
+    walk_length: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """DataFrame[walk_id, start, path: array<long>] — deterministic
+    edge-weight-biased walks: hop probability proportional to the edge's
+    ``weight_col`` (> 0 required; duplicate (src, dst) edges sum their
+    weights). Weights are quantized to ``round(w * 1e6)`` so the
+    categorical draw is exact integer arithmetic, bit-reproducible
+    across runs, partitionings, and engines.
+
+    Spark-first plan: prep ranks each vertex's neighbours once and
+    attaches the INTEGER cumulative weight interval [lo, hi) per edge
+    plus the per-vertex total (one window shuffle, done once — unlike
+    node2vec there is no per-step window). Each step then draws
+    ``u = H(walk_id|step|seed) % total(cur)`` BEFORE the join and picks
+    the unique edge with ``lo <= u < hi`` — one equi-join on ``src``
+    with the interval predicate riding the join, never a fan-out that
+    survives past the join operator."""
+    if num_walks < 1 or walk_length < 1:
+        raise ValueError("num_walks and walk_length must be >= 1")
+
+    qw = F.round(F.col(weight_col) * WEIGHT_QUANTUM).cast("long")
+    edges = (
+        graph.edges.select(SRC, DST, qw.alias("__w"))
+        .groupBy(SRC, DST)
+        .agg(F.sum("__w").alias("__w"))
+        # weights that quantize to <= 0 are dropped (documented: > 0
+        # required; sub-1e-6 weights round to never-taken)
+        .filter(F.col("__w") > 0)
+    )
+    w_cum = (
+        Window.partitionBy(SRC)
+        .orderBy(hash60(F.concat_ws("|", F.col(DST), F.lit(seed))), DST)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(SRC)
+    ranked = (
+        edges.select(
+            SRC,
+            DST,
+            "__w",
+            (F.sum("__w").over(w_cum) - F.col("__w")).alias("lo"),
+            F.sum("__w").over(w_cum).alias("hi"),
+            F.sum("__w").over(w_all).alias("tot"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = ranked.groupBy(F.col(SRC).alias(ID)).agg(F.max("tot").alias("tot"))
+    hops = ranked.join(
+        totals.select(F.col(ID).alias(DST), F.col("tot").alias("dst_tot")),
+        DST,
+        "left",
+    ).select(SRC, DST, "lo", "hi", "dst_tot")
+
+    walks = (
+        graph.vertices.select(ID)
+        .join(totals, ID, "left")
+        .select(
+            ID,
+            "tot",
+            F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias("__i"),
+        )
+        .select(
+            (F.col(ID) * num_walks + F.col("__i")).alias("walk_id"),
+            F.col(ID).alias("cur"),
+            F.col("tot").alias("cur_tot"),
+            F.array(F.col(ID)).alias("path"),
+        )
+    )
+    step_hops = hops.select(
+        F.col(SRC).alias("__hop_src"),
+        F.col(DST).alias("__nxt"),
+        F.col("lo").alias("__lo"),
+        F.col("hi").alias("__hi"),
+        F.col("dst_tot").alias("__nxt_tot"),
+    )
+    for step in range(1, walk_length + 1):
+        u = F.pmod(
+            hash60(F.concat_ws("|", F.col("walk_id"), F.lit(step), F.lit(seed))),
+            F.col("cur_tot"),
+        )
+        walks = (
+            walks.withColumn("__u", u)
+            .join(
+                step_hops,
+                (F.col("cur") == F.col("__hop_src"))
+                & (F.col("__u") >= F.col("__lo"))
+                & (F.col("__u") < F.col("__hi")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"),
+                F.when(F.col("__nxt").isNotNull(), F.col("__nxt_tot")).alias(
+                    "cur_tot"
+                ),
+                F.when(
+                    F.col("__nxt").isNotNull(),
+                    F.concat(F.col("path"), F.array(F.col("__nxt"))),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+        )
+    return walks.select("walk_id", F.col("path")[0].alias("start"), "path")

@@ -115,3 +115,75 @@ def test_start_column_and_validation(spark):
         node2vec_walks(g, p=0.0)
     with pytest.raises(ValueError):
         node2vec_walks(g, walk_length=0)
+
+
+def test_weighted_walks_match_pure_python_replay(spark):
+    from graphframes_rs_spark.operators.random_walks import (
+        WEIGHT_QUANTUM,
+        weighted_random_walks,
+    )
+
+    w_edges = [
+        (1, 2, 0.75), (1, 3, 0.25),      # biased branch
+        (2, 4, 1.0), (3, 4, 2.0),
+        (4, 1, 0.5), (4, 5, 0.5),
+        (1, 2, 0.25),                     # duplicate edge: weights sum
+    ]
+    verts = [1, 2, 3, 4, 5, 6]
+
+    def replay(num_walks, walk_length, seed):
+        agg = {}
+        for s, d, w in w_edges:
+            agg[(s, d)] = agg.get((s, d), 0) + round(w * WEIGHT_QUANTUM)
+        adj = defaultdict(list)
+        for (s, d), w in agg.items():
+            adj[s].append((d, w))
+        for s in adj:
+            adj[s].sort(key=lambda t: (_h60(f"{t[0]}|{seed}"), t[0]))
+        out = {}
+        for v in verts:
+            for i in range(num_walks):
+                wid = v * num_walks + i
+                cur, path = v, [v]
+                for t in range(1, walk_length + 1):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    tot = sum(w for _, w in nbrs)
+                    u = _h60(f"{wid}|{t}|{seed}") % tot
+                    c = 0
+                    for d, w in nbrs:
+                        c += w
+                        if u < c:
+                            cur = d
+                            break
+                    path.append(cur)
+                out[wid] = path
+        return out
+
+    v = spark.createDataFrame([(i,) for i in verts], "id long")
+    e = spark.createDataFrame(w_edges, "src long, dst long, weight double")
+    g = GraphFrame(v, e)
+    for seed in (42, 7):
+        got = {
+            r["walk_id"]: list(r["path"])
+            for r in weighted_random_walks(
+                g, "weight", num_walks=2, walk_length=4, seed=seed
+            ).collect()
+        }
+        assert got == replay(2, 4, seed), seed
+    # heavy bias sanity: weight 1000:1 from vertex 1 almost always goes to 2
+    e2 = spark.createDataFrame(
+        [(1, 2, 1000.0), (1, 3, 1.0)], "src long, dst long, weight double"
+    )
+    g2 = GraphFrame(
+        spark.createDataFrame([(1,), (2,), (3,)], "id long"), e2
+    )
+    hits = [
+        r["path"][1]
+        for r in weighted_random_walks(
+            g2, "weight", num_walks=50, walk_length=1
+        ).collect()
+        if len(r["path"]) > 1
+    ]
+    assert hits.count(2) >= 45
