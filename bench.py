@@ -374,6 +374,12 @@ BENCH_QUERIES = {
     "semantic_dedup": entry.queries()["semantic_dedup"],
     "curate_corpus": entry.queries()["curate_corpus"],
     "events_hourly": entry.queries()["events_hourly"],
+    "events_sliding": entry.queries()["events_sliding"],
+    "attribution": entry.queries()["attribution"],
+    "line_dedup": entry.queries()["line_dedup"],
+    "bipartite_projection": entry.queries()["bipartite_projection"],
+    "corpus_shuffle": entry.queries()["corpus_shuffle"],
+    "embedding_outliers": entry.queries()["embedding_outliers"],
     "sessions": entry.queries()["sessions"],
     # scale proof tiers (deterministic generated graphs; see SCALE_TIERS)
     "scale_wcc_6m": _bench_scale_wcc("6m"),
