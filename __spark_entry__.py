@@ -730,6 +730,65 @@ def _effective_diameter_sql(
     )
 
 
+def _feature_prop_sql(rounds: int = 2, alpha: float = 0.5) -> str:
+    """DuckDB replay of operators/feature_propagation.py on the hierarchy
+    graph with INTEGER-valued features [id % 7, id % 11]: integral sums
+    are exact doubles in both engines, and the mean/blend expressions are
+    written with the identical operation order, so arrays match
+    bit-for-bat before the final elementwise round(6)."""
+    ctes = [
+        f"e AS ({_EDGES_SMALL_SQL})",
+        f"verts AS ({_VERTS_SMALL_SQL})",
+        (
+            "f0 AS (SELECT id, [CAST(id % 7 AS DOUBLE), "
+            "CAST(id % 11 AS DOUBLE)] AS f FROM verts)"
+        ),
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"f{t - 1}"
+        ctes.append(
+            f"a{t} AS (SELECT e.dst AS id, sum(n.f[1]) AS s1, "
+            f"sum(n.f[2]) AS s2, CAST(count(*) AS DOUBLE) AS c "
+            f"FROM e JOIN {prev} n ON n.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"f{t} AS (SELECT v.id, CASE WHEN a.id IS NULL THEN v.f ELSE "
+            f"[(1 - {alpha}) * v.f[1] + {alpha} * (a.s1 / a.c), "
+            f"(1 - {alpha}) * v.f[2] + {alpha} * (a.s2 / a.c)] END AS f "
+            f"FROM {prev} v LEFT JOIN a{t} a USING (id))"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT id, list_transform(f, x -> round(x, 6)) AS features "
+        f"FROM f{rounds}"
+    )
+
+
+def _q_feature_propagation(spark, sf_dir):
+    """SGC-style feature smoothing (2 rounds, alpha 0.5) on the hierarchy
+    graph with integer-derived features, so nations blend their
+    customers' features and regions their nations'. Oracle: the rounds
+    unrolled in SQL with identical operation order."""
+    from graphframes_rs_spark.operators.feature_propagation import (
+        feature_propagation,
+    )
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    feats = g.vertices.select(
+        "id",
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 11).cast("double"),
+        ).alias("features"),
+    )
+    out = feature_propagation(g, feats, rounds=2, alpha=0.5)
+    return out.select(
+        "id",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
+
+
 def _q_conductance(spark, sf_dir):
     """Per-community conductance of the nation partition on the hierarchy
     graph (customers + their nation in one community; regions are
@@ -1685,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "assortativity": _q_assortativity,
         "conductance": _q_conductance,
+        "feature_propagation": _q_feature_propagation,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
@@ -2142,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
         ),
         "conductance": _CONDUCTANCE_SQL,
+        "feature_propagation": _feature_prop_sql(),
         "assortativity": (
             f"WITH e0 AS ({_EDGES_SMALL_SQL}), "
             "und AS (SELECT DISTINCT src, dst FROM ("

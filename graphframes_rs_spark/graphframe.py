@@ -435,6 +435,22 @@ class GraphFrame:
 
         return TopologicalLayersBuilder(self)
 
+    def feature_propagation(
+        self,
+        features: DataFrame,
+        feature_col: str = "features",
+        rounds: int = 2,
+        alpha: float = 0.5,
+        checkpoint_dir: Optional[str] = None,
+    ) -> DataFrame:
+        from graphframes_rs_spark.operators.feature_propagation import (
+            feature_propagation,
+        )
+
+        return feature_propagation(
+            self, features, feature_col, rounds, alpha, checkpoint_dir
+        )
+
     def conductance(self, labels: DataFrame, label_col: str = "label") -> DataFrame:
         from graphframes_rs_spark.operators.modularity import conductance
 
