@@ -1375,6 +1375,35 @@ _BIPROJ_SQL = (
 )
 
 
+def _q_token_cms(spark, sf_dir):
+    """Count-Min sketch of corpus token frequencies (4 x 1024 cells)
+    point-queried for the full vocabulary. Oracle: the identical
+    md5-celled sketch built and queried in SQL — every estimate matches
+    exactly, overestimates and all."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = txt.token_cms(docs, width=1024, depth=4)
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    return txt.token_cms_estimate(sketch, vocab, width=1024, depth=4)
+
+
+_TOKEN_CMS_SQL = (
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "ds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) d(d)), "
+    "cells AS (SELECT d.d, ('0x'||substr(md5("
+    "CAST(d.d AS VARCHAR)||'|'||token||'|42'),1,15))::BIGINT % 1024 AS col "
+    "FROM tok CROSS JOIN ds d), "
+    "sk AS (SELECT d, col, count(*) AS cnt FROM cells GROUP BY d, col), "
+    "q AS (SELECT v.token, d.d, ('0x'||substr(md5("
+    "CAST(d.d AS VARCHAR)||'|'||v.token||'|42'),1,15))::BIGINT % 1024 AS col "
+    "FROM (SELECT DISTINCT token FROM tok) v CROSS JOIN ds d) "
+    "SELECT token, min(COALESCE(cnt, 0)) AS est_count "
+    "FROM q LEFT JOIN sk USING (d, col) GROUP BY token"
+)
+
+
 def _q_line_dedup(spark, sf_dir):
     """C4-style corpus-global exact line dedup. The synthetic docs have no
     newlines, so words are first chunked deterministically into 4-word
@@ -1767,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "dedup_exact": _q_dedup_exact,
         "line_dedup": _q_line_dedup,
+        "token_cms": _q_token_cms,
         "bipartite_projection": _q_bipartite_projection,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
@@ -2435,6 +2465,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, n, rank FROM r WHERE rank <= 20"
         ),
         "line_dedup": _LINE_DEDUP_SQL,
+        "token_cms": _TOKEN_CMS_SQL,
         "bipartite_projection": _BIPROJ_SQL,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "

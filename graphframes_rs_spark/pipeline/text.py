@@ -430,3 +430,73 @@ def tfidf_topk_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def token_cms(
+    docs: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """[d, col, cnt] — a Count-Min sketch of corpus token frequencies
+    (Cormode & Muthukrishnan, J. Algorithms'05) materialized as a
+    DataFrame: ``depth`` hash rows x ``width`` columns, each cell the
+    count of token occurrences hashing to it. The sketch is
+    ``depth * width`` rows regardless of vocabulary size — at 100 TB it
+    replaces an unbounded-cardinality token groupBy with a bounded one
+    (the shuffle key space is the cell grid), at the cost of
+    overestimates bounded by e * total / width with probability
+    1 - e^-depth.
+
+    Deterministic (md5-based cell hashes): two corpus halves' sketches
+    merge by summing cells, and an engine-independent replay (the DuckDB
+    oracle) reproduces every cell exactly."""
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2 and depth >= 1")
+    tok = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    rows = tok.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        "d",
+        F.pmod(
+            hash60(F.concat_ws("|", F.col("d"), F.col("token"), F.lit(seed))),
+            F.lit(width),
+        ).alias("col"),
+    )
+    return rows.groupBy("d", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def token_cms_estimate(
+    sketch: DataFrame,
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """[token, est_count] — point-query the sketch for each row of
+    ``tokens_df``: min over the ``depth`` cells the token hashes to
+    (missing cell = 0). One equi-join on (d, col) against the
+    bounded-size sketch (broadcastable: depth x width rows), then a
+    combine-enabled min."""
+    cand = tokens_df.select(F.col(token_col).alias("token")).distinct()
+    cells = cand.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
+    ).select(
+        "token",
+        "d",
+        F.pmod(
+            hash60(F.concat_ws("|", F.col("d"), F.col("token"), F.lit(seed))),
+            F.lit(width),
+        ).alias("col"),
+    )
+    return (
+        cells.join(F.broadcast(sketch), ["d", "col"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

@@ -672,3 +672,41 @@ def test_corpus_shuffle_layout(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with _pt.raises(ValueError):
         corpus_shuffle(docs, num_shards=0)
+
+
+def test_token_cms_overestimates_bounded_and_merges(spark):
+    from graphframes_rs_spark.pipeline.text import token_cms, token_cms_estimate
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "a b d e"), (3, "f g h a")],
+        "doc_id long, text string",
+    )
+    sketch = token_cms(docs, width=64, depth=4)
+    vocab = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).distinct()
+    est = {
+        r["token"]: r["est_count"]
+        for r in token_cms_estimate(sketch, vocab, width=64, depth=4).collect()
+    }
+    true = {"a": 5, "b": 2, "c": 1, "d": 1, "e": 1, "f": 1, "g": 1, "h": 1}
+    # CMS never underestimates; with 64 cells and 13 tokens, exact here
+    for t, n in true.items():
+        assert est[t] >= n, t
+    assert est["a"] == 5
+    # merging two halves' sketches by summing cells == whole-corpus sketch
+    h1 = token_cms(docs.filter("doc_id <= 2"), width=64, depth=4)
+    h2 = token_cms(docs.filter("doc_id > 2"), width=64, depth=4)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("d", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["d"], r["col"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["d"], r["col"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        token_cms(docs, width=1)
