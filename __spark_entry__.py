@@ -1306,6 +1306,34 @@ _SAMPLE_NBRS_SQL = (
 )
 
 
+def _q_asof_join(spark, sf_dir):
+    """Point-in-time join: every purchase gets the user's latest click at
+    or before it (no future leakage). The Spark side is the
+    union-sort-carry window plan (no join operator); the oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — an entirely independent
+    implementation, so the gate checks semantics, not a replay."""
+    from graphframes_rs_spark.pipeline.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(purchases, clicks, "user_id")
+
+
+_ASOF_SQL = (
+    "WITH p AS (SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'purchase'), "
+    "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') "
+    "SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_right, "
+    "c.value AS value_right "
+    "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts"
+)
+
+
 def _q_events_sliding(spark, sf_dir):
     """Sliding-window counts (1 h window, 15 min slide): every event lands
     in exactly 4 overlapping windows. Oracle: explicit k=0..3 window-start
@@ -1826,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "attribution": _q_attribution,
         "events_sliding": _q_events_sliding,
+        "asof_join": _q_asof_join,
         "mixture_sample": _q_mixture_sample,
         "corpus_shuffle": _q_corpus_shuffle,
         "sample_neighbors": _q_sample_neighbors,
@@ -2749,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "attribution": _ATTRIBUTION_SQL,
         "events_sliding": _SLIDING_SQL,
+        "asof_join": _ASOF_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "corpus_shuffle": _SHUFFLE_SQL,
         "sample_neighbors": _SAMPLE_NBRS_SQL,
