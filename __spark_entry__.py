@@ -1306,6 +1306,26 @@ _SAMPLE_NBRS_SQL = (
 )
 
 
+def _q_hypertable_rollup(spark, sf_dir):
+    """15min -> 1h -> 1d continuous-aggregate hierarchy; coarser levels
+    re-aggregate the finer level, never the raw events. Oracle: every
+    level computed DIRECTLY from the raw events in SQL — equality proves
+    the re-aggregation (sum/count/min/max composition) is lossless."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.hypertable_rollup(events)
+
+
+_ROLLUP_SQL = (
+    "SELECT r.res AS resolution_s, "
+    "((epoch_ms(ts) // 1000) // r.res) * r.res AS window_start_epoch, "
+    "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "round(sum(value), 6) AS total_value, "
+    "round(min(value), 6) AS min_value, round(max(value), 6) AS max_value "
+    "FROM events CROSS JOIN (VALUES (900), (3600), (86400)) r(res) "
+    "GROUP BY 1, 2, 3"
+)
+
+
 def _q_asof_join(spark, sf_dir):
     """Point-in-time join: every purchase gets the user's latest click at
     or before it (no future leakage). The Spark side is the
@@ -1855,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": _q_attribution,
         "events_sliding": _q_events_sliding,
         "asof_join": _q_asof_join,
+        "hypertable_rollup": _q_hypertable_rollup,
         "mixture_sample": _q_mixture_sample,
         "corpus_shuffle": _q_corpus_shuffle,
         "sample_neighbors": _q_sample_neighbors,
@@ -2779,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ATTRIBUTION_SQL,
         "events_sliding": _SLIDING_SQL,
         "asof_join": _ASOF_SQL,
+        "hypertable_rollup": _ROLLUP_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "corpus_shuffle": _SHUFFLE_SQL,
         "sample_neighbors": _SAMPLE_NBRS_SQL,

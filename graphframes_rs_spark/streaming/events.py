@@ -458,3 +458,93 @@ def streaming_sliding_counts(
             "total_value",
         )
     )
+
+
+ROLLUP_RESOLUTIONS = (900, 3600, 86400)  # 15 min -> 1 h -> 1 day
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    resolutions: tuple = ROLLUP_RESOLUTIONS,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """[resolution_s, window_start_epoch, <key>, n_events, total_value,
+    min_value, max_value] — a TimescaleDB-style continuous-aggregate
+    hierarchy: the finest level aggregates the raw events ONCE; every
+    coarser level re-aggregates the PREVIOUS level (counts/sums add,
+    mins/maxes combine), never the raw data. At 100 TB that's the whole
+    point: the day rollup reads |15-min buckets| rows, not |events| —
+    the raw scan happens exactly once regardless of how many levels the
+    hierarchy has.
+
+    ``resolutions`` must be increasing and each a multiple of the last
+    (buckets nest), seconds-granularity."""
+    if len(resolutions) < 1:
+        raise ValueError("need at least one resolution")
+    for a, b in zip(resolutions, resolutions[1:]):
+        if b % a != 0 or b <= a:
+            raise ValueError(
+                "resolutions must be increasing and nested (each a "
+                f"multiple of the previous): {resolutions}"
+            )
+
+    def bucket(col, res):
+        return (F.floor(F.col(col) / res) * res).cast("long")
+
+    finest = resolutions[0]
+    level = (
+        events.select(
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / finest) * finest)
+            .cast("long")
+            .alias("window_start_epoch"),
+            F.col(key_col),
+            F.col("value"),
+        )
+        .groupBy("window_start_epoch", key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("__sum"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    out = level.select(
+        F.lit(finest).alias("resolution_s"),
+        "window_start_epoch",
+        key_col,
+        "n_events",
+        F.round("__sum", 6).alias("total_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+    for res in resolutions[1:]:
+        level = (
+            level.select(
+                bucket("window_start_epoch", res).alias("window_start_epoch"),
+                key_col,
+                "n_events",
+                "__sum",
+                "min_value",
+                "max_value",
+            )
+            .groupBy("window_start_epoch", key_col)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("__sum").alias("__sum"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        out = out.unionByName(
+            level.select(
+                F.lit(res).alias("resolution_s"),
+                "window_start_epoch",
+                key_col,
+                "n_events",
+                F.round("__sum", 6).alias("total_value"),
+                F.round("min_value", 6).alias("min_value"),
+                F.round("max_value", 6).alias("max_value"),
+            )
+        )
+    return out

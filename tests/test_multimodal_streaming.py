@@ -643,3 +643,35 @@ def test_streaming_sliding_counts_matches_batch(spark, tmp_path):
     assert got == want
     # every event contributes to exactly duration/slide = 4 windows
     assert sum(n for n, _ in want.values()) == 4 * events.count()
+
+
+def test_hypertable_rollup_levels_nest(spark):
+    events = load_table(spark, SF_DIR, "events")
+    out = ev.hypertable_rollup(events)
+    rows = out.collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["resolution_s"], []).append(r)
+    # every level's event total equals the raw count
+    n = events.count()
+    for res, rs in by_res.items():
+        assert sum(r["n_events"] for r in rs) == n, res
+    # bucket counts shrink as resolution coarsens
+    assert len(by_res[900]) > len(by_res[3600]) > len(by_res[86400])
+    # day-level min/max bound the 15-min-level ones in the same day
+    day0 = min(r["window_start_epoch"] for r in by_res[86400])
+    day_row = next(
+        r for r in by_res[86400]
+        if r["window_start_epoch"] == day0 and r["event_type"] == "click"
+    )
+    fine_in_day = [
+        r for r in by_res[900]
+        if day0 <= r["window_start_epoch"] < day0 + 86400
+        and r["event_type"] == "click"
+    ]
+    assert day_row["min_value"] == min(r["min_value"] for r in fine_in_day)
+    assert day_row["max_value"] == max(r["max_value"] for r in fine_in_day)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ev.hypertable_rollup(events, resolutions=(900, 1000))
