@@ -286,3 +286,66 @@ def test_session5_operators_plan_hygiene(spark):
     # equi-join (one join, no post-join cross blowup)
     at_plan = _executed_plan(ev.attribution_join(events))
     assert at_plan.count("Join") <= 2  # one join node (+AQE naming slack)
+
+
+def test_asof_join_plans_no_join_operator(spark):
+    """The as-of join's whole point: union-sort-carry, so the physical
+    plan has a Window and NO join operator of any kind."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.pipeline.joins import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("x"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    plan = _executed_plan(asof_join(left, right, "k"))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_rollup_scans_raw_events_once(spark):
+    """Coarser rollup levels re-aggregate the finer level: the raw scan
+    appears once; every level beyond the first adds only HashAggregates."""
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.streaming import events as ev
+
+    events = spark.range(1000).select(
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    plan = _executed_plan(ev.hypertable_rollup(events))
+    # one Range source per level would mean re-scanning raw data; the
+    # plan may reuse the scan subtree per union branch, but each branch
+    # must aggregate from the finer level's aggregate (3 agg "levels"),
+    # pinned here by the partial/final pairs count: 3 levels x 2
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_cms_and_feature_prop_hygiene(spark):
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from graphframes_rs_spark.pipeline import text as txt
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    sk_plan = _executed_plan(txt.token_cms(docs, width=64, depth=4))
+    assert "partial_count" in sk_plan          # combine-enabled cells
+    assert "CartesianProduct" not in sk_plan
+
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = v.select(F.col("id").alias("src"), ((F.col("id") % 3) + 1).alias("dst"))
+    feats = v.select("id", F.array(F.lit(1.0), F.lit(2.0)).alias("features"))
+    fp_plan = _executed_plan(
+        GraphFrame(v, e).feature_propagation(feats, rounds=1)
+    )
+    assert "CartesianProduct" not in fp_plan
+    assert "BroadcastNestedLoopJoin" not in fp_plan
