@@ -312,6 +312,24 @@ def _bench_scale_walks(tier):
     return run
 
 
+def _bench_scale_featprop(tier):
+    def run(spark, sf_dir):
+        import tempfile as _tf
+
+        g = _scale_graph(spark, tier)
+        feats = g.vertices.select(
+            "id",
+            F.array(*[((F.col("id") + i) % 97).cast("double") for i in range(8)]).alias(
+                "features"
+            ),
+        )
+        return g.feature_propagation(
+            feats, rounds=2, checkpoint_dir=_tf.mkdtemp()
+        )
+
+    return run
+
+
 def _bench_scale_node2vec(tier):
     def run(spark, sf_dir):
         g = _scale_graph(spark, tier)
@@ -380,6 +398,9 @@ BENCH_QUERIES = {
     "bipartite_projection": entry.queries()["bipartite_projection"],
     "corpus_shuffle": entry.queries()["corpus_shuffle"],
     "embedding_outliers": entry.queries()["embedding_outliers"],
+    "asof_join": entry.queries()["asof_join"],
+    "hypertable_rollup": entry.queries()["hypertable_rollup"],
+    "token_cms": entry.queries()["token_cms"],
     "sessions": entry.queries()["sessions"],
     # scale proof tiers (deterministic generated graphs; see SCALE_TIERS)
     "scale_wcc_6m": _bench_scale_wcc("6m"),
@@ -406,6 +427,8 @@ BENCH_QUERIES = {
     # FM-sketch neighborhood function: per-round profile ~ one PageRank
     # round (8 longs per edge, map-side bit_or combine)
     "scale_anf_6m": _bench_scale_neighborhood("6m"),
+    # 8-dim feature smoothing, 2 rounds: ~2 PageRank-round profile
+    "scale_featprop_6m": _bench_scale_featprop("6m"),
     # pipeline scale proof: full dedup composition at 40x the sf0.1 corpus
     # (minhash -> LSH -> exact rescore -> WCC clusters; recovers the
     # planted 20k near-dup triples exactly — see SCALE_DOCS)
