@@ -1423,6 +1423,47 @@ _BIPROJ_SQL = (
 )
 
 
+def _q_kmv_overlap(spark, sf_dir):
+    """KMV bottom-k sketch overlap between the even-doc and odd-doc
+    halves' token vocabularies — corpus overlap from 2x256 sketch rows,
+    no vocabulary join. Oracle: the identical min-k hash sets and
+    estimate formulas in SQL."""
+    from graphframes_rs_spark.functions.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = lambda parity: docs.filter(  # noqa: E731
+        F.col("doc_id") % 2 == parity
+    ).select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    ska = kmv_sketch(tok(0), "token", k=256)
+    skb = kmv_sketch(tok(1), "token", k=256)
+    return kmv_overlap(ska, skb, k=256)
+
+
+_KMV_SQL = (
+    "WITH tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "ska AS (SELECT DISTINCT ('0x'||substr(md5(token||'|42'),1,15))::BIGINT AS h "
+    "FROM tokens WHERE doc_id % 2 = 0 ORDER BY h LIMIT 256), "
+    "skb AS (SELECT DISTINCT ('0x'||substr(md5(token||'|42'),1,15))::BIGINT AS h "
+    "FROM tokens WHERE doc_id % 2 = 1 ORDER BY h LIMIT 256), "
+    "mg AS (SELECT COALESCE(a.h, b.h) AS h, "
+    "CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS ia, "
+    "CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS ib "
+    "FROM ska a FULL JOIN skb b ON a.h = b.h ORDER BY 1 LIMIT 256), "
+    "agg AS (SELECT CAST(count(*) AS BIGINT) AS union_k, "
+    "CAST(sum(ia * ib) AS BIGINT) AS n_both, max(h) AS kth FROM mg) "
+    "SELECT union_k, n_both, "
+    "round(n_both / union_k, 6) AS jaccard_est, "
+    "round((n_both / union_k) * (CASE WHEN union_k < 256 "
+    "THEN CAST(union_k AS DOUBLE) "
+    "ELSE (255.0 * 1152921504606846976.0) / kth END), 6) AS intersection_est "
+    "FROM agg"
+)
+
+
 def _q_token_cms(spark, sf_dir):
     """Count-Min sketch of corpus token frequencies (4 x 1024 cells)
     point-queried for the full vocabulary. Oracle: the identical
@@ -1845,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "line_dedup": _q_line_dedup,
         "token_cms": _q_token_cms,
+        "kmv_overlap": _q_kmv_overlap,
         "bipartite_projection": _q_bipartite_projection,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
@@ -2516,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "line_dedup": _LINE_DEDUP_SQL,
         "token_cms": _TOKEN_CMS_SQL,
+        "kmv_overlap": _KMV_SQL,
         "bipartite_projection": _BIPROJ_SQL,
         "dedup_exact": (
             "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "

@@ -77,3 +77,42 @@ def test_kcore_merge_expr_cases(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 2, 3: 1, 4: 3, 5: 7, 6: 2}
+
+
+def test_kmv_distinct_and_overlap(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.functions.sketches import (
+        kmv_distinct_estimate,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    # small set (< k): estimate is exact
+    small = spark.createDataFrame([(f"w{i}",) for i in range(50)], "t string")
+    sk = kmv_sketch(small, "t", k=256)
+    est = kmv_distinct_estimate(sk, k=256).collect()[0]
+    assert est["n_sketch"] == 50 and est["n_distinct_est"] == 50.0
+
+    # large set (>> k): estimate within 20% of truth at k=256
+    big = spark.range(10_000).select(F.concat(F.lit("x"), "id").alias("t"))
+    est2 = kmv_distinct_estimate(kmv_sketch(big, "t", k=256), k=256).collect()[0]
+    assert 8_000 <= est2["n_distinct_est"] <= 12_000
+
+    # overlap: A = 0..5999, B = 4000..9999 -> J = 2000/10000 = 0.2
+    a = spark.range(0, 6_000).select(F.concat(F.lit("x"), "id").alias("t"))
+    b = spark.range(4_000, 10_000).select(F.concat(F.lit("x"), "id").alias("t"))
+    ov = kmv_overlap(
+        kmv_sketch(a, "t", k=256), kmv_sketch(b, "t", k=256), k=256
+    ).collect()[0]
+    assert 0.1 <= ov["jaccard_est"] <= 0.32
+    assert 1_000 <= ov["intersection_est"] <= 3_200
+    # deterministic across runs
+    ov2 = kmv_overlap(
+        kmv_sketch(a, "t", k=256), kmv_sketch(b, "t", k=256), k=256
+    ).collect()[0]
+    assert tuple(ov) == tuple(ov2)
+
+    with _pt.raises(ValueError):
+        kmv_sketch(small, "t", k=1)
