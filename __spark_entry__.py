@@ -1829,6 +1829,73 @@ def _q_source_stats(spark, sf_dir):
     return curation.source_stats(docs)
 
 
+def _q_mst_rings(spark, sf_dir):
+    """Borůvka minimum spanning forest on planted weighted rings: customers
+    form one ring per nation (≥3 members), ring-edge weights are a
+    deterministic md5 hash < 100000, and every 5th member gets a pos+3
+    chord weighted 200000+ (strictly heavier than ANY ring edge). By the
+    cycle property the unique MSF is each ring minus its max-weight edge
+    with every chord rejected — closed-form for the oracle, while the
+    algorithm must genuinely contract components and reject cycle-heavy
+    edges."""
+    from pyspark.sql import Window
+
+    from graphframes_rs_spark.pipeline.text import hash60
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    wg = Window.partitionBy("c_nationkey")
+    g = (
+        cust.select("c_nationkey", "c_custkey")
+        .withColumn("cnt", F.count(F.lit(1)).over(wg))
+        .filter(F.col("cnt") >= 3)
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("nxt", F.lead("c_custkey").over(w))
+        .withColumn("nxt3", F.lead("c_custkey", 3).over(w))
+        .withColumn("mn", F.min("c_custkey").over(wg))
+    )
+    ring = g.select(
+        (F.col("c_custkey") + 1000).cast("long").alias("src"),
+        (F.coalesce("nxt", "mn") + 1000).cast("long").alias("dst"),
+    )
+    chords = g.filter(
+        (F.col("pos") % 5 == 1) & F.col("nxt3").isNotNull()
+    ).select(
+        (F.col("c_custkey") + 1000).cast("long").alias("src"),
+        (F.col("nxt3") + 1000).cast("long").alias("dst"),
+    )
+
+    def weighted(df, base):
+        u, v = F.least("src", "dst"), F.greatest("src", "dst")
+        h = F.pmod(hash60(F.concat_ws(":", u, v)), F.lit(100000))
+        return df.select(
+            "src", "dst", (F.lit(base) + h).cast("double").alias("weight")
+        )
+
+    edges = weighted(ring, 0).unionByName(weighted(chords, 200000))
+    vertices = g.select((F.col("c_custkey") + 1000).cast("long").alias("id"))
+    out = (
+        GraphFrame(vertices, edges)
+        .minimum_spanning_forest()
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+    return out.select("src", "dst", "weight")
+
+
+def _q_closeness(spark, sf_dir):
+    """Landmark closeness/harmonic centrality on the hierarchy DAG with
+    the 5 region vertices as landmarks: every customer reaches exactly its
+    own region at distance 2, nations theirs at 1, regions none (self
+    excluded) — closed-form per-tier oracle."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return (
+        g.closeness_centrality([50, 51, 52, 53, 54])
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_counts": _q_graph_counts,
@@ -1854,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_triangles": _q_motif_triangles,
         "bfs_paths": _q_bfs_paths,
         "scc_rings": _q_scc_rings,
+        "mst_rings": _q_mst_rings,
+        "closeness": _q_closeness,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "coloring_forest": _q_coloring_forest,
@@ -2194,6 +2263,34 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT id, pr FROM np UNION ALL SELECT id, pr FROM rp), "
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
+        ),
+        "mst_rings": (
+            # closed form by the cycle property: each nation-ring minus its
+            # unique max-weight edge; 200000+ chords are cycle-heaviest and
+            # never appear
+            "WITH g AS (SELECT c_nationkey AS nk, c_custkey AS ck, "
+            "count(*) OVER (PARTITION BY c_nationkey) AS cnt, "
+            "lead(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS nxt, "
+            "min(c_custkey) OVER (PARTITION BY c_nationkey) AS mn FROM customer), "
+            "ring AS (SELECT nk, CAST(ck + 1000 AS BIGINT) AS a, "
+            "CAST(COALESCE(nxt, mn) + 1000 AS BIGINT) AS b FROM g WHERE cnt >= 3), "
+            "rw AS (SELECT nk, least(a, b) AS u, greatest(a, b) AS v, CAST(("
+            + _HASH60.format(x="least(a, b) || ':' || greatest(a, b)")
+            + " % 100000) AS DOUBLE) AS w FROM ring), "
+            "mx AS (SELECT nk, max(w) AS mw FROM rw GROUP BY nk) "
+            "SELECT u AS src, v AS dst, w AS weight "
+            "FROM rw JOIN mx USING (nk) WHERE w < mw"
+        ),
+        "closeness": (
+            # fixed-depth DAG: customer -> nation -> region, landmarks = the
+            # 5 regions; distances are closed-form per tier
+            f"WITH v AS ({_VERTS_SMALL_SQL}) SELECT id, "
+            "CAST(CASE WHEN id >= 1000 THEN 1 WHEN id >= 100 THEN 1 "
+            "ELSE 0 END AS INTEGER) AS n_reachable, "
+            "CAST(CASE WHEN id >= 1000 THEN 0.5 WHEN id >= 100 THEN 1.0 "
+            "ELSE 0.0 END AS DOUBLE) AS harmonic, "
+            "CAST(CASE WHEN id >= 1000 THEN 0.5 WHEN id >= 100 THEN 1.0 "
+            "ELSE 0.0 END AS DOUBLE) AS closeness FROM v"
         ),
         "scc_rings": (
             "SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, "

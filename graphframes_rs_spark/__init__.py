@@ -15,10 +15,16 @@ similarity search, text analysis, multimodal plumbing).
 Reference surface inventory: SURVEY.md §2 (citations into /root/reference).
 """
 
-from graphframes_rs_spark.graphframe import GraphFrame
+from graphframes_rs_spark.graphframe import GraphFrame, GraphFrameError
 from graphframes_rs_spark.pregel import MessageDirection, Pregel
 from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
 
-__all__ = ["GraphFrame", "Pregel", "MessageDirection", "ParquetCheckpointer"]
+__all__ = [
+    "GraphFrame",
+    "GraphFrameError",
+    "Pregel",
+    "MessageDirection",
+    "ParquetCheckpointer",
+]
 
 __version__ = "0.1.0"

@@ -472,3 +472,13 @@ class GraphFrame:
         from graphframes_rs_spark.operators.weighted_sssp import WeightedSSSPBuilder
 
         return WeightedSSSPBuilder(self, source, weight_col)
+
+    def minimum_spanning_forest(self, weight_col: str = "weight") -> "MSTBuilder":
+        from graphframes_rs_spark.operators.mst import MSTBuilder
+
+        return MSTBuilder(self, weight_col)
+
+    def closeness_centrality(self, landmarks) -> "ClosenessBuilder":
+        from graphframes_rs_spark.operators.closeness import ClosenessBuilder
+
+        return ClosenessBuilder(self, landmarks)

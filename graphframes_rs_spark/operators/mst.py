@@ -1,0 +1,203 @@
+"""Minimum spanning forest via distributed Borůvka.
+
+The reference engine ships connectivity (WCC/SCC), paths, and k-core but
+no spanning-tree operator (`/root/reference/src/algorithm/` has no MST
+module); this is a first-class extension the same user population asks of
+a graph engine — clustering backbones, network design, single-linkage
+hierarchies. Borůvka is THE distributed-friendly MST algorithm: each
+round every component picks its minimum outgoing edge, the chosen edges
+merge components, and the component count at least halves — O(log V)
+rounds regardless of graph size.
+
+Spark-first design:
+
+- Rounds are DataFrame aggregations: the edge frame carries its endpoint
+  component labels, so the per-component choice is ONE
+  ``groupBy(component).min(struct(weight, src, dst, other))`` — Spark's
+  map-side partial min makes it combine-enabled, never a shuffle of
+  whole posting lists.
+- The chosen-edge graph (one out-edge per component) is a pseudoforest
+  whose cycles are provably 2-cycles: the min is taken over a TOTAL
+  order ``struct(weight, src, dst)``, so a pointer cycle must ride a
+  single edge chosen from both ends (distinct edges cannot tie in the
+  struct order, and following pointers the chosen struct is
+  non-increasing). Cycle-break: the smaller endpoint of a mutual pair
+  becomes the root.
+- Contraction = pointer jumping (``parent := parent(parent)``) until
+  fixpoint — O(log depth) self-joins on a per-round table with one row
+  per surviving component.
+- Every round's survivors are parquet-checkpointed (lineage truncation,
+  same contract as WCC/k-truss); loop progress is measured on the
+  checkpointed frame via ``isEmpty`` (a limit-1 probe, not a count).
+
+At 100 TB: intra-component edges leave the frame permanently each round
+and the component count at least halves, so the working set shrinks
+geometrically; all joins are keyed on int64 labels (AQE skew-splits
+giant components); no driver-side state exists beyond the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.graphframe import DST, GraphFrame, SRC
+
+
+class MSTBuilder:
+    def __init__(self, graph: GraphFrame, weight_col: str = "weight"):
+        self.graph = graph
+        self.weight_col = weight_col
+        self.max_iter = 64  # ≥ log2(V) for any conceivable V
+        self._checkpoint_dir = None
+        self.iterations_ = 0
+
+    def max_iterations(self, n: int) -> "MSTBuilder":
+        self.max_iter = n
+        return self
+
+    def set_checkpoint_dir(self, d: str) -> "MSTBuilder":
+        self._checkpoint_dir = d
+        return self
+
+    def run(self) -> DataFrame:
+        """Returns DataFrame[src, dst, weight] — the minimum spanning
+        forest as canonical undirected edges (src < dst), one tree per
+        connected component. Ties broken by (weight, src, dst), so the
+        result is deterministic even with duplicate weights."""
+        from graphframes_rs_spark.graphframe import GraphFrameError
+        from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+        if self.weight_col not in self.graph.edges.columns:
+            raise GraphFrameError(
+                f"minimum_spanning_forest: edge column {self.weight_col!r} "
+                f"not found (edges have {self.graph.edges.columns}); pass "
+                "weight_col= or add a weight column (e.g. lit(1.0) for an "
+                "unweighted spanning forest)"
+            )
+        spark = self.graph.vertices.sparkSession
+        ckpt = ParquetCheckpointer(spark, self._checkpoint_dir)
+        w = self.weight_col
+
+        # Canonical undirected edges, min weight per unordered pair (a
+        # spanning tree can only ever use the lightest parallel edge);
+        # self-loops can never be in one. Component labels start as the
+        # endpoints themselves.
+        e = self.graph.edges.select(
+            F.least(SRC, DST).alias("u"),
+            F.greatest(SRC, DST).alias("v"),
+            F.col(w).cast("double").alias("w"),
+        ).filter(F.col("u") != F.col("v"))
+        edges = ckpt.push(
+            e.groupBy("u", "v")
+            .agg(F.min("w").alias("w"))
+            .select(
+                "u", "v", "w",
+                F.col("u").alias("cu"), F.col("v").alias("cv"),
+            ),
+            "mst_edges_0",
+        )
+        mst = None
+
+        for rnd in range(1, self.max_iter + 1):
+            if edges.isEmpty():
+                break
+            self.iterations_ = rnd
+
+            # Min outgoing edge per component, total-ordered for the
+            # 2-cycle guarantee.
+            sel = edges.select(
+                F.col("cu").alias("c"), F.col("cv").alias("other"),
+                "w", "u", "v",
+            ).unionByName(
+                edges.select(
+                    F.col("cv").alias("c"), F.col("cu").alias("other"),
+                    "w", "u", "v",
+                )
+            )
+            chosen = (
+                sel.groupBy("c")
+                .agg(F.min(F.struct("w", "u", "v", "other")).alias("m"))
+                .select("c", "m.w", "m.u", "m.v", "m.other")
+            )
+
+            picked = chosen.select("u", "v", "w").distinct()
+
+            # Hook: parent = chosen neighbour component; a mutual pair
+            # (both endpoints chose the same edge) roots at its smaller
+            # endpoint.
+            c2 = chosen.select(
+                F.col("c").alias("c2"), F.col("other").alias("other2")
+            )
+            parent = chosen.join(
+                c2,
+                (F.col("other") == F.col("c2"))
+                & (F.col("c") == F.col("other2")),
+                "left",
+            ).select(
+                "c",
+                F.when(
+                    F.col("c2").isNotNull() & (F.col("c") < F.col("other")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("other"))
+                .alias("parent"),
+            )
+            parent = ckpt.push(parent, f"mst_hook_{rnd}")
+
+            # Pointer-jump to roots (trees after the cycle-break, so this
+            # terminates; depth halves per jump).
+            for jump in range(self.max_iter):
+                p2 = parent.select(
+                    F.col("c").alias("jc"), F.col("parent").alias("gp")
+                )
+                jumped = ckpt.push(
+                    parent.join(p2, parent["parent"] == p2["jc"], "left")
+                    .select(
+                        parent["c"], F.coalesce("gp", "parent").alias("parent")
+                    ),
+                    f"mst_jump_{rnd}_{jump}",
+                )
+                changed = (
+                    jumped.join(
+                        parent.withColumnRenamed("parent", "old"), "c"
+                    )
+                    .filter(F.col("parent") != F.col("old"))
+                )
+                parent = jumped
+                if changed.isEmpty():
+                    break
+
+            # Relabel surviving edges into the contracted component space
+            # and drop the now-intra-component ones.
+            pmap_u = parent.select(
+                F.col("c").alias("cu"), F.col("parent").alias("ncu")
+            )
+            pmap_v = parent.select(
+                F.col("c").alias("cv"), F.col("parent").alias("ncv")
+            )
+            edges = ckpt.push(
+                edges.join(pmap_u, "cu", "left")
+                .join(pmap_v, "cv", "left")
+                .select(
+                    "u", "v", "w",
+                    F.coalesce("ncu", "cu").alias("cu"),
+                    F.coalesce("ncv", "cv").alias("cv"),
+                )
+                .filter(F.col("cu") != F.col("cv")),
+                f"mst_edges_{rnd}",
+            )
+            mst = picked if mst is None else mst.unionByName(picked)
+            mst = ckpt.push(mst, f"mst_acc_{rnd}")
+            # Live handles: the accumulator (just pushed) and the relabeled
+            # edges (pushed right before it). Everything older is consumed.
+            ckpt.evict_all_but_latest(2)
+
+        out_schema = "src long, dst long, weight double"
+        if mst is None:
+            return spark.createDataFrame([], out_schema)
+        return mst.select(
+            F.col("u").alias(SRC),
+            F.col("v").alias(DST),
+            F.col("w").alias("weight"),
+        ).distinct()
