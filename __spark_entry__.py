@@ -1883,6 +1883,26 @@ def _q_mst_rings(spark, sf_dir):
     return out.select("src", "dst", "weight")
 
 
+def _q_kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table: hash-ranked
+    init, 2 rounds, rounded distances/centroids — the full assignment is
+    re-derivable in SQL, so the oracle replays both rounds verbatim."""
+    from graphframes_rs_spark.pipeline import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=8, iters=2)
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-source document cap (C4-style): at most 40 docs per source,
+    chosen by seeded hash rank — survivors and their ranks are a pure
+    window closed form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.domain_cap(docs, group_col="source", cap=40).select(
+        "doc_id", "source", "grp_rank"
+    )
+
+
 def _q_closeness(spark, sf_dir):
     """Landmark closeness/harmonic centrality on the hierarchy DAG with
     the 5 region vertices as landmarks: every customer reaches exactly its
@@ -1923,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_rings": _q_scc_rings,
         "mst_rings": _q_mst_rings,
         "closeness": _q_closeness,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "domain_cap": _q_domain_cap,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "coloring_forest": _q_coloring_forest,
@@ -2291,6 +2313,42 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 0.0 END AS DOUBLE) AS harmonic, "
             "CAST(CASE WHEN id >= 1000 THEN 0.5 WHEN id >= 100 THEN 1.0 "
             "ELSE 0.0 END AS DOUBLE) AS closeness FROM v"
+        ),
+        "kmeans_clusters": (
+            # replay both Lloyd rounds: hash-ranked init, rounded distances
+            # (tie-break on lower cid), rounded refreshed centroids
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "init AS (SELECT vec_id, v, "
+            + _HASH60.format(x="CAST(vec_id AS VARCHAR)")
+            + " AS h FROM e ORDER BY h LIMIT 8), "
+            "c0 AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v FROM init), "
+            "d1 AS (SELECT e.vec_id, c.cid, round(CAST(list_sum(list_transform("
+            "generate_series(1, len(e.v)), i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])"
+            ")) AS DOUBLE), 6) AS d2 FROM e, c0 c), "
+            "a1 AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1) "
+            "WHERE rn = 1), "
+            "m1 AS (SELECT cluster, pos, round(avg(val), 6) AS mv FROM ("
+            "SELECT a1.cluster, unnest(e.v) AS val, "
+            "unnest(generate_series(1, len(e.v))) AS pos "
+            "FROM a1 JOIN e USING (vec_id)) GROUP BY cluster, pos), "
+            "c1 AS (SELECT cluster AS cid, list(mv ORDER BY pos) AS v FROM m1 "
+            "GROUP BY cluster UNION ALL SELECT cid, v FROM c0 "
+            "WHERE cid NOT IN (SELECT cluster FROM m1)), "
+            "dd AS (SELECT e.vec_id, c.cid, round(CAST(list_sum(list_transform("
+            "generate_series(1, len(e.v)), i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])"
+            ")) AS DOUBLE), 6) AS d2 FROM e, c1 c) "
+            "SELECT vec_id, CAST(cid AS INTEGER) AS cluster, d2 AS dist2 FROM ("
+            "SELECT vec_id, cid, d2, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
+            "WHERE rn = 1"
+        ),
+        "domain_cap": (
+            "SELECT doc_id, source, grp_rank FROM (SELECT doc_id, source, "
+            "CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 "
+            "AS BIGINT) AS grp_rank FROM (SELECT doc_id, source, "
+            + _HASH60.format(x="'42:' || source || ':' || doc_id")
+            + " AS h FROM documents)) WHERE grp_rank < 40"
         ),
         "scc_rings": (
             "SELECT CAST(c_custkey + 1000 AS BIGINT) AS id, "

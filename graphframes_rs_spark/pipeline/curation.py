@@ -341,3 +341,38 @@ def corpus_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long") - 1)
         .select("shard", "pos", *df.columns)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    cap: int = 100,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb-style): keep at most ``cap``
+    rows per ``group_col``, chosen by a seeded md5 hash of the row key —
+    a uniform random but fully deterministic survivor set, so reruns and
+    engine swaps pick the same rows. Output adds ``grp_rank`` (0-based
+    hash rank within the group).
+
+    Scale shape: one ``row_number()`` window keyed on the domain — the
+    sort parallelizes across domains and is bounded by the biggest one,
+    the same cost any exact per-domain top-k pays. Web-corpus hub
+    domains (millions of docs vs a cap of hundreds) should pre-thin
+    before the sort: filter to ``pmod(hash, N) < ceil(c·cap)`` for a
+    survival margin c, which keeps ≥cap rows w.h.p. and shrinks the
+    sorted slice by N/(c·cap); the window then finishes exactly."""
+    from pyspark.sql.window import Window
+
+    h = hash60(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.col(group_col), F.col(key_col).cast("string")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("__h", key_col)
+    ranked = (
+        df.withColumn("__h", h)
+        .withColumn("grp_rank", F.row_number().over(w).cast("long") - 1)
+    )
+    return ranked.filter(F.col("grp_rank") < cap).drop("__h")

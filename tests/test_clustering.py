@@ -1,0 +1,58 @@
+"""Deterministic Lloyd k-means + per-domain cap."""
+
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.pipeline.clustering import kmeans_assign
+from graphframes_rs_spark.pipeline.curation import domain_cap
+
+
+def test_kmeans_two_blobs(spark):
+    pts = [
+        (1, [0.0, 0.0]), (2, [0.2, 0.0]), (3, [0.0, 0.3]),
+        (4, [10.0, 10.0]), (5, [10.2, 10.0]), (6, [10.0, 10.3]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=2, iters=3).collect()
+    by_id = {r.vec_id: r.cluster for r in out}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[4] == by_id[5] == by_id[6]
+    assert by_id[1] != by_id[4]
+    # dist2 is to the refreshed (blob-mean) centroid, small within blobs
+    assert all(r.dist2 < 1.0 for r in out)
+
+
+def test_kmeans_deterministic_and_iter1_uses_raw_init(spark):
+    pts = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(20)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, kmeans_assign(df, k=3, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(df, k=3, iters=2).collect()))
+    assert a == b
+    # iters=1 must assign against the raw init vectors: the init points
+    # themselves then sit at distance 0
+    one = {r.vec_id: r for r in kmeans_assign(df, k=3, iters=1).collect()}
+    assert sum(1 for r in one.values() if r.dist2 == 0.0) >= 3
+
+
+def test_domain_cap_limits_and_determinism(spark):
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_cap(df, group_col="source", cap=4, key_col="doc_id")
+    pdf = out.toPandas()
+    assert (pdf.groupby("source").size() <= 4).all()
+    assert set(pdf.columns) == {"doc_id", "source", "text", "grp_rank"}
+    assert (pdf.groupby("source")["grp_rank"].max() == 3).all()
+    again = domain_cap(df, group_col="source", cap=4, key_col="doc_id").toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(again["doc_id"])
+    # a different seed picks a different survivor set (w.h.p. on 30 rows)
+    other = domain_cap(
+        df, group_col="source", cap=4, key_col="doc_id", seed=7
+    ).toPandas()
+    assert sorted(pdf["doc_id"]) != sorted(other["doc_id"])
+
+
+def test_domain_cap_under_cap_groups_pass_through(spark):
+    rows = [(i, "only", f"t{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_cap(df, group_col="source", cap=10).toPandas()
+    assert len(out) == 3
+    assert sorted(out["grp_rank"]) == [0, 1, 2]
