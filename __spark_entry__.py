@@ -1903,6 +1903,32 @@ def _q_domain_cap(spark, sf_dir):
     )
 
 
+def _q_knn_components(spark, sf_dir):
+    """Embedding-space cluster discovery: WCC over the symmetrized k=3
+    cosine kNN graph — the bridge from the similarity operators into the
+    graph engine. Oracle: SQL kNN edges (same rounding/tie-break) +
+    recursive-CTE closure with min-member labels."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    edges = similarity.knn_graph(emb, k=3).select("src", "dst")
+    verts = emb.select(F.col("vec_id").alias("id"))
+    out = (
+        GraphFrame(verts, edges)
+        .connected_components()
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+    return out.select(F.col("id").alias("vec_id"), "component")
+
+
+def _q_length_stats(spark, sf_dir):
+    """Per-source token-length distribution (exact interpolated
+    percentiles — same definition as SQL percentile_cont)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.length_percentiles(docs, group_col="source")
+
+
 def _q_closeness(spark, sf_dir):
     """Landmark closeness/harmonic centrality on the hierarchy DAG with
     the 5 region vertices as landmarks: every customer reaches exactly its
@@ -1945,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness": _q_closeness,
         "kmeans_clusters": _q_kmeans_clusters,
         "domain_cap": _q_domain_cap,
+        "knn_components": _q_knn_components,
+        "length_stats": _q_length_stats,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "coloring_forest": _q_coloring_forest,
@@ -2342,6 +2370,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "knn_components": (
+            # kNN edges with the Spark side's exact rounding + tie-break,
+            # then transitive closure with min-member component labels
+            "WITH RECURSIVE "
+            "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"s AS (SELECT a.id AS qa, b.id AS qb, round({cos_ab}, 6) AS c "
+            "FROM e a JOIN e b ON a.id <> b.id), "
+            "nn AS MATERIALIZED (SELECT qa, qb FROM (SELECT qa, qb, "
+            "row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS rn FROM s) "
+            "WHERE rn <= 3), "
+            "ue AS MATERIALIZED (SELECT qa AS u, qb AS v FROM nn "
+            "UNION SELECT qb, qa FROM nn), "
+            "reach AS (SELECT vec_id AS x, vec_id AS y FROM embeddings "
+            "UNION SELECT r.x, ed.v FROM reach r JOIN ue ed ON r.y = ed.u) "
+            "SELECT x AS vec_id, min(y) AS component FROM reach GROUP BY x"
+        ),
+        "length_stats": (
+            "WITH t AS (SELECT source, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "round(avg(tok), 6) AS mean_tokens, "
+            "round(CAST(quantile_cont(tok, 0.25) AS DOUBLE), 6) AS p25_tokens, "
+            "round(CAST(quantile_cont(tok, 0.5) AS DOUBLE), 6) AS p50_tokens, "
+            "round(CAST(quantile_cont(tok, 0.75) AS DOUBLE), 6) AS p75_tokens, "
+            "round(CAST(quantile_cont(tok, 0.9) AS DOUBLE), 6) AS p90_tokens, "
+            "round(CAST(quantile_cont(tok, 0.99) AS DOUBLE), 6) AS p99_tokens, "
+            "max(tok) AS max_tokens FROM t GROUP BY source"
         ),
         "domain_cap": (
             "SELECT doc_id, source, grp_rank FROM (SELECT doc_id, source, "

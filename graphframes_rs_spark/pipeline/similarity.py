@@ -566,3 +566,47 @@ def embedding_outliers(
         )
         .withColumn("is_outlier", F.col("z") > z_threshold)
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "exact",
+    **ann_kwargs,
+) -> DataFrame:
+    """[src, dst, cosine] — the symmetrized k-nearest-neighbour graph over
+    an embedding column: an edge per (vector, one of its top-k cosine
+    neighbours), both directions, deduplicated. The bridge from embedding
+    space into every graph operator (components over a kNN graph =
+    density-connected cluster discovery; PageRank over it = centrality in
+    semantic space).
+
+    ``method='exact'`` scores all pairs via the broadcast top-k
+    (:func:`cosine_topk` — right when one side fits a broadcast);
+    ``method='ivf'`` routes through :func:`ivf_topk` (the 100 TB path:
+    centroid-bucketed candidate lists, nlist/nprobe dials via
+    ``ann_kwargs``)."""
+    if method == "exact":
+        nn = cosine_topk(embeddings, embeddings, k=k, vec_col=vec_col, id_col=id_col)
+    elif method == "ivf":
+        nn = ivf_topk(
+            embeddings, embeddings, k=k, vec_col=vec_col, id_col=id_col, **ann_kwargs
+        )
+    else:
+        raise ValueError(f"unknown knn_graph method {method!r}")
+    directed = nn.select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+    )
+    return (
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("cosine").alias("cosine"))
+    )

@@ -500,3 +500,42 @@ def token_cms_estimate(
         .groupBy("token")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
     )
+
+
+def length_percentiles(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    probs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+    approximate: bool = False,
+) -> DataFrame:
+    """Per-group token-length distribution — the length dashboard a
+    curation run reads before setting truncation/packing dials:
+
+      [<group_col>, n_docs, mean_tokens, p<25/50/75/90/99>_tokens, max_tokens]
+
+    Exact mode uses Spark's ``percentile`` (linear-interpolated, the
+    same definition as ANSI ``percentile_cont``), which buffers each
+    group's values on the agg side — fine up to ~10^8 rows per group.
+    At 100 TB set ``approximate=True``: ``percentile_approx`` (a
+    KLL-style mergeable sketch, map-side combined) holds per-group state
+    at a few KB regardless of group size, with rank error ~1/accuracy."""
+    c = token_count(F.col(text_col)).cast("long")
+    plist = ", ".join(str(p) for p in probs)
+    fn = "percentile_approx" if approximate else "percentile"
+    acc = ", 10000" if approximate else ""
+    pcts = F.expr(f"{fn}(__tok, array({plist}){acc})")
+    base = docs.select(F.col(group_col), c.alias("__tok"))
+    out = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__tok"), 6).alias("mean_tokens"),
+        pcts.alias("__p"),
+        F.max("__tok").alias("max_tokens"),
+    )
+    cols = [F.col(group_col), "n_docs", "mean_tokens"]
+    for i, p in enumerate(probs):
+        name = f"p{int(p * 100)}_tokens"
+        pc = F.col("__p")[i]
+        cols.append((F.round(pc, 6) if not approximate else pc.cast("double")).alias(name))
+    cols.append("max_tokens")
+    return out.select(*cols)

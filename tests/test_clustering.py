@@ -56,3 +56,32 @@ def test_domain_cap_under_cap_groups_pass_through(spark):
     out = domain_cap(df, group_col="source", cap=10).toPandas()
     assert len(out) == 3
     assert sorted(out["grp_rank"]) == [0, 1, 2]
+
+
+def test_knn_graph_symmetric_and_k(spark):
+    from graphframes_rs_spark.pipeline.similarity import knn_graph
+
+    pts = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    edges = knn_graph(df, k=1).collect()
+    pairs = {(r.src, r.dst) for r in edges}
+    # symmetric closure of each point's single nearest neighbour
+    assert (1, 2) in pairs and (2, 1) in pairs
+    assert (3, 4) in pairs and (4, 3) in pairs
+    for s, d in pairs:
+        assert (d, s) in pairs
+
+
+def test_length_percentiles_exact_and_approx(spark):
+    from graphframes_rs_spark.pipeline.text import length_percentiles
+
+    rows = [(i, "s", " ".join(["w"] * (i + 1))) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = length_percentiles(df, probs=(0.5,)).collect()[0]
+    assert r.n_docs == 9
+    assert r.p50_tokens == 5.0  # 1..9 tokens, exact median
+    assert r.max_tokens == 9
+    ra = length_percentiles(df, probs=(0.5,), approximate=True).collect()[0]
+    assert abs(ra.p50_tokens - 5.0) <= 1.0
