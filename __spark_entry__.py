@@ -1929,6 +1929,25 @@ def _q_length_stats(spark, sf_dir):
     return txt.length_percentiles(docs, group_col="source")
 
 
+def _q_cohort_retention(spark, sf_dir):
+    """Hour-granularity cohort retention over the events table."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.cohort_retention(events, granularity="hour")
+
+
+def _q_funnel_steps(spark, sf_dir):
+    """view -> click -> purchase ordered funnel (earliest-qualifying
+    chaining, no time window)."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.funnel(events, ["view", "click", "purchase"])
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapped token chunking (40-token chunks, 8 overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
+
+
 def _q_closeness(spark, sf_dir):
     """Landmark closeness/harmonic centrality on the hierarchy DAG with
     the 5 region vertices as landmarks: every customer reaches exactly its
@@ -1973,6 +1992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "knn_components": _q_knn_components,
         "length_stats": _q_length_stats,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_steps": _q_funnel_steps,
+        "doc_chunks": _q_doc_chunks,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
         "coloring_forest": _q_coloring_forest,
@@ -2370,6 +2392,49 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "cohort_retention": (
+            "WITH pe AS (SELECT DISTINCT user_id AS u, "
+            "((epoch_ms(ts) // 1000) // 3600) AS b FROM events), "
+            "co AS (SELECT u, min(b) AS cohort_b FROM pe GROUP BY u), "
+            "sz AS (SELECT cohort_b, CAST(count(DISTINCT u) AS BIGINT) AS "
+            "cohort_size FROM co GROUP BY cohort_b), "
+            "cells AS (SELECT c.cohort_b, p.b, CAST(count(DISTINCT p.u) AS BIGINT) "
+            "AS n_active FROM pe p JOIN co c USING (u) GROUP BY 1, 2) "
+            "SELECT cells.cohort_b AS cohort, cells.b - cells.cohort_b AS offset, "
+            "n_active, cohort_size, "
+            "round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention_rate "
+            "FROM cells JOIN sz ON cells.cohort_b = sz.cohort_b"
+        ),
+        "funnel_steps": (
+            "WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT s1.u, min(e.ts) AS t2 FROM events e JOIN s1 "
+            "ON e.user_id = s1.u AND e.event_type = 'click' AND e.ts > s1.t1 "
+            "GROUP BY 1), "
+            "s3 AS (SELECT s2.u, min(e.ts) AS t3 FROM events e JOIN s2 "
+            "ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2 "
+            "GROUP BY 1), "
+            "c AS (SELECT 1 AS step, 'view' AS step_name, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users "
+            "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)) "
+            "SELECT CAST(step AS INTEGER) AS step, step_name, n_users, "
+            "round(n_users / CAST(greatest((SELECT n_users FROM c WHERE step = 1), 1) "
+            "AS DOUBLE), 6) AS conversion FROM c"
+        ),
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "len(string_split(text, ' ')) AS n FROM documents), "
+            "nc AS (SELECT doc_id, toks, "
+            "CAST(1 + ceil(greatest(n - 40, 0) / 32.0) AS INTEGER) AS k FROM t), "
+            "c AS (SELECT doc_id, toks, "
+            "unnest(generate_series(0, k - 1)) AS chunk_id FROM nc) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "array_to_string(toks[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' ') "
+            "AS chunk_text, "
+            "CAST(len(toks[chunk_id * 32 + 1 : chunk_id * 32 + 40]) AS BIGINT) "
+            "AS n_tokens FROM c"
         ),
         "knn_components": (
             # kNN edges with the Spark side's exact rounding + tie-break,

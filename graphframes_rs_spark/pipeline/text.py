@@ -539,3 +539,49 @@ def length_percentiles(
         cols.append((F.round(pc, 6) if not approximate else pc.cast("double")).alias(name))
     cols.append("max_tokens")
     return out.select(*cols)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[<id_col>, chunk_id, chunk_text, n_tokens] — split each document
+    into fixed-size token windows with overlap, the standard pre-training
+    / RAG chunking step. Chunk i covers tokens [i·stride, i·stride +
+    chunk_tokens) with stride = chunk_tokens − overlap; the last chunk is
+    the remainder (shorter, never empty), and a doc at or under
+    ``chunk_tokens`` yields exactly one chunk of itself.
+
+    Scale shape: a pure narrow transform — tokenize once, explode a
+    per-doc index sequence, slice from the SAME token array; no shuffle
+    at all (chunks stay co-partitioned with their documents, so a
+    downstream ``repartition`` decides layout exactly once)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    with_toks = docs.select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+    )
+    exploded = with_toks.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

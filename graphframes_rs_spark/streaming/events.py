@@ -548,3 +548,125 @@ def hypertable_rollup(
             )
         )
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    granularity: str = "day",
+) -> DataFrame:
+    """[cohort, offset, n_active, cohort_size, retention_rate] — classic
+    cohort retention: users are bucketed by the time bucket of their FIRST
+    event (their cohort), then each (cohort, later bucket) cell counts how
+    many of them were active, as an offset from the cohort bucket.
+    ``granularity``: 'day' or 'hour'.
+
+    Scale shape: two combine-enabled aggregations keyed on user_id (first
+    bucket per user; distinct user per cell via the pre-distinct) and one
+    broadcast-sized join on the cohort dimension — no windows, no skew
+    beyond the user key AQE already handles. Offsets count buckets, so
+    the output is dense-small (cohorts × offsets) no matter the event
+    volume."""
+    if granularity not in ("day", "hour"):
+        raise ValueError("granularity must be 'day' or 'hour'")
+    secs = 86400 if granularity == "day" else 3600
+    bucket = (F.unix_timestamp(F.col(ts_col)) / secs).cast("long")
+    per_event = events.select(
+        F.col(user_col).alias("u"), bucket.alias("b")
+    ).distinct()
+    cohorts = per_event.groupBy("u").agg(F.min("b").alias("cohort_b"))
+    sizes = cohorts.groupBy("cohort_b").agg(
+        F.countDistinct("u").alias("cohort_size")
+    )
+    cells = (
+        per_event.join(cohorts, "u")
+        .groupBy("cohort_b", "b")
+        .agg(F.countDistinct("u").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_b")
+        .select(
+            F.col("cohort_b").alias("cohort"),
+            (F.col("b") - F.col("cohort_b")).alias("offset"),
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    window_seconds: int | None = None,
+) -> DataFrame:
+    """[step, step_name, n_users, conversion] — ordered funnel analysis
+    (ClickHouse windowFunnel semantics): a user converts step i when an
+    event of type ``steps[i]`` occurs STRICTLY AFTER their earliest
+    qualifying step-(i-1) event; with ``window_seconds`` the whole
+    sequence must also complete within that window of the step-1 event.
+    Earliest-qualifying times make the result deterministic and
+    monotone (n_users never increases with step).
+
+    Scale shape: one conditional min-aggregation per step, each keyed on
+    user_id with map-side combine, chained by broadcast-free equi-joins
+    on the same key — k small (funnels are 3-7 steps), so this is k
+    shuffles of one row per user, not an event-order window over the
+    raw stream."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    reached = (
+        ev.filter(F.col("t") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t1"))
+    )
+    times = [("t1", reached.select("u", "t1"))]
+    prev = reached.select("u", F.col("t1").alias("prev"), "t1")
+    for i, s in enumerate(steps[1:], start=2):
+        cand = ev.filter(F.col("t") == s).join(prev, "u")
+        cond = F.col("ts") > F.col("prev")
+        if window_seconds is not None:
+            cond = cond & (
+                F.col("ts") <= F.col("t1") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+            )
+        step_t = (
+            cand.filter(cond)
+            .groupBy("u")
+            .agg(F.min("ts").alias(f"t{i}"), F.first("t1").alias("__t1"))
+        )
+        times.append((f"t{i}", step_t.select("u", f"t{i}")))
+        prev = step_t.select(
+            "u", F.col(f"t{i}").alias("prev"), F.col("__t1").alias("t1")
+        )
+    counts = None
+    for i, (_, df) in enumerate(times, start=1):
+        # agg without groupBy: always ONE row, so zero-user steps still
+        # appear in the funnel
+        c = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"),
+            F.lit(steps[i - 1]).alias("step_name"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    base = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(
+        Window.partitionBy()
+    )
+    return counts.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.greatest(base, F.lit(1)), 6
+        ).alias("conversion"),
+    )

@@ -1,0 +1,94 @@
+"""Cohort retention, ordered funnel, and document chunking semantics."""
+
+from datetime import datetime
+
+from graphframes_rs_spark.pipeline.text import chunk_documents
+from graphframes_rs_spark.streaming.events import cohort_retention, funnel
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+
+def T(day, hour=0, minute=0):
+    return datetime(2024, 1, day, hour, minute)
+
+
+def test_cohort_retention_day(spark):
+    df = _events(spark, [
+        (1, "view", T(1)), (2, "view", T(1)),       # cohort day 1: {1,2}
+        (1, "click", T(2)),                         # day-2: only user 1
+        (3, "view", T(2)), (3, "view", T(3)),       # cohort day 2: {3}
+    ])
+    out = {
+        (r.cohort, r.offset): r
+        for r in cohort_retention(df, granularity="day").collect()
+    }
+    d1 = min(c for c, _ in out)
+    assert out[(d1, 0)].n_active == 2 and out[(d1, 0)].retention_rate == 1.0
+    assert out[(d1, 1)].n_active == 1 and out[(d1, 1)].retention_rate == 0.5
+    assert out[(d1 + 1, 0)].cohort_size == 1
+    assert out[(d1 + 1, 1)].n_active == 1
+
+
+def test_funnel_strict_order_and_window(spark):
+    df = _events(spark, [
+        # u1 completes in order
+        (1, "view", T(1, 9)), (1, "click", T(1, 10)), (1, "purchase", T(1, 11)),
+        # u2 clicks BEFORE viewing: click must not count
+        (2, "click", T(1, 8)), (2, "view", T(1, 9)),
+        # u3 views only
+        (3, "view", T(1, 9)),
+    ])
+    out = {r.step: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[1].n_users == 3
+    assert out[2].n_users == 1 and out[2].step_name == "click"
+    assert out[3].n_users == 1
+    assert out[2].conversion == round(1 / 3, 6)
+
+    # 30-minute window: u1's click at +1h falls outside it
+    out_30 = {
+        r.step: r
+        for r in funnel(
+            df, ["view", "click", "purchase"], window_seconds=1800
+        ).collect()
+    }
+    assert out_30[2].n_users == 0 and out_30[3].n_users == 0
+    # 2-hour window: the whole u1 sequence (view 9:00 .. purchase 11:00) fits
+    out_2h = {
+        r.step: r
+        for r in funnel(
+            df, ["view", "click", "purchase"], window_seconds=7200
+        ).collect()
+    }
+    assert out_2h[2].n_users == 1 and out_2h[3].n_users == 1
+
+
+def test_funnel_zero_step_row_present(spark):
+    df = _events(spark, [(1, "view", T(1))])
+    out = {r.step: r for r in funnel(df, ["view", "click"]).collect()}
+    assert out[1].n_users == 1
+    assert out[2].n_users == 0 and out[2].conversion == 0.0
+
+
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks, 2 chunks
+            (2, " ".join(f"t{i}" for i in range(8))),   # exactly chunk size
+            (3, "a b"),                                  # short: one chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=4)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    assert (1, 0) in rows and (1, 1) in rows and (1, 2) not in rows
+    assert rows[(1, 0)].n_tokens == 8
+    assert rows[(1, 0)].chunk_text.split()[:2] == ["t0", "t1"]
+    # chunk 1 starts at stride=4
+    assert rows[(1, 1)].chunk_text.split()[0] == "t4"
+    assert rows[(1, 1)].n_tokens == 6  # tokens 4..9
+    assert rows[(2, 0)].n_tokens == 8 and (2, 1) not in rows
+    assert rows[(3, 0)].chunk_text == "a b"
