@@ -354,6 +354,33 @@ def _bench_scale_neighborhood(tier):
     return run
 
 
+def _bench_mst_big(spark, sf_dir):
+    # Borůvka over the full lineitem bipartite graph with synthetic
+    # distinct-ish weights: exercises the per-component min agg + pointer
+    # jumping at 240k edges
+    from graphframes_rs_spark.graphframe import GraphFrame
+
+    g = lineitem_graph(spark, sf_dir)
+    weighted = GraphFrame(
+        g.vertices,
+        g.edges.withColumn(
+            "weight", (F.xxhash64("src", "dst") % 1_000_000).cast("double")
+        ),
+    )
+    return (
+        weighted.minimum_spanning_forest()
+        .set_checkpoint_dir(tempfile.mkdtemp())
+        .run()
+    )
+
+
+def _bench_kmeans_big(spark, sf_dir):
+    from graphframes_rs_spark.pipeline.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=16, iters=3)
+
+
 BENCH_QUERIES = {
     # graph algorithms at scale (lineitem bipartite graph)
     "pagerank_big": _bench_pagerank_big,
@@ -402,6 +429,15 @@ BENCH_QUERIES = {
     "hypertable_rollup": entry.queries()["hypertable_rollup"],
     "token_cms": entry.queries()["token_cms"],
     "sessions": entry.queries()["sessions"],
+    # round-5 operators
+    "mst_big": _bench_mst_big,
+    "kmeans_big": _bench_kmeans_big,
+    "knn_components": entry.queries()["knn_components"],
+    "cohort_retention": entry.queries()["cohort_retention"],
+    "funnel_steps": entry.queries()["funnel_steps"],
+    "doc_chunks": entry.queries()["doc_chunks"],
+    "length_stats": entry.queries()["length_stats"],
+    "domain_cap": entry.queries()["domain_cap"],
     # scale proof tiers (deterministic generated graphs; see SCALE_TIERS)
     "scale_wcc_6m": _bench_scale_wcc("6m"),
     "scale_pagerank_6m": _bench_scale_pagerank("6m"),
@@ -484,11 +520,16 @@ def main():
         "motif_triangles", "hits_big", "random_walks",
     }
     SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_cc"}
+    # iterative round-5 queries: many short jobs -> GC-sensitive, but big
+    # enough that best-of-3 would dominate wall-clock; best-of-2
+    BEST_OF_2 = {"mst_big", "kmeans_big"}
 
     timings = {}
     for name, fn in BENCH_QUERIES.items():
         if name in REPEATED:
             runs = 3
+        elif name in BEST_OF_2:
+            runs = 2
         elif name.startswith("scale_") and name not in SINGLE_SHOT_SCALE:
             runs = 2
         else:

@@ -38,10 +38,54 @@ giant components); no driver-side state exists beyond the loop counter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graphframes_rs_spark.graphframe import DST, GraphFrame, SRC
+
+# Below this many surviving components the hook forest is resolved by ONE
+# single-task numpy pointer-doubling pass instead of distributed jump
+# rounds (same tail-collapse contract as the WCC local finisher: after a
+# couple of Borůvka rounds the component table fits a task no matter the
+# starting size). 5M rows ≈ 80 MB of int64 pairs.
+LOCAL_FINISH_COMPONENTS = "spark.graphframes.mst.localFinishComponents"
+DEFAULT_LOCAL_FINISH_COMPONENTS = 5_000_000
+
+
+def _local_roots(parent: DataFrame) -> DataFrame:
+    """[c, parent] with parent fully resolved to each tree's root — the
+    single-task finisher for a SMALL hook forest. ``coalesce(1)`` (not
+    repartition) because the input is a fresh checkpoint scan."""
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cs, ps = [], []
+        for pdf in batches:
+            cs.append(pdf["c"].to_numpy())
+            ps.append(pdf["parent"].to_numpy())
+        if not cs:
+            return
+        c = np.concatenate(cs)
+        p = np.concatenate(ps)
+        # every parent is itself a component with a chosen edge, so the id
+        # universe is exactly `c`; map once and pointer-double to fixpoint
+        ids, inv = np.unique(np.concatenate([c, p]), return_inverse=True)
+        ci, pi = inv[: len(c)], inv[len(c):]
+        ptr = np.arange(len(ids))
+        ptr[ci] = pi
+        while True:
+            nxt = ptr[ptr]
+            if np.array_equal(nxt, ptr):
+                break
+            ptr = nxt
+        yield pd.DataFrame({"c": ids, "parent": ids[ptr]})
+
+    return parent.coalesce(1).mapInPandas(solve, "c long, parent long")
 
 
 class MSTBuilder:
@@ -88,19 +132,28 @@ class MSTBuilder:
             F.greatest(SRC, DST).alias("v"),
             F.col(w).cast("double").alias("w"),
         ).filter(F.col("u") != F.col("v"))
+        obs0 = Observation()
         edges = ckpt.push(
             e.groupBy("u", "v")
             .agg(F.min("w").alias("w"))
             .select(
                 "u", "v", "w",
                 F.col("u").alias("cu"), F.col("v").alias("cv"),
-            ),
+            )
+            .observe(obs0, F.count(F.lit(1)).alias("n")),
             "mst_edges_0",
         )
-        mst = None
+        # Loop-control counts ride the checkpoint writes as observe()
+        # metrics — zero extra jobs per round (same contract as Pregel's
+        # voting). No eviction during the run: the per-round `chosen`
+        # checkpoints are the MST accumulator (read once by the final
+        # union), and total checkpoint volume is bounded by O(E) thanks to
+        # the geometric edge-set shrink.
+        n_edges = obs0.get["n"]
+        picked_plans = []
 
         for rnd in range(1, self.max_iter + 1):
-            if edges.isEmpty():
+            if n_edges == 0:
                 break
             self.iterations_ = rnd
 
@@ -115,17 +168,21 @@ class MSTBuilder:
                     "w", "u", "v",
                 )
             )
-            chosen = (
+            obsC = Observation()
+            chosen = ckpt.push(
                 sel.groupBy("c")
                 .agg(F.min(F.struct("w", "u", "v", "other")).alias("m"))
                 .select("c", "m.w", "m.u", "m.v", "m.other")
+                .observe(obsC, F.count(F.lit(1)).alias("n")),
+                f"mst_chosen_{rnd}",
             )
-
-            picked = chosen.select("u", "v", "w").distinct()
+            n_comps = obsC.get["n"]
+            picked_plans.append(chosen.select("u", "v", "w"))
 
             # Hook: parent = chosen neighbour component; a mutual pair
             # (both endpoints chose the same edge) roots at its smaller
-            # endpoint.
+            # endpoint. Cheap projections over the chosen checkpoint — no
+            # materialization needed before the first jump write.
             c2 = chosen.select(
                 F.col("c").alias("c2"), F.col("other").alias("other2")
             )
@@ -143,29 +200,42 @@ class MSTBuilder:
                 .otherwise(F.col("other"))
                 .alias("parent"),
             )
-            parent = ckpt.push(parent, f"mst_hook_{rnd}")
+
+            local_cap = int(
+                spark.conf.get(
+                    LOCAL_FINISH_COMPONENTS, str(DEFAULT_LOCAL_FINISH_COMPONENTS)
+                )
+            )
+            if n_comps <= local_cap:
+                # Tail collapse: resolve the whole hook forest in one task.
+                parent = ckpt.push(_local_roots(parent), f"mst_roots_{rnd}")
+                jump_range = range(0)
+            else:
+                jump_range = range(self.max_iter)
 
             # Pointer-jump to roots (trees after the cycle-break, so this
-            # terminates; depth halves per jump).
-            for jump in range(self.max_iter):
+            # terminates; depth halves per jump). The change count is
+            # observed DURING each jump's write.
+            for jump in jump_range:
                 p2 = parent.select(
                     F.col("c").alias("jc"), F.col("parent").alias("gp")
                 )
-                jumped = ckpt.push(
+                obs = Observation()
+                jumped = (
                     parent.join(p2, parent["parent"] == p2["jc"], "left")
                     .select(
-                        parent["c"], F.coalesce("gp", "parent").alias("parent")
-                    ),
-                    f"mst_jump_{rnd}_{jump}",
-                )
-                changed = (
-                    jumped.join(
-                        parent.withColumnRenamed("parent", "old"), "c"
+                        parent["c"],
+                        F.coalesce("gp", "parent").alias("parent"),
+                        (
+                            F.col("gp").isNotNull()
+                            & (F.col("gp") != parent["parent"])
+                        ).cast("long").alias("__chg"),
                     )
-                    .filter(F.col("parent") != F.col("old"))
+                    .observe(obs, F.sum("__chg").alias("changed"))
+                    .drop("__chg")
                 )
-                parent = jumped
-                if changed.isEmpty():
+                parent = ckpt.push(jumped, f"mst_jump_{rnd}_{jump}")
+                if not (obs.get["changed"] or 0):
                     break
 
             # Relabel surviving edges into the contracted component space
@@ -176,6 +246,7 @@ class MSTBuilder:
             pmap_v = parent.select(
                 F.col("c").alias("cv"), F.col("parent").alias("ncv")
             )
+            obsE = Observation()
             edges = ckpt.push(
                 edges.join(pmap_u, "cu", "left")
                 .join(pmap_v, "cv", "left")
@@ -184,18 +255,18 @@ class MSTBuilder:
                     F.coalesce("ncu", "cu").alias("cu"),
                     F.coalesce("ncv", "cv").alias("cv"),
                 )
-                .filter(F.col("cu") != F.col("cv")),
+                .filter(F.col("cu") != F.col("cv"))
+                .observe(obsE, F.count(F.lit(1)).alias("n")),
                 f"mst_edges_{rnd}",
             )
-            mst = picked if mst is None else mst.unionByName(picked)
-            mst = ckpt.push(mst, f"mst_acc_{rnd}")
-            # Live handles: the accumulator (just pushed) and the relabeled
-            # edges (pushed right before it). Everything older is consumed.
-            ckpt.evict_all_but_latest(2)
+            n_edges = obsE.get["n"]
 
         out_schema = "src long, dst long, weight double"
-        if mst is None:
+        if not picked_plans:
             return spark.createDataFrame([], out_schema)
+        mst = picked_plans[0]
+        for p in picked_plans[1:]:
+            mst = mst.unionByName(p)
         return mst.select(
             F.col("u").alias(SRC),
             F.col("v").alias(DST),

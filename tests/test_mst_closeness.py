@@ -115,3 +115,25 @@ def test_closeness_unreachable_and_self(spark, ckpt_dir):
     }
     assert out[0].n_reachable == 0 and out[0].closeness == 0.0
     assert out[1].n_reachable == 0 and out[1].harmonic == 0.0
+
+
+def test_mst_local_and_distributed_paths_agree(spark, ckpt_dir):
+    edges = [
+        (a, b, float((a * 13 + b * 7) % 19 + 1))
+        for a in range(12)
+        for b in range(a + 1, 12)
+        if (a + b) % 3 != 0
+    ]
+    g = _graph(spark, edges)
+    local = _mst_edges(g, ckpt_dir + "_l")
+    prev = spark.conf.get("spark.graphframes.mst.localFinishComponents", None)
+    spark.conf.set("spark.graphframes.mst.localFinishComponents", "0")
+    try:
+        dist = _mst_edges(g, ckpt_dir + "_d")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.graphframes.mst.localFinishComponents")
+        else:
+            spark.conf.set("spark.graphframes.mst.localFinishComponents", prev)
+    assert local == dist
+    assert len(local) == 11  # spanning tree of the single component
