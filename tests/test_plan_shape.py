@@ -349,3 +349,58 @@ def test_cms_and_feature_prop_hygiene(spark):
     )
     assert "CartesianProduct" not in fp_plan
     assert "BroadcastNestedLoopJoin" not in fp_plan
+
+
+def test_chunk_documents_no_exchange(spark):
+    """Chunking is a pure narrow transform: no shuffle Exchange anywhere."""
+    from graphframes_rs_spark.pipeline.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    plan = _executed_plan(chunk_documents(docs, chunk_tokens=4, overlap=1))
+    assert "Exchange" not in plan, plan
+
+
+def test_domain_cap_single_window_shuffle(spark):
+    """domain_cap = ONE window keyed on the domain: exactly one shuffle
+    Exchange (hashpartitioning on the group column), no extra sorts or
+    joins."""
+    from graphframes_rs_spark.pipeline.curation import domain_cap
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "t") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    plan = _executed_plan(domain_cap(docs, cap=2))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cohort_retention_no_window(spark):
+    """Cohort retention is aggregation-only: no window operator (a global
+    or per-user window would serialize event order); partial aggregation
+    (map-side combine) present."""
+    from graphframes_rs_spark.streaming.events import cohort_retention
+
+    ev = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, ts string",
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp"))
+    plan = _executed_plan(cohort_retention(ev))
+    assert "Window" not in plan, plan
+    assert "partial_" in plan or "HashAggregate" in plan, plan
+
+
+def test_kmeans_assign_no_exchange(spark):
+    """The k-means assignment is a broadcast-literal map stage: the final
+    assignment plan has NO shuffle Exchange (refreshes during iterations
+    aggregate separately)."""
+    from graphframes_rs_spark.pipeline.clustering import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _executed_plan(kmeans_assign(emb, k=2, iters=1))
+    assert "Exchange" not in plan, plan
