@@ -354,6 +354,28 @@ def _bench_scale_neighborhood(tier):
     return run
 
 
+def _bench_scale_mst(tier):
+    def run(spark, sf_dir):
+        import tempfile as _tf
+
+        from graphframes_rs_spark.graphframe import GraphFrame
+
+        g = _scale_graph(spark, tier)
+        wg = GraphFrame(
+            g.vertices,
+            g.edges.withColumn(
+                "weight", (F.xxhash64("src", "dst") % 1_000_000).cast("double")
+            ),
+        )
+        return (
+            wg.minimum_spanning_forest()
+            .set_checkpoint_dir(_tf.mkdtemp())
+            .run()
+        )
+
+    return run
+
+
 def _bench_mst_big(spark, sf_dir):
     # Borůvka over the full lineitem bipartite graph with synthetic
     # distinct-ish weights: exercises the per-component min agg + pointer
@@ -454,6 +476,10 @@ BENCH_QUERIES = {
     "scale_pagerank_skew18m": _bench_scale_pagerank("skew18m"),
     "scale_kcore_skew18m": _bench_scale_kcore("skew18m"),
     "scale_kcore_skew18m_cc": _bench_scale_kcore("skew18m", count_compression=True),
+    # Borůvka MSF over the 6M-edge tier: 8 contraction rounds, ~2M tree
+    # edges; per-round cost = one combine-enabled min agg + local-finish
+    # root resolution + two relabel joins
+    "scale_mst_6m": _bench_scale_mst("6m"),
     # walk-corpus scale proof: 2M walks x 3 hops over the 6M-edge tier
     # (ranked-hop prep = one window shuffle; each hop one equi-join)
     "scale_walks_6m": _bench_scale_walks("6m"),
