@@ -35,7 +35,7 @@ from graphframes_rs_spark.sources.graphs import (
     named_hierarchy_graph,
     weighted_hierarchy_graph,
 )
-from graphframes_rs_spark.graphframe import GraphFrame
+from graphframes_rs_spark.graphframe import GraphFrame, symmetrize_edges
 from graphframes_rs_spark.sources.tables import load_table
 from graphframes_rs_spark.streaming import events as ev
 
@@ -1948,6 +1948,37 @@ def _q_doc_chunks(spark, sf_dir):
     return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def _q_eigenvector(spark, sf_dir):
+    """Power-iteration eigenvector centrality (3 rounds, L1-normalized)
+    on the symmetrized hierarchy graph; oracle unrolls the identical
+    join-sum-normalize rounds in SQL."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    und = GraphFrame(g.vertices, symmetrize_edges(g.edges, deduplicate=True))
+    return (
+        und.eigenvector_centrality()
+        .max_iterations(3)
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+
+
+def _q_interval_join(spark, sf_dir):
+    """Grid-bucketed interval overlap join: which of a customer's orders
+    fall within 10 days of each other (self-join on per-customer 10-day
+    windows). Oracle: the plain SQL inequality join."""
+    from graphframes_rs_spark.pipeline import joins
+
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("id"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("start"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) + 10).alias("end"),
+    )
+    out = joins.interval_join(iv, iv, cell=7)
+    return out.filter(F.col("l_id") < F.col("r_id"))
+
+
 def _q_closeness(spark, sf_dir):
     """Landmark closeness/harmonic centrality on the hierarchy DAG with
     the 5 region vertices as landmarks: every customer reaches exactly its
@@ -1992,6 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "knn_components": _q_knn_components,
         "length_stats": _q_length_stats,
+        "eigenvector": _q_eigenvector,
+        "interval_join": _q_interval_join,
         "cohort_retention": _q_cohort_retention,
         "funnel_steps": _q_funnel_steps,
         "doc_chunks": _q_doc_chunks,
@@ -2392,6 +2425,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "eigenvector": (
+            # 3 power rounds unrolled: join-sum over symmetrized edges,
+            # L1 normalization each round, rounding only at the end
+            f"WITH es AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SMALL_SQL}) "
+            "UNION SELECT dst, src FROM ("
+            + _EDGES_SMALL_SQL
+            + ")), "
+            f"v AS MATERIALIZED ({_VERTS_SMALL_SQL}), "
+            "x0 AS (SELECT id, 1.0 AS x FROM v), "
+            "r1 AS MATERIALIZED (SELECT v.id, COALESCE(s.mx, 0.0) AS x FROM v "
+            "LEFT JOIN (SELECT es.dst AS id, sum(x0.x) AS mx FROM es "
+            "JOIN x0 ON es.src = x0.id GROUP BY es.dst) s ON v.id = s.id), "
+            "x1 AS MATERIALIZED (SELECT id, CASE WHEN t.t > 0 THEN x / t.t "
+            "ELSE 0.0 END AS x FROM r1, (SELECT sum(x) AS t FROM r1) t), "
+            "r2 AS MATERIALIZED (SELECT v.id, COALESCE(s.mx, 0.0) AS x FROM v "
+            "LEFT JOIN (SELECT es.dst AS id, sum(x1.x) AS mx FROM es "
+            "JOIN x1 ON es.src = x1.id GROUP BY es.dst) s ON v.id = s.id), "
+            "x2 AS MATERIALIZED (SELECT id, CASE WHEN t.t > 0 THEN x / t.t "
+            "ELSE 0.0 END AS x FROM r2, (SELECT sum(x) AS t FROM r2) t), "
+            "r3 AS MATERIALIZED (SELECT v.id, COALESCE(s.mx, 0.0) AS x FROM v "
+            "LEFT JOIN (SELECT es.dst AS id, sum(x2.x) AS mx FROM es "
+            "JOIN x2 ON es.src = x2.id GROUP BY es.dst) s ON v.id = s.id), "
+            "x3 AS (SELECT id, CASE WHEN t.t > 0 THEN x / t.t ELSE 0.0 END "
+            "AS x FROM r3, (SELECT sum(x) AS t FROM r3) t) "
+            "SELECT id, round(x, 6) AS eigenvector FROM x3"
+        ),
+        "interval_join": (
+            "WITH iv AS (SELECT o_custkey AS key, o_orderkey AS id, "
+            "CAST(date_diff('day', DATE '1970-01-01', o_orderdate::DATE) "
+            "AS BIGINT) AS s FROM orders) "
+            "SELECT a.key, a.id AS l_id, b.id AS r_id, "
+            "greatest(a.s, b.s) AS overlap_start, "
+            "least(a.s + 10, b.s + 10) AS overlap_end "
+            "FROM iv a JOIN iv b ON a.key = b.key AND a.id < b.id "
+            "AND a.s <= b.s + 10 AND b.s <= a.s + 10"
         ),
         "cohort_retention": (
             "WITH pe AS (SELECT DISTINCT user_id AS u, "

@@ -482,3 +482,8 @@ class GraphFrame:
         from graphframes_rs_spark.operators.closeness import ClosenessBuilder
 
         return ClosenessBuilder(self, landmarks)
+
+    def eigenvector_centrality(self) -> "EigenvectorBuilder":
+        from graphframes_rs_spark.operators.eigenvector import EigenvectorBuilder
+
+        return EigenvectorBuilder(self)

@@ -92,3 +92,46 @@ def test_chunk_documents_boundaries(spark):
     assert rows[(1, 1)].n_tokens == 6  # tokens 4..9
     assert rows[(2, 0)].n_tokens == 8 and (2, 1) not in rows
     assert rows[(3, 0)].chunk_text == "a b"
+
+
+def test_interval_join_grid_dedup_and_overlap(spark):
+    from graphframes_rs_spark.pipeline.joins import interval_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, 0, 50),     # long interval spanning many cells
+            (1, 101, 200, 210),
+            (2, 102, 0, 10),     # other key: must not match key 1
+        ],
+        "key long, id long, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, 40, 60),    # overlaps 100 in several shared cells
+            (1, 901, 205, 205),  # point inside 101
+            (1, 902, 51, 60),    # touches nothing (100 ends at 50)
+            (2, 903, 5, 6),      # inside 102
+        ],
+        "key long, id long, start long, end long",
+    )
+    out = interval_join(left, right, cell=10).collect()
+    pairs = {(r.key, r.l_id, r.r_id): (r.overlap_start, r.overlap_end) for r in out}
+    # each overlapping pair exactly once, despite multi-cell overlap
+    assert len(out) == len(pairs) == 3
+    assert pairs[(1, 100, 900)] == (40, 50)
+    assert pairs[(1, 101, 901)] == (205, 205)
+    assert pairs[(2, 102, 903)] == (5, 6)
+
+
+def test_interval_join_closed_ends_and_degenerate(spark):
+    from graphframes_rs_spark.pipeline.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 0, 10), (1, 2, 30, 20)], "key long, id long, start long, end long"
+    )  # id=2 is degenerate (end < start): dropped, never errors
+    right = spark.createDataFrame(
+        [(1, 9, 10, 15)], "key long, id long, start long, end long"
+    )
+    out = interval_join(left, right, cell=4).collect()
+    assert len(out) == 1  # closed ends: [0,10] meets [10,15] at exactly 10
+    assert (out[0].overlap_start, out[0].overlap_end) == (10, 10)

@@ -137,3 +137,29 @@ def test_mst_local_and_distributed_paths_agree(spark, ckpt_dir):
             spark.conf.set("spark.graphframes.mst.localFinishComponents", prev)
     assert local == dist
     assert len(local) == 11  # spanning tree of the single component
+
+
+def test_eigenvector_star_one_round(spark, ckpt_dir):
+    # symmetrized star K1,3: after one L1-normalized round the center
+    # holds 3/6 and each leaf 1/6
+    g = _graph(spark, [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)])
+    und = GraphFrame(g.vertices, symmetrize_edges(g.edges, deduplicate=True))
+    out = {
+        r.id: r.eigenvector
+        for r in und.eigenvector_centrality()
+        .max_iterations(1)
+        .set_checkpoint_dir(ckpt_dir)
+        .run()
+        .collect()
+    }
+    assert out[0] == pytest.approx(0.5, abs=1e-6)
+    assert out[1] == out[2] == out[3] == pytest.approx(1 / 6, abs=1e-6)
+
+
+def test_eigenvector_dag_drain_raises(spark, ckpt_dir):
+    from graphframes_rs_spark.graphframe import GraphFrameError
+
+    g = _graph(spark, [(0, 1, 1.0), (1, 2, 1.0)])
+    b = g.eigenvector_centrality().max_iterations(3).set_checkpoint_dir(ckpt_dir)
+    with pytest.raises(GraphFrameError, match="zero mass"):
+        b.run()
