@@ -1948,6 +1948,74 @@ def _q_doc_chunks(spark, sf_dir):
     return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def _q_events_json(spark, sf_dir):
+    """Semi-structured column handling: extract the integer ``k`` field
+    from the events table's JSON ``props`` string (JVM-side get_json_object
+    — no Python in the path) and aggregate per event type."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def _q_events_pivot(spark, sf_dir):
+    """OLAP pivot: events per (day, event_type) as one wide row per day
+    with an explicit (deterministic) column list."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def _q_sales_rollup(spark, sf_dir):
+    """OLAP rollup: order totals at (region, nation), per-region, and
+    grand-total levels in one pass (partial aggregation reused across
+    levels by Spark's Expand)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def _q_running_totals(spark, sf_dir):
+    """Ordered analytics: per-customer cumulative order spend and order
+    sequence number (one customer-keyed window)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("cum_spend"),
+    )
+
+
 def _q_eigenvector(spark, sf_dir):
     """Power-iteration eigenvector centrality (3 rounds, L1-normalized)
     on the symmetrized hierarchy graph; oracle unrolls the identical
@@ -2025,6 +2093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
         "interval_join": _q_interval_join,
+        "events_json": _q_events_json,
+        "events_pivot": _q_events_pivot,
+        "sales_rollup": _q_sales_rollup,
+        "running_totals": _q_running_totals,
         "cohort_retention": _q_cohort_retention,
         "funnel_steps": _q_funnel_steps,
         "doc_chunks": _q_doc_chunks,
@@ -2425,6 +2497,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "events_json": (
+            "WITH k AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events) "
+            "SELECT event_type, CAST(count(kv) AS BIGINT) AS n_with_k, "
+            "CAST(sum(kv) AS BIGINT) AS sum_k, max(kv) AS max_k "
+            "FROM k GROUP BY event_type"
+        ),
+        "events_pivot": (
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "event_type FROM events) "
+            "SELECT CAST(day AS VARCHAR) AS day, "
+            "CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, "
+            "CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, "
+            "CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, "
+            "CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, "
+            "CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM d GROUP BY day"
+        ),
+        "sales_rollup": (
+            "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders, "
+            "round(sum(o_totalprice), 4) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "running_totals": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(row_number() OVER w AS BIGINT) AS order_seq, "
+            "round(sum(o_totalprice) OVER w, 4) AS cum_spend FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
         ),
         "eigenvector": (
             # 3 power rounds unrolled: join-sum over symmetrized edges,
