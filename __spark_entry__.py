@@ -1948,6 +1948,39 @@ def _q_doc_chunks(spark, sf_dir):
     return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def _q_temporal_reach(spark, sf_dir):
+    """Supply-chain contagion: earliest time each order/supplier can be
+    reached from the first order via shared-supplier links whose ship
+    dates never decrease (time-respecting paths on the bipartite
+    lineitem graph, both directions stamped with the lineitem ship day).
+    Oracle: recursive (node, time)-state closure + min."""
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")).cast("long")
+    fwd = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_suppkey") + 10_000_000).cast("long").alias("dst"),
+        day.alias("ts"),
+    )
+    rev = li.select(
+        (F.col("l_suppkey") + 10_000_000).cast("long").alias("src"),
+        F.col("l_orderkey").alias("dst"),
+        day.alias("ts"),
+    )
+    edges = fwd.unionByName(rev)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    source = li.agg(F.min("l_orderkey")).collect()[0][0]
+    g = GraphFrame(verts, edges)
+    return (
+        g.temporal_reachability([int(source)], ts_col="ts")
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+
+
 def _q_events_json(spark, sf_dir):
     """Semi-structured column handling: extract the integer ``k`` field
     from the events table's JSON ``props`` string (JVM-side get_json_object
@@ -2093,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
         "interval_join": _q_interval_join,
+        "temporal_reach": _q_temporal_reach,
         "events_json": _q_events_json,
         "events_pivot": _q_events_pivot,
         "sales_rollup": _q_sales_rollup,
@@ -2497,6 +2531,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "temporal_reach": (
+            "WITH RECURSIVE "
+            "e AS MATERIALIZED (SELECT l_orderkey AS src, "
+            "CAST(l_suppkey + 10000000 AS BIGINT) AS dst, "
+            "CAST(date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS BIGINT) AS t "
+            "FROM lineitem UNION ALL "
+            "SELECT CAST(l_suppkey + 10000000 AS BIGINT), l_orderkey, "
+            "CAST(date_diff('day', DATE '1970-01-01', l_shipdate::DATE) AS BIGINT) "
+            "FROM lineitem), "
+            # NOT _VERTS_BIG_SQL here: under WITH RECURSIVE DuckDB gives
+            # union-in-CTE recursive evaluation semantics and the UNION
+            # stops deduplicating; DISTINCT over UNION ALL is immune
+            "v AS MATERIALIZED (SELECT DISTINCT id FROM ("
+            "SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+            "reach(node, t) AS ("
+            "SELECT CAST(min(l_orderkey) AS BIGINT), CAST(0 AS BIGINT) FROM lineitem "
+            "UNION "
+            "SELECT e.dst, e.t FROM reach r JOIN e ON e.src = r.node AND e.t >= r.t), "
+            "arr AS (SELECT node, min(t) AS arrival FROM reach GROUP BY node) "
+            "SELECT v.id, COALESCE(arr.arrival, 9223372036854775807) AS arrival, "
+            "arr.node IS NOT NULL AS reachable "
+            "FROM v LEFT JOIN arr ON v.id = arr.node"
         ),
         "events_json": (
             "WITH k AS (SELECT event_type, "

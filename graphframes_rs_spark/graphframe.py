@@ -487,3 +487,12 @@ class GraphFrame:
         from graphframes_rs_spark.operators.eigenvector import EigenvectorBuilder
 
         return EigenvectorBuilder(self)
+
+    def temporal_reachability(
+        self, sources, ts_col: str = "ts", start_time: int = 0
+    ) -> "TemporalReachabilityBuilder":
+        from graphframes_rs_spark.operators.temporal import (
+            TemporalReachabilityBuilder,
+        )
+
+        return TemporalReachabilityBuilder(self, sources, ts_col, start_time)
