@@ -80,7 +80,8 @@ def main(argv=None) -> int:
         choices=[
             "pagerank", "wcc", "bfs", "kcore", "mis",
             "hits", "coloring", "ktruss", "betweenness", "walks",
-            "node2vec", "anf", "fanout",
+            "node2vec", "anf", "fanout", "mst", "closeness", "eigenvector",
+            "temporal",
         ],
     )
     p.add_argument(
@@ -90,7 +91,9 @@ def main(argv=None) -> int:
             "comma-separated landmarks; kcore: ignored; hits: iterations; "
             "ktruss: k; betweenness: comma-separated source ids; "
             "walks: walk length; node2vec: length,p,q; anf: radius; "
-            "fanout: k"
+            "fanout: k; mst: weight column name; closeness: comma-separated "
+            "landmarks; eigenvector: iterations; temporal: "
+            "source,ts_column"
         ),
     )
     p.add_argument("out", help="output parquet directory")
@@ -141,6 +144,22 @@ def main(argv=None) -> int:
     elif args.algorithm == "betweenness":
         sources = [int(x) for x in args.param.split(",") if x]
         builder = g.betweenness(sources).set_checkpoint_dir(ckpt)
+    elif args.algorithm == "mst":
+        builder = g.minimum_spanning_forest(args.param or "weight").set_checkpoint_dir(ckpt)
+    elif args.algorithm == "closeness":
+        landmarks = [int(x) for x in args.param.split(",") if x]
+        builder = g.closeness_centrality(landmarks).set_checkpoint_dir(ckpt)
+    elif args.algorithm == "eigenvector":
+        builder = (
+            g.eigenvector_centrality()
+            .max_iterations(int(args.param))
+            .set_checkpoint_dir(ckpt)
+        )
+    elif args.algorithm == "temporal":
+        parts = args.param.split(",")
+        builder = g.temporal_reachability(
+            [int(parts[0])], ts_col=parts[1] if len(parts) > 1 else "ts"
+        ).set_checkpoint_dir(ckpt)
     elif args.algorithm == "anf":
         builder = (
             g.neighborhood_function()

@@ -105,3 +105,62 @@ def test_cli_session3_algorithms_dispatch(graph_parquet, tmp_path):
             check.replace("__T__", f"'{out}/*.parquet'")
         ).fetchone()[0]
         assert bad == 0, (algo, bad)
+
+
+def test_cli_round5_algorithms_dispatch(graph_parquet, tmp_path):
+    """mst / closeness / temporal / eigenvector dispatch end-to-end; the
+    attribute-carrying edge file keeps weight+ts through the CLI loader."""
+    d = tmp_path / "attr_graph"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT CAST(range AS BIGINT) AS id FROM range(4)) "
+        f"TO '{d}/v.parquet' (FORMAT PARQUET)"
+    )
+    # ring 0-1-2-3-0 with weights 1,2,3,9 and increasing timestamps
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES "
+        f"(CAST(0 AS BIGINT), CAST(1 AS BIGINT), 1.0, CAST(10 AS BIGINT)), "
+        f"(1, 2, 2.0, 20), (2, 3, 3.0, 30), (3, 0, 9.0, 40)) "
+        f"t(source, target, weight, ts)) "
+        f"TO '{d}/e.parquet' (FORMAT PARQUET)"
+    )
+    cases = [
+        ("mst", "weight",
+         "SELECT count(*) - 3 FROM __T__"),                    # ring minus max
+        ("closeness", "0,2",
+         "SELECT count(*) FROM __T__ WHERE harmonic < 0"),
+        ("temporal", "0,ts",
+         "SELECT count(*) FROM __T__ WHERE id = 3 AND arrival <> 30"),
+        ("eigenvector", "2",
+         "SELECT count(*) FROM __T__ WHERE eigenvector < 0"),  # cycle: no drain
+    ]
+    for algo, param, check in cases:
+        out = tmp_path / f"{algo}_out"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "graphframes_rs_spark",
+                f"{d}/v.parquet", f"{d}/e.parquet",
+                algo, param, str(out),
+                "--partitions", "2", "--cpus", "2",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, (algo, r.stderr[-2000:])
+        bad = con.execute(
+            check.replace("__T__", f"'{out}/*.parquet'")
+        ).fetchone()[0]
+        assert bad == 0, (algo, bad)
+
+    # missing weight column surfaces the clear validation error
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "graphframes_rs_spark",
+            f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+            "mst", "weight", str(tmp_path / "mst_bad"),
+            "--partitions", "2", "--cpus", "2",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode != 0
+    assert "not found" in r.stderr
