@@ -1948,6 +1948,35 @@ def _q_doc_chunks(spark, sf_dir):
     return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def _q_scd2(spark, sf_dir):
+    """SCD type-2 validity intervals from the orders change log: each
+    customer's orders become versioned rows valid until the next order
+    day (open-ended sentinel + is_current for the latest)."""
+    from graphframes_rs_spark.pipeline import joins
+
+    orders = load_table(spark, sf_dir, "orders")
+    ch = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+    )
+    out = joins.scd2_intervals(
+        ch, key_col="o_custkey", ts_col="day", tiebreak_cols=("o_orderkey",)
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current"
+    )
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Record-linkage near-dup detection: 4-token prefix blocking +
+    exact JVM Levenshtein rescoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(docs, prefix_tokens=4)
+
+
 def _q_temporal_reach(spark, sf_dir):
     """Supply-chain contagion: earliest time each order/supplier can be
     reached from the first order via shared-supplier links whose ship
@@ -2126,6 +2155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
         "interval_join": _q_interval_join,
+        "scd2_intervals": _q_scd2,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "temporal_reach": _q_temporal_reach,
         "events_json": _q_events_json,
         "events_pivot": _q_events_pivot,
@@ -2531,6 +2562,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "scd2_intervals": (
+            "WITH ch AS (SELECT o_custkey, o_orderkey, "
+            "CAST(date_diff('day', DATE '1970-01-01', o_orderdate::DATE) "
+            "AS BIGINT) AS day FROM orders) "
+            "SELECT o_custkey, o_orderkey, day AS valid_from, "
+            "COALESCE(lead(day) OVER w, 9223372036854775807) AS valid_to, "
+            "lead(day) OVER w IS NULL AS is_current FROM ch "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)"
+        ),
+        "edit_distance_pairs": (
+            "WITH b AS (SELECT doc_id, md5(array_to_string("
+            "(string_split(text, ' '))[1:4], ' ')) AS blk, text FROM documents), "
+            "p AS (SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b, "
+            "a.text AS ta, bb.text AS tb FROM b a JOIN b bb "
+            "ON a.blk = bb.blk AND a.doc_id < bb.doc_id) "
+            "SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS INTEGER) "
+            "AS edit_distance, round(1.0 - levenshtein(ta, tb) / "
+            "CAST(greatest(length(ta), length(tb)) AS DOUBLE), 6) AS similarity "
+            "FROM p"
         ),
         "temporal_reach": (
             "WITH RECURSIVE "

@@ -174,3 +174,32 @@ def interval_join(
             F.least("l_e", "r_e").alias("overlap_end"),
         )
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    end_open: int = 9223372036854775807,
+    tiebreak_cols: tuple = (),
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 validity intervals from a
+    change log: for each key's change ordered by time, ``valid_from`` is
+    the change time and ``valid_to`` the next change's time (the current
+    version gets the ``end_open`` sentinel). ``is_current`` marks the
+    open row. The standard warehouse primitive that turns event-sourced
+    state into point-in-time joinable dimensions (pair with
+    :func:`asof_join` or :func:`interval_join`).
+
+    One key-partitioned window (lead) — per-key work linear, parallel
+    across keys. Pass ``tiebreak_cols`` when a key can change twice at
+    the same timestamp, so version order (and thus the interval chain)
+    is deterministic."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreak_cols)
+    nxt = F.lead(F.col(ts_col).cast("long")).over(w)
+    return changes.select(
+        "*",
+        F.col(ts_col).cast("long").alias("valid_from"),
+        F.coalesce(nxt, F.lit(end_open)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -135,3 +135,40 @@ def test_interval_join_closed_ends_and_degenerate(spark):
     out = interval_join(left, right, cell=4).collect()
     assert len(out) == 1  # closed ends: [0,10] meets [10,15] at exactly 10
     assert (out[0].overlap_start, out[0].overlap_end) == (10, 10)
+
+
+def test_scd2_intervals_chain(spark):
+    from graphframes_rs_spark.pipeline.joins import scd2_intervals
+
+    ch = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 20, "c"), (2, 5, "x")],
+        "key long, ts long, val string",
+    )
+    out = scd2_intervals(ch, tiebreak_cols=("val",)).collect()
+    rows = {(r.key, r.val): r for r in out}
+    assert rows[(1, "a")].valid_from == 10 and rows[(1, "a")].valid_to == 20
+    # same-ts versions chain deterministically by the tiebreaker
+    assert rows[(1, "b")].valid_to == 20 and not rows[(1, "b")].is_current
+    assert rows[(1, "c")].is_current
+    assert rows[(2, "x")].is_current and rows[(2, "x")].valid_from == 5
+
+
+def test_edit_distance_pairs_blocking_and_score(spark):
+    from graphframes_rs_spark.pipeline.dedup import edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),
+            (2, "the quick brown fox leaps over"),   # same 4-token prefix
+            (3, "the quick brown fox jumps over"),   # exact dup of 1
+            (4, "a completely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r for r in edit_distance_pairs(docs, prefix_tokens=4).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 3)].edit_distance == 0 and out[(1, 3)].similarity == 1.0
+    assert out[(1, 2)].edit_distance == 3  # jumps -> leaps (3 subs)
+    # max_distance filter
+    capped = edit_distance_pairs(docs, prefix_tokens=4, max_distance=0).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(1, 3)}
