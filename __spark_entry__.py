@@ -1948,6 +1948,33 @@ def _q_doc_chunks(spark, sf_dir):
     return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff with a planted change mix: every 10th customer's
+    balance bumped (updated), every 97th dropped (deleted), every 500th
+    cloned to a new key (inserted), rest unchanged."""
+    from graphframes_rs_spark.pipeline import cdc
+
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.select(F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("bal"))
+    new = (
+        cust.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            (
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 10 == 0, 10.0).otherwise(0.0)
+            ).alias("bal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 500 == 0).select(
+                (F.col("c_custkey") + 200000).alias("id"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        )
+    )
+    return cdc.snapshot_diff(old, new, "id")
+
+
 def _q_scd2(spark, sf_dir):
     """SCD type-2 validity intervals from the orders change log: each
     customer's orders become versioned rows valid until the next order
@@ -2155,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
         "interval_join": _q_interval_join,
+        "snapshot_diff": _q_snapshot_diff,
         "scd2_intervals": _q_scd2,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "temporal_reach": _q_temporal_reach,
@@ -2562,6 +2590,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "snapshot_diff": (
+            "WITH o AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer), "
+            "n AS (SELECT c_custkey AS id, c_acctbal + CASE WHEN "
+            "c_custkey % 10 = 0 THEN 10.0 ELSE 0.0 END AS bal FROM customer "
+            "WHERE c_custkey % 97 <> 0 UNION ALL "
+            "SELECT c_custkey + 200000, c_acctbal FROM customer "
+            "WHERE c_custkey % 500 = 0) "
+            "SELECT COALESCE(o.id, n.id) AS id, "
+            "CASE WHEN o.id IS NULL THEN 'inserted' "
+            "WHEN n.id IS NULL THEN 'deleted' "
+            "WHEN o.bal IS NOT DISTINCT FROM n.bal THEN 'unchanged' "
+            "ELSE 'updated' END AS change, "
+            "o.bal AS old_bal, n.bal AS new_bal "
+            "FROM o FULL OUTER JOIN n ON o.id = n.id"
         ),
         "scd2_intervals": (
             "WITH ch AS (SELECT o_custkey, o_orderkey, "

@@ -27,8 +27,10 @@ Spark-first design:
   fixpoint — O(log depth) self-joins on a per-round table with one row
   per surviving component.
 - Every round's survivors are parquet-checkpointed (lineage truncation,
-  same contract as WCC/k-truss); loop progress is measured on the
-  checkpointed frame via ``isEmpty`` (a limit-1 probe, not a count).
+  same contract as WCC/k-truss); loop-control counts ride the writes as
+  ``observe()`` metrics (zero probe jobs), and below
+  ``spark.graphframes.mst.localFinishComponents`` the hook forest
+  resolves in one numpy pointer-doubling task (WCC-style tail collapse).
 
 At 100 TB: intra-component edges leave the frame permanently each round
 and the component count at least halves, so the working set shrinks

@@ -1,0 +1,117 @@
+"""Change-data-capture primitives: snapshot diffing and partition-pruned
+upsert onto plain parquet.
+
+``snapshot_diff`` — the audit/regression primitive: given two snapshots
+of a keyed table, classify every key as inserted / deleted / updated /
+unchanged (updated = any compared column differs). One full outer join
+on the key; the column comparison is a single struct equality, so the
+plan stays one join + one projection regardless of column count.
+
+``write_bucketed_table`` / ``merge_upsert`` — an upsert path for engines
+without a transactional table format: the table is laid out as parquet
+partitioned by a stable hash bucket of the key, and an upsert rewrites
+ONLY the buckets that contain updated keys (dynamic partition overwrite)
+— at 1024 buckets, upserting 0.1% of keys touches ~64 buckets ≈ 6% of
+the data instead of 100%. The same layout gives bucket-pruned point
+lookups (``bucket = pmod(xxhash64(key), n)`` is a partition filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "id",
+    compare_cols=None,
+) -> DataFrame:
+    """[<key>, change, ...old_/new_ compared columns]: change ∈
+    {'inserted', 'deleted', 'updated', 'unchanged'}. NULL-safe equality
+    (a NULL→value transition is an update, not noise)."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c != key_col and c in old.columns]
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, "__k", "full_outer")
+    same = (
+        F.struct(*[F.col(f"old_{c}") for c in compare_cols]).eqNullSafe(
+            F.struct(*[F.col(f"new_{c}") for c in compare_cols])
+        )
+        if compare_cols
+        else F.lit(True)
+    )
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("inserted"))
+        .when(F.col("__in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+
+
+def _bucketed(df: DataFrame, key_col: str, num_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int"),
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame, path: str, key_col: str, num_buckets: int = 64
+) -> None:
+    """Lay the table out as parquet partitioned by the key's hash bucket
+    (the layout ``merge_upsert`` rewrites selectively)."""
+    (
+        _bucketed(df, key_col, num_buckets)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    num_buckets: int = 64,
+) -> int:
+    """Upsert ``updates`` into a ``write_bucketed_table`` layout: only
+    the buckets containing updated keys are read, merged (updates win by
+    key), and overwritten — dynamic partition overwrite leaves every
+    other bucket's files untouched. Returns the number of rewritten
+    buckets."""
+    up = _bucketed(updates, key_col, num_buckets)
+    touched = [r[BUCKET_COL] for r in up.select(BUCKET_COL).distinct().collect()]
+    if not touched:
+        return 0
+    current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    keep = current.join(
+        up.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )
+    merged = keep.unionByName(up.select(*keep.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(touched)
