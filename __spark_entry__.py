@@ -1948,6 +1948,20 @@ def _q_doc_chunks(spark, sf_dir):
     return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def _q_negative_samples(spark, sf_dir):
+    """word2vec negative sampling over the hierarchy graph: each edge as
+    a (center, context) skip-gram pair draws 3 negatives from the
+    deg^0.75 line; the cumulative-interval layout and hash draws replay
+    exactly in SQL."""
+    from graphframes_rs_spark.operators.random_walks import negative_samples
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    pairs = g.edges.select(
+        F.col("src").alias("center"), F.col("dst").alias("context")
+    )
+    return negative_samples(g.edges, pairs, k=3)
+
+
 def _q_snapshot_diff(spark, sf_dir):
     """CDC snapshot diff with a planted change mix: every 10th customer's
     balance bumped (updated), every 97th dropped (deleted), every 500th
@@ -2182,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
         "interval_join": _q_interval_join,
+        "negative_samples": _q_negative_samples,
         "snapshot_diff": _q_snapshot_diff,
         "scd2_intervals": _q_scd2,
         "edit_distance_pairs": _q_edit_distance_pairs,
@@ -2590,6 +2605,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "negative_samples": (
+            # replay: symmetrized degrees -> deg^0.75 integer weights ->
+            # (md5-bucket, vid)-ordered cumulative line -> hash-draw lookup
+            f"WITH es AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SMALL_SQL}) "
+            "WHERE src <> dst UNION SELECT dst, src FROM ("
+            + _EDGES_SMALL_SQL
+            + ") WHERE src <> dst), "
+            "deg AS (SELECT src AS vid, count(*) AS deg FROM es GROUP BY 1), "
+            "w AS (SELECT vid, greatest(1, CAST(floor(pow(deg, 0.75) * 1000) "
+            "AS BIGINT)) AS wi, "
+            + _HASH60.format(x="CAST(vid AS VARCHAR)")
+            + " % 64 AS bkt FROM deg), "
+            "line AS MATERIALIZED (SELECT vid, wi, "
+            "sum(wi) OVER (ORDER BY bkt, vid ROWS UNBOUNDED PRECEDING) - wi "
+            "AS lo FROM w), "
+            "tw AS (SELECT CAST(sum(wi) AS BIGINT) AS total FROM w), "
+            "pairs AS (SELECT DISTINCT CAST(c_custkey + 1000 AS BIGINT) AS center, "
+            "CAST(c_nationkey + 100 AS BIGINT) AS context FROM customer "
+            "UNION SELECT CAST(n_nationkey + 100 AS BIGINT), "
+            "CAST(n_regionkey + 50 AS BIGINT) FROM nation), "
+            "draws AS MATERIALIZED (SELECT center, context, s.slot, "
+            + _HASH60.format(
+                x="'42:' || center || ':' || context || ':' || s.slot"
+            )
+            + " % (SELECT total FROM tw) AS v FROM pairs, "
+            "(SELECT unnest(generate_series(0, 2)) AS slot) s) "
+            "SELECT d.center, d.context, CAST(d.slot AS INTEGER) AS slot, "
+            "l.vid AS neg_id FROM draws d JOIN line l "
+            "ON d.v >= l.lo AND d.v < l.lo + l.wi"
         ),
         "snapshot_diff": (
             "WITH o AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer), "

@@ -485,3 +485,110 @@ def weighted_random_walks(
             )
         )
     return walks.select("walk_id", F.col("path")[0].alias("start"), "path")
+
+
+def negative_samples(
+    edges: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    power: float = 0.75,
+    seed: int = 42,
+    quant: int = 1000,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """[center, context, slot, neg_id] — word2vec-style negative sampling
+    for skip-gram training pairs: each (center, context) pair draws ``k``
+    vertices from the smoothed unigram distribution deg^``power``
+    (Mikolov's 3/4 smoothing), deterministically (a seeded md5 hash per
+    (pair, slot) picks the point in the cumulative weight line).
+    Completes the walk -> skip-gram -> negatives corpus pipeline next to
+    :func:`random_walks` and :func:`skipgram_pairs`. Self-collisions
+    (neg == center/context) are kept, as in the reference word2vec
+    implementation — re-draw downstream if the loss requires it.
+
+    Scale shape: the global cumulative weight line is built WITHOUT a
+    single-task global window — ids are hashed into ``num_buckets``,
+    cumsums run per bucket in parallel, and the (tiny) per-bucket totals
+    come back as a broadcast offset join; sampling is then a point-in-
+    interval lookup via the grid-bucketed :func:`~graphframes_rs_spark.
+    pipeline.joins.interval_join`, so per-task work follows cell density
+    no matter how hot a hub vertex's interval is."""
+    from pyspark.sql.window import Window
+
+    from graphframes_rs_spark.graphframe import DST, SRC, symmetrize_edges
+    from graphframes_rs_spark.pipeline.joins import interval_join
+    from graphframes_rs_spark.pipeline.text import hash60
+
+    und = symmetrize_edges(edges.select(SRC, DST), deduplicate=True)
+    deg = und.groupBy(F.col(SRC).alias("vid")).agg(F.count(F.lit(1)).alias("deg"))
+    w = deg.select(
+        "vid",
+        F.greatest(
+            F.lit(1), F.floor(F.pow(F.col("deg"), F.lit(power)) * quant)
+        ).cast("long").alias("wi"),
+        # md5-based bucket (not xxhash64): the interval layout must be
+        # re-derivable outside Spark for the oracle gate
+        F.pmod(hash60(F.col("vid").cast("string")), F.lit(num_buckets))
+        .cast("int")
+        .alias("bkt"),
+    )
+    bw = Window.partitionBy("bkt").orderBy("vid")
+    local = w.select(
+        "vid", "wi", "bkt",
+        (F.sum("wi").over(bw) - F.col("wi")).alias("lo_local"),
+    )
+    totals = sorted(
+        (r["bkt"], r["t"])
+        for r in w.groupBy("bkt").agg(F.sum("wi").alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for bkt, t in totals:
+        offsets[bkt] = acc
+        acc += t
+    total_w = acc
+    spark = edges.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bkt int, off long"
+    )
+    intervals = (
+        local.join(F.broadcast(off_df), "bkt")
+        .select(
+            F.lit(0).alias("key"),
+            F.col("vid").alias("id"),
+            (F.col("lo_local") + F.col("off")).alias("start"),
+            (F.col("lo_local") + F.col("off") + F.col("wi") - 1).alias("end"),
+        )
+    )
+    # duplicate pairs would draw IDENTICAL negatives (the hash is a pure
+    # function of (center, context, slot)), so sample per distinct pair
+    # and use the natural triple as the join-back key — no synthetic ids
+    draws = (
+        pairs.select("center", "context")
+        .distinct()
+        .select(
+            "center", "context",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+        )
+        .select(
+            "center", "context", "slot",
+            F.lit(0).alias("key"),
+            F.concat_ws(":", "center", "context", "slot").alias("id"),
+            F.pmod(
+                hash60(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), "center", "context", "slot"
+                    )
+                ),
+                F.lit(total_w),
+            ).alias("start"),
+        )
+        .withColumn("end", F.col("start"))
+    )
+    cell = max(total_w // (num_buckets * 16), 1)
+    hit = interval_join(
+        draws.select("key", "id", "start", "end"), intervals, cell=cell
+    )
+    back = draws.select(F.col("id").alias("l_id"), "center", "context", "slot")
+    return hit.join(back, "l_id").select(
+        "center", "context", "slot", F.col("r_id").alias("neg_id")
+    )

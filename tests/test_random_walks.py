@@ -130,3 +130,30 @@ def test_sample_neighbors_fanout(spark):
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
     with _pt.raises(ValueError):
         sample_neighbors(g, k=0)
+
+
+def test_negative_samples_distribution_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from graphframes_rs_spark.operators.random_walks import negative_samples
+
+    # hub vertex 0 touches everyone; leaves have degree 1
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, (i % 8) + 1) for i in range(200, 300)],
+        "center long, context long",
+    )
+    out = negative_samples(edges, pairs, k=4).toPandas()
+    # every (distinct pair, slot) draws exactly one negative
+    assert len(out) == 100 * 4
+    counts = out.groupby("neg_id").size()
+    # deg^0.75 smoothing: hub (deg 8 -> w~4757) vs leaf (deg 1 -> w 1000):
+    # hub should draw ~4757/(4757+8000) ~ 37% of samples
+    hub_frac = counts.get(0, 0) / len(out)
+    assert 0.2 < hub_frac < 0.55
+    again = negative_samples(edges, pairs, k=4).toPandas()
+    a = sorted(map(tuple, out[["center", "context", "slot", "neg_id"]].values))
+    b = sorted(map(tuple, again[["center", "context", "slot", "neg_id"]].values))
+    assert a == b
