@@ -2095,12 +2095,20 @@ def _q_sales_rollup(spark, sf_dir):
         .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
-    return (
+    out = (
         j.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
+    )
+    # subtotal rows carry NULL keys; surface them as 'ALL' so the result
+    # is NULL-free (comparator-friendly and clearer to read)
+    return out.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+        "n_orders",
+        "total_price",
     )
 
 
@@ -2713,7 +2721,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY day"
         ),
         "sales_rollup": (
-            "SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders, "
+            "SELECT COALESCE(r_name, 'ALL') AS r_name, "
+            "COALESCE(n_name, 'ALL') AS n_name, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
             "round(sum(o_totalprice), 4) AS total_price "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "

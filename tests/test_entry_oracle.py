@@ -28,6 +28,9 @@ def duck():
 
 
 def _norm(v):
+    # POLICY: queries() entries must be NULL-free (coalesce subtotal keys
+    # etc. at the entry level) — None is unorderable against real values
+    # here, and the driver-side comparator is an unknown quantity on NULLs.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
