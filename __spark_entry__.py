@@ -1948,6 +1948,13 @@ def _q_doc_chunks(spark, sf_dir):
     return txt.chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def _q_source_terms(spark, sf_dir):
+    """Top-5 tokens per source — the per-group heavy-hitter shape (rank
+    window partitioned by the group, parallel across groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.grouped_token_topk(docs, group_col="source", k=5)
+
+
 def _q_negative_samples(spark, sf_dir):
     """word2vec negative sampling over the hierarchy graph: each edge as
     a (center, context) skip-gram pair draws 3 negatives from the
@@ -2204,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
         "interval_join": _q_interval_join,
+        "source_terms": _q_source_terms,
         "negative_samples": _q_negative_samples,
         "snapshot_diff": _q_snapshot_diff,
         "scd2_intervals": _q_scd2,
@@ -2613,6 +2621,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, cid, d2, "
             "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dd) "
             "WHERE rn = 1"
+        ),
+        "source_terms": (
+            "WITH c AS (SELECT source, unnest(string_split(lower(text), ' ')) "
+            "AS token FROM documents), "
+            "g AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n "
+            "FROM c GROUP BY 1, 2) "
+            "SELECT source, token, n, rank FROM (SELECT *, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY n DESC, token) AS BIGINT) AS rank FROM g) "
+            "WHERE rank <= 5"
         ),
         "negative_samples": (
             # replay: symmetrized degrees -> deg^0.75 integer weights ->

@@ -585,3 +585,35 @@ def chunk_documents(
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def grouped_token_topk(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """[<group_col>, token, n, rank] — the k most frequent lowercase
+    tokens per group (deterministic tie-break on token): per-domain
+    vocabulary dashboards, per-language stopword candidates.
+
+    Scale shape: one explode + one combine-enabled groupBy on
+    (group, token), then a rank window PARTITIONED BY THE GROUP — unlike
+    a global top-k (see :func:`token_topk`'s TakeOrderedAndProject note)
+    the per-group ranking parallelizes across groups, and each group's
+    sort holds only its own distinct tokens."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(
+            F.col(group_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -85,3 +85,22 @@ def test_length_percentiles_exact_and_approx(spark):
     assert r.max_tokens == 9
     ra = length_percentiles(df, probs=(0.5,), approximate=True).collect()[0]
     assert abs(ra.p50_tokens - 5.0) <= 1.0
+
+
+def test_grouped_token_topk(spark):
+    from graphframes_rs_spark.pipeline.text import grouped_token_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x x x y z"),
+            (2, "a", "x y y"),
+            (3, "b", "q q r"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = grouped_token_topk(docs, k=2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.source, []).append((r.rank, r.token, r.n))
+    assert sorted(by_grp["a"]) == [(1, "x", 4), (2, "y", 3)]
+    assert sorted(by_grp["b"]) == [(1, "q", 2), (2, "r", 1)]
