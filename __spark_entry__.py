@@ -2178,6 +2178,61 @@ def _q_closeness(spark, sf_dir):
     )
 
 
+def _q_katz(spark, sf_dir):
+    """Truncated Katz series (3 rounds, alpha=0.05, beta=1.0) on the
+    hierarchy DAG. Oracle: the identical recurrence unrolled in SQL —
+    unlike eigenvector there is no normalization step, so each round is
+    exactly one join-sum + affine map."""
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return (
+        g.katz_centrality()
+        .max_iterations(3)
+        .alpha(0.05)
+        .beta(1.0)
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+
+
+def _q_densest_subgraph(spark, sf_dir):
+    """Densest subgraph by 2(1+eps) parallel peeling on a planted
+    clique+path: K8 over the 8 rank-smallest customers plus a long path
+    over the rest. Round 1 removes every path vertex (deg <= 2 < the
+    2(1+.1)*rho threshold), leaving exactly the clique as the best
+    snapshot — closed-form oracle: the 8 clique members at density
+    (8*7/2)/8 = 3.5."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = cust.select(
+        F.row_number()
+        .over(Window.orderBy("c_custkey"))
+        .cast("long")
+        .alias("rn")
+    )
+    top8 = ranked.filter(F.col("rn") <= 8)
+    clique = (
+        top8.alias("a")
+        .crossJoin(top8.alias("b"))
+        .filter(F.col("a.rn") < F.col("b.rn"))
+        .select(F.col("a.rn").alias("src"), F.col("b.rn").alias("dst"))
+    )
+    w = Window.orderBy("rn")
+    path = (
+        ranked.filter(F.col("rn") >= 9)
+        .select(F.col("rn").alias("src"), F.lead("rn").over(w).alias("dst"))
+        .filter(F.col("dst").isNotNull())
+    )
+    vertices = ranked.select(F.col("rn").alias("id"))
+    g = GraphFrame(vertices, clique.unionByName(path))
+    return (
+        g.densest_subgraph()
+        .epsilon(0.1)
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_counts": _q_graph_counts,
@@ -2210,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_components": _q_knn_components,
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
+        "katz": _q_katz,
+        "densest_subgraph": _q_densest_subgraph,
         "interval_join": _q_interval_join,
         "source_terms": _q_source_terms,
         "negative_samples": _q_negative_samples,
@@ -2779,6 +2836,32 @@ def oracle_sql() -> dict[str, str]:
             "x3 AS (SELECT id, CASE WHEN t.t > 0 THEN x / t.t ELSE 0.0 END "
             "AS x FROM r3, (SELECT sum(x) AS t FROM r3) t) "
             "SELECT id, round(x, 6) AS eigenvector FROM x3"
+        ),
+        "katz": (
+            # 3 Katz rounds unrolled: x_{t+1} = 1 + 0.05 * (A^T x_t)
+            f"WITH es AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SMALL_SQL})), "
+            f"v AS MATERIALIZED ({_VERTS_SMALL_SQL}), "
+            "x0 AS (SELECT id, 1.0 AS x FROM v), "
+            "x1 AS MATERIALIZED (SELECT v.id, 1.0 + 0.05 * COALESCE(s.mx, 0.0) "
+            "AS x FROM v LEFT JOIN (SELECT es.dst AS id, sum(x0.x) AS mx "
+            "FROM es JOIN x0 ON es.src = x0.id GROUP BY es.dst) s "
+            "ON v.id = s.id), "
+            "x2 AS MATERIALIZED (SELECT v.id, 1.0 + 0.05 * COALESCE(s.mx, 0.0) "
+            "AS x FROM v LEFT JOIN (SELECT es.dst AS id, sum(x1.x) AS mx "
+            "FROM es JOIN x1 ON es.src = x1.id GROUP BY es.dst) s "
+            "ON v.id = s.id), "
+            "x3 AS (SELECT v.id, 1.0 + 0.05 * COALESCE(s.mx, 0.0) "
+            "AS x FROM v LEFT JOIN (SELECT es.dst AS id, sum(x2.x) AS mx "
+            "FROM es JOIN x2 ON es.src = x2.id GROUP BY es.dst) s "
+            "ON v.id = s.id) "
+            "SELECT id, round(x, 6) AS katz FROM x3"
+        ),
+        "densest_subgraph": (
+            # problem-structure closure: the peel provably isolates the
+            # planted K8, whose density is (8*7/2)/8 = 3.5
+            "SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) "
+            "AS id, 3.5 AS density FROM customer "
+            "QUALIFY row_number() OVER (ORDER BY c_custkey) <= 8"
         ),
         "interval_join": (
             "WITH iv AS (SELECT o_custkey AS key, o_orderkey AS id, "

@@ -488,6 +488,16 @@ class GraphFrame:
 
         return EigenvectorBuilder(self)
 
+    def katz_centrality(self) -> "KatzBuilder":
+        from graphframes_rs_spark.operators.katz import KatzBuilder
+
+        return KatzBuilder(self)
+
+    def densest_subgraph(self) -> "DensestSubgraphBuilder":
+        from graphframes_rs_spark.operators.densest import DensestSubgraphBuilder
+
+        return DensestSubgraphBuilder(self)
+
     def temporal_reachability(
         self, sources, ts_col: str = "ts", start_time: int = 0
     ) -> "TemporalReachabilityBuilder":
