@@ -1164,6 +1164,14 @@ def _q_tfidf_topk(spark, sf_dir):
     return txt.tfidf_topk_terms(docs, k=5)
 
 
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 top-20 for the query {hash, join, spark} (k1=1.2,
+    b=0.75). Oracle: the scoring formula written out in SQL over the same
+    whitespace tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.bm25_search(docs, ["hash", "join", "spark"], k=20)
+
+
 def _q_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, bits=32)
@@ -2119,6 +2127,132 @@ def _q_sales_rollup(spark, sf_dir):
     )
 
 
+def _q_sales_cube(spark, sf_dir):
+    """CUBE over (priority, status): all four grouping-set combinations in
+    one pass (Spark plans a single Expand + one aggregate, not four scans).
+    Subtotal NULL keys surface as 'ALL', matching sales_rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+        "n_orders",
+        "total_price",
+    )
+
+
+def _q_tpch_shipping(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority query: top-10 unshipped orders of
+    one market segment by revenue. The segment filter reduces customer to
+    a broadcastable key list (explicit broadcast), lineitem's date filter
+    pushes to the parquet scan, and the top-10 plans as
+    TakeOrderedAndProject. Oracle: the same SQL in DuckDB."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pivot = "1998-01-01"
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    j = (
+        orders.filter(F.col("o_orderdate") < F.lit(pivot).cast("timestamp"))
+        .join(F.broadcast(keys), orders["o_custkey"] == keys["c_custkey"])
+        .join(
+            li.filter(F.col("l_shipdate") > F.lit(pivot).cast("timestamp")),
+            orders["o_orderkey"] == li["l_orderkey"],
+        )
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q_tpch_local_volume(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier-volume query: revenue per nation for
+    orders where customer and supplier sit in the SAME nation of one
+    region, over one year. nation⋈region and supplier are explicit
+    broadcasts; the only big shuffle joins are lineitem⋈orders (orderkey)
+    and orders⋈customer (custkey). Oracle: the same SQL."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nk = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey", "n_name")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(nk), cust["c_nationkey"] == nk["n_nationkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _q_price_percentiles(spark, sf_dir):
+    """Exact per-segment order-price quartiles + p95 (linear
+    interpolation): Spark's exact ``percentile`` aggregate vs DuckDB's
+    ``quantile_cont`` — identical definitions. Exact percentiles shuffle
+    every value to its group; at 100 TB swap in approx_percentile (same
+    call shape) when a bounded error beats the sort cost."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    pct = F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return j.groupBy("c_mktsegment").agg(
+        F.round(pct[0], 4).alias("p25"),
+        F.round(pct[1], 4).alias("p50"),
+        F.round(pct[2], 4).alias("p75"),
+        F.round(pct[3], 4).alias("p95"),
+    )
+
+
+def _q_markup_strip(spark, sf_dir):
+    """HTML-ish markup removal: documents are deterministically wrapped in
+    tags + entities (both engines build the identical wrapped string), then
+    stripped back to plain text — proving tag removal, one-level entity
+    decoding, and whitespace collapse. RE2-safe regexes only."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<p id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit(" &amp;amp; x &lt; y&nbsp;z</p><br/>"),
+    )
+    return docs.select(
+        "doc_id", txt.strip_markup(wrapped).alias("clean")
+    )
+
+
 def _q_running_totals(spark, sf_dir):
     """Ordered analytics: per-customer cumulative order spend and order
     sequence number (one customer-keyed window)."""
@@ -2277,6 +2411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "events_pivot": _q_events_pivot,
         "sales_rollup": _q_sales_rollup,
+        "sales_cube": _q_sales_cube,
+        "tpch_shipping": _q_tpch_shipping,
+        "tpch_local_volume": _q_tpch_local_volume,
+        "price_percentiles": _q_price_percentiles,
+        "markup_strip": _q_markup_strip,
         "running_totals": _q_running_totals,
         "cohort_retention": _q_cohort_retention,
         "funnel_steps": _q_funnel_steps,
@@ -2320,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "ngram_dup_coverage": _q_ngram_dup_coverage,
         "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
@@ -2804,6 +2944,56 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "sales_cube": (
+            "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "round(sum(o_totalprice), 4) AS total_price "
+            "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"
+        ),
+        "tpch_shipping": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "tpch_local_volume": (
+            "SELECT n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
+        ),
+        "price_percentiles": (
+            "SELECT c_mktsegment, "
+            "round(quantile_cont(o_totalprice, 0.25), 4) AS p25, "
+            "round(quantile_cont(o_totalprice, 0.50), 4) AS p50, "
+            "round(quantile_cont(o_totalprice, 0.75), 4) AS p75, "
+            "round(quantile_cont(o_totalprice, 0.95), 4) AS p95 "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "markup_strip": (
+            "SELECT doc_id, trim(regexp_replace(replace(replace(replace("
+            "replace(replace(replace(regexp_replace("
+            "'<p id=\"' || CAST(doc_id AS VARCHAR) || '\">' || text || "
+            "' &amp;amp; x &lt; y&nbsp;z</p><br/>', "
+            "'<[^<>]*>', ' ', 'g'), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+            "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+            "'\\s+', ' ', 'g')) AS clean FROM documents"
         ),
         "running_totals": (
             "SELECT o_custkey, o_orderkey, "
@@ -3337,6 +3527,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY tfidf DESC, token) AS BIGINT) AS rank FROM s) "
             "SELECT doc_id, token, tf, dfreq, tfidf, rank FROM r "
             "WHERE rank <= 5"
+        ),
+        "bm25_topk": (
+            # BM25 with dl = full doc token count, avgdl its corpus mean;
+            # idf = ln(1 + (N - df + .5)/(df + .5)); k1=1.2, b=0.75
+            "WITH base AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, "
+            "string_split(lower(text), ' ') AS toks FROM documents), "
+            "tf AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM ("
+            "SELECT doc_id, dl, unnest(toks) AS t FROM base) "
+            "WHERE t IN ('hash', 'join', 'spark') GROUP BY 1, 2, 3), "
+            "d AS (SELECT token, count(*) AS dfq FROM tf GROUP BY 1), "
+            "s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), "
+            "sc AS (SELECT doc_id, round(sum("
+            "ln(1 + (n_docs - dfq + 0.5) / (dfq + 0.5)) * (tf * 2.2) / "
+            "(tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score "
+            "FROM tf JOIN d USING (token), s GROUP BY doc_id) "
+            "SELECT doc_id, score, CAST(row_number() OVER ("
+            "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc "
+            "QUALIFY rank <= 20"
         ),
         "ngram_dup_coverage": (
             # positional (not distinct) 3-grams; dup = gram seen in >= 2

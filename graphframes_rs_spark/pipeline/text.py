@@ -617,3 +617,102 @@ def grouped_token_topk(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """[doc_id, score, rank] — the corpus's ``k`` best documents for a
+    bag-of-words query under Okapi BM25 (Robertson & Walker, SIGIR'94):
+
+        score(d) = Σ_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    with dl = the document's FULL token count (not just query terms) and
+    avgdl its corpus mean. Scores round to 6 places before ranking so the
+    ordering is engine-stable; ties break on doc_id.
+
+    Scale shape: the per-(doc, term) counts filter to the query's terms
+    BEFORE the groupBy — the only corpus-wide aggregates are the per-doc
+    length (a narrow map over the already-scanned text column) and two
+    1-row broadcasts (N + avgdl). df per query term is a tiny aggregate
+    over the filtered tf table. The final top-k is ``orderBy().limit(k)``
+    (plans as TakeOrderedAndProject — per-partition top-k, no global
+    sort at 100 TB) with the rank window applied only to the <= k
+    survivors."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(
+        "doc_id",
+        token_count(F.col(text_col)).cast("double").alias("dl"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    tf = (
+        base.select(
+            "doc_id", "dl", F.explode("__toks").alias("token")
+        )
+        .filter(F.array_contains(terms, F.col("token")))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfq"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("dfq") + 0.5)
+                    / (F.col("dfq") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+_ENTITY_MAP = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: so "&amp;lt;" decodes to "&lt;" not "<"
+]
+
+
+def strip_markup(col: Column) -> Column:
+    """Plain text from HTML-ish markup: drop tags (``<...>`` spans without
+    an embedded ``<``/``>``, so stray comparison operators survive), decode
+    the six common entities (``&amp;`` LAST — double-encoded entities
+    decode one level per pass, the standard behavior), and collapse runs
+    of whitespace. Pure JVM-side regexp_replace chain — whole-stage
+    codegen keeps it in the scan stage at ingest scale; the regexes use
+    only RE2-safe constructs so the DuckDB oracle is bit-identical."""
+    out = F.regexp_replace(col, r"<[^<>]*>", " ")
+    for ent, rep in _ENTITY_MAP:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

@@ -404,3 +404,42 @@ def test_kmeans_assign_no_exchange(spark):
     )
     plan = _executed_plan(kmeans_assign(emb, k=2, iters=1))
     assert "Exchange" not in plan, plan
+
+
+def test_tpch_entries_plan_hygiene(spark):
+    """The Q3/Q5-shaped entries must (a) plan their top-k as
+    TakeOrderedAndProject, (b) broadcast the filtered dimension sides,
+    and (c) push the date filters down to the parquet scans."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q3 = entry.queries()["tpch_shipping"](spark, sf)
+    p3 = _executed_plan(q3)
+    assert "TakeOrderedAndProject" in p3, p3
+    assert "BroadcastHashJoin" in p3, p3
+    assert "PushedFilters" in p3 and "IsNotNull" in p3, p3
+
+    q5 = entry.queries()["tpch_local_volume"](spark, sf)
+    p5 = _executed_plan(q5)
+    assert "BroadcastHashJoin" in p5, p5
+    # the big lineitem⋈orders join may be SMJ or shuffled-hash — but the
+    # supplier and nation⋈region sides must NOT shuffle-join
+    assert p5.count("BroadcastHashJoin") >= 2, p5
+
+
+def test_bm25_filters_before_group_and_takes_ordered(spark):
+    """bm25_search must filter the exploded token stream to the query
+    terms BEFORE the (doc, token) aggregate, and plan the final top-k as
+    TakeOrderedAndProject."""
+    from graphframes_rs_spark.pipeline.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["alpha"], k=5)
+    plan = _executed_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    # array_contains filter applies pre-aggregate (appears in a Filter or
+    # Generate stage, not after HashAggregate)
+    assert "array_contains" in plan, plan
