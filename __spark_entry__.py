@@ -2253,6 +2253,41 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_doc_entropy(spark, sf_dir):
+    """Within-document token Shannon entropy (repetitiveness signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.token_entropy(docs)
+
+
+def _q_quality_filter(spark, sf_dir):
+    """Median-gated corpus filter: keep documents whose composite quality
+    score is >= the corpus's exact median score. The median rides a 1-row
+    broadcast (no driver action); at 100 TB swap the exact percentile for
+    approx_percentile in the same call shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", txt.quality_score(F.col("text")).alias("quality")
+    )
+    med = scored.agg(F.percentile("quality", F.lit(0.5)).alias("med"))
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .filter(F.col("quality") >= F.col("med"))
+        .select("doc_id", "quality")
+    )
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """Degree-distribution histogram of the big bipartite graph: the
+    first thing anyone plots about a graph. Two combine-enabled
+    aggregates (id -> degree, degree -> count)."""
+    g = lineitem_graph(spark, sf_dir)
+    degs = g.degrees
+    return (
+        degs.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
 def _q_running_totals(spark, sf_dir):
     """Ordered analytics: per-customer cumulative order spend and order
     sequence number (one customer-keyed window)."""
@@ -2412,6 +2447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
+        "doc_entropy": _q_doc_entropy,
+        "quality_filter": _q_quality_filter,
+        "degree_histogram": _q_degree_histogram,
         "tpch_shipping": _q_tpch_shipping,
         "tpch_local_volume": _q_tpch_local_volume,
         "price_percentiles": _q_price_percentiles,
@@ -2944,6 +2982,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "doc_entropy": (
+            "WITH c AS (SELECT doc_id, t, count(*) AS c FROM ("
+            "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t "
+            "FROM documents) GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy "
+            "FROM c GROUP BY doc_id"
+        ),
+        "quality_filter": (
+            f"WITH s AS (SELECT doc_id, {quality} AS quality FROM documents), "
+            "m AS (SELECT quantile_cont(quality, 0.5) AS med FROM s) "
+            "SELECT doc_id, quality FROM s, m WHERE quality >= med"
+        ),
+        "degree_histogram": (
+            f"WITH d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ("
+            f"SELECT src AS id FROM ({_EDGES_BIG_SQL}) "
+            f"UNION ALL SELECT dst AS id FROM ({_EDGES_BIG_SQL})) GROUP BY id) "
+            "SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices "
+            "FROM d GROUP BY degree"
         ),
         "sales_cube": (
             "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "

@@ -81,7 +81,7 @@ def main(argv=None) -> int:
             "pagerank", "wcc", "bfs", "kcore", "mis",
             "hits", "coloring", "ktruss", "betweenness", "walks",
             "node2vec", "anf", "fanout", "mst", "closeness", "eigenvector",
-            "temporal",
+            "temporal", "katz", "densest",
         ],
     )
     p.add_argument(
@@ -93,7 +93,7 @@ def main(argv=None) -> int:
             "walks: walk length; node2vec: length,p,q; anf: radius; "
             "fanout: k; mst: weight column name; closeness: comma-separated "
             "landmarks; eigenvector: iterations; temporal: "
-            "source,ts_column"
+            "source,ts_column; katz: alpha; densest: epsilon"
         ),
     )
     p.add_argument("out", help="output parquet directory")
@@ -155,6 +155,26 @@ def main(argv=None) -> int:
             .max_iterations(int(args.param))
             .set_checkpoint_dir(ckpt)
         )
+    elif args.algorithm == "katz":
+        builder = (
+            g.katz_centrality()
+            .alpha(float(args.param))
+            .set_checkpoint_dir(ckpt)
+        )
+    elif args.algorithm == "densest":
+        if args.max_iterations is not None:
+            builder = (
+                g.densest_subgraph()
+                .epsilon(float(args.param))
+                .max_rounds(args.max_iterations)
+                .set_checkpoint_dir(ckpt)
+            )
+        else:
+            builder = (
+                g.densest_subgraph()
+                .epsilon(float(args.param))
+                .set_checkpoint_dir(ckpt)
+            )
     elif args.algorithm == "temporal":
         parts = args.param.split(",")
         builder = g.temporal_reachability(
@@ -190,7 +210,7 @@ def main(argv=None) -> int:
 
         builder = _WalksRunner()
     if args.max_iterations is not None and args.algorithm not in (
-        "wcc", "walks", "hits", "node2vec", "fanout", "anf"
+        "wcc", "walks", "hits", "node2vec", "fanout", "anf", "densest"
     ):
         builder = builder.max_iterations(args.max_iterations)
     result = builder.run()

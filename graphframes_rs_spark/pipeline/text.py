@@ -716,3 +716,29 @@ def strip_markup(col: Column) -> Column:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.trim(F.regexp_replace(out, r"\s+", " "))
     return out
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """[doc_id, n_tokens, entropy] — within-document token Shannon entropy
+    (natural log): H = ln(n) - Σ c·ln(c) / n over the doc's token counts.
+    The repetitiveness dual of :func:`repetition_stats` — near-zero entropy
+    means the document is one token stamped n times (boilerplate, padding,
+    scraper failure), the strongest single-column junk signal after length.
+
+    Scale shape: explode → combine-enabled groupBy(doc_id, token) →
+    combine-enabled groupBy(doc_id) with the algebraic identity above, so
+    the per-doc distribution never materializes as a map — two shuffles,
+    both partial-aggregated map-side."""
+    counts = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )

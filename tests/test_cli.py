@@ -164,3 +164,32 @@ def test_cli_round5_algorithms_dispatch(graph_parquet, tmp_path):
     )
     assert r.returncode != 0
     assert "not found" in r.stderr
+
+
+def test_cli_katz_densest_dispatch(graph_parquet, tmp_path):
+    """katz / densest dispatch end-to-end on the two-chain fixture."""
+    cases = [
+        # chains: sinks accumulate katz > beta, sources stay at beta
+        ("katz", "0.1", "SELECT count(*) FROM __T__ WHERE katz < 1.0"),
+        # both 3-vertex chains tie at density 2/3: best snapshot holds all 6
+        ("densest", "0.1", "SELECT 6 - count(*) FROM __T__"),
+    ]
+    import duckdb
+
+    con = duckdb.connect()
+    for algo, param, check in cases:
+        out = tmp_path / f"{algo}_out"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "graphframes_rs_spark",
+                f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+                algo, param, str(out),
+                "--partitions", "2", "--cpus", "2",
+            ],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, (algo, r.stderr[-2000:])
+        bad = con.execute(
+            check.replace("__T__", f"read_parquet('{out}/*.parquet')")
+        ).fetchone()[0]
+        assert bad == 0, (algo, bad)
