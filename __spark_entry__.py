@@ -2288,6 +2288,31 @@ def _q_degree_histogram(spark, sf_dir):
     )
 
 
+def _q_salted_user_stats(spark, sf_dir):
+    """Per-user event stats through the two-stage salted aggregate — the
+    skew-safe shape (hot users fan out over 16 salt buckets before the
+    per-user merge). Oracle: the plain one-stage GROUP BY, proving the
+    salt never changes results."""
+    from graphframes_rs_spark.pipeline import skew
+
+    events = load_table(spark, sf_dir, "events")
+    return skew.salted_agg(
+        events,
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("ps"),
+            F.max("value").alias("pm"),
+        ],
+        [
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("ps"), 4).alias("total_value"),
+            F.max("pm").alias("max_value"),
+        ],
+        buckets=16,
+    )
+
+
 def _q_running_totals(spark, sf_dir):
     """Ordered analytics: per-customer cumulative order spend and order
     sequence number (one customer-keyed window)."""
@@ -2450,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": _q_doc_entropy,
         "quality_filter": _q_quality_filter,
         "degree_histogram": _q_degree_histogram,
+        "salted_user_stats": _q_salted_user_stats,
         "tpch_shipping": _q_tpch_shipping,
         "tpch_local_volume": _q_tpch_local_volume,
         "price_percentiles": _q_price_percentiles,
@@ -2995,6 +3021,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH s AS (SELECT doc_id, {quality} AS quality FROM documents), "
             "m AS (SELECT quantile_cont(quality, 0.5) AS med FROM s) "
             "SELECT doc_id, quality FROM s, m WHERE quality >= med"
+        ),
+        "salted_user_stats": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 4) AS total_value, max(value) AS max_value "
+            "FROM events GROUP BY user_id"
         ),
         "degree_histogram": (
             f"WITH d AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ("

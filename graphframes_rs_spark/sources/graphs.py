@@ -145,3 +145,21 @@ def order_chain_graph(spark: SparkSession, sf_dir: str) -> GraphFrame:
     )
     vertices = seq.select("id")
     return GraphFrame(vertices, edges)
+
+
+def save_graph(g: GraphFrame, path: str, mode: str = "error") -> None:
+    """Persist a GraphFrame as a two-directory parquet layout
+    (``<path>/vertices``, ``<path>/edges``) with all attribute columns —
+    the simplest interchange format a cluster job can re-read without the
+    original lineage. Attributes and types round-trip exactly."""
+    g.vertices.write.mode(mode).parquet(f"{path}/vertices")
+    g.edges.write.mode(mode).parquet(f"{path}/edges")
+
+
+def load_graph(spark: SparkSession, path: str) -> GraphFrame:
+    """Re-read a :func:`save_graph` layout (ctor re-validates id/src/dst
+    Int64 typing, same as any other construction path)."""
+    return GraphFrame(
+        spark.read.parquet(f"{path}/vertices"),
+        spark.read.parquet(f"{path}/edges"),
+    )

@@ -69,3 +69,72 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(cols: Sequence, bits: int = 16):
+    """Z-order (Morton) key over numeric columns: each column min-max
+    scales to ``bits`` bits (requires the (min, max) pairs precomputed —
+    one cheap agg — so the expression stays deterministic and narrow),
+    then the bits interleave. Rows close in the z-curve are close in
+    EVERY dimension, which is what gives multi-column min/max pruning its
+    bite — a single-column sort only clusters the leading column.
+
+    ``cols`` is a list of (column, lo, hi) triples; returns a LongType
+    expression. bits * len(cols) must be <= 62."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_sorted for 1")
+    if bits * n > 62:
+        raise ValueError("bits * len(cols) must fit a signed long")
+    scaled = []
+    for c, lo, hi in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        if span <= 0:
+            raise ValueError(f"column {c}: hi must exceed lo")
+        x = ((col.cast("double") - float(lo)) / span * ((1 << bits) - 1))
+        scaled.append(
+            F.least(F.greatest(x, F.lit(0.0)), F.lit(float((1 << bits) - 1)))
+            .cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, x in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(x, b).bitwiseAND(F.lit(1)), b * n + j
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int = 8,
+    bits: int = 16,
+    mode: str = "error",
+) -> None:
+    """Parquet clustered along the Z-curve of ``cols``: one agg computes
+    each column's (min, max), rows sort by the interleaved-bit key via
+    ``repartitionByRange + sortWithinPartitions``, and the key itself is
+    dropped before writing. Point/range filters on ANY of the columns
+    then skip most files/row-groups on min-max statistics — the lakehouse
+    layout trick (Delta/Iceberg `OPTIMIZE ZORDER BY`) on plain parquet."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    triples = [(c, row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in cols]
+    z = zorder_value(triples, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
