@@ -115,3 +115,51 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(touched)
+
+
+def streaming_upsert(
+    updates_stream: DataFrame,
+    path: str,
+    key_col: str,
+    num_buckets: int = 64,
+    checkpoint_dir: str = None,
+    available_now: bool = False,
+):
+    """Continuous CDC apply: a streaming update feed upserts into a
+    :func:`write_bucketed_table` layout via ``foreachBatch`` — the
+    standard Structured-Streaming pattern for sinks with merge semantics
+    Spark's built-in file sink lacks (it is append-only). Each micro-batch
+    runs :func:`merge_upsert`, so per batch only the hash buckets holding
+    updated keys rewrite; exactly-once comes from the checkpointed batch
+    id (a replayed batch re-merges the same keys idempotently — upserts
+    are naturally idempotent when updates win by key).
+
+    Within one micro-batch, duplicate keys are resolved BEFORE the merge
+    (greatest ``__seq`` wins when the column exists, else arbitrary-max
+    struct order) — foreachBatch hands us the batch as a plain DataFrame,
+    so this is ordinary batch dedup. Returns the StreamingQuery."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = [c for c in batch_df.columns]
+        # last-writer-wins inside the batch: one combine-enabled max-struct
+        # agg per key (deterministic when a __seq column orders the feed)
+        order_cols = (["__seq"] if "__seq" in cols else []) + [
+            c for c in cols if c not in (key_col, "__seq")
+        ]
+        packed = batch_df.groupBy(key_col).agg(
+            F.max(F.struct(*order_cols)).alias("__row")
+        )
+        deduped = packed.select(
+            key_col, *[F.col(f"__row.{c}").alias(c) for c in order_cols]
+        ).drop("__seq")
+        merge_upsert(spark, path, deduped, key_col, num_buckets)
+
+    writer = updates_stream.writeStream.foreachBatch(apply_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -55,3 +55,49 @@ def test_merge_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     got = {r.id: r.v for r in final.filter(F.col("id").isin(7, 8, 1007)).collect()}
     assert got[7] == 777 and got[1007] == 111
     assert got[8] == 16  # untouched row intact
+
+
+def test_streaming_upsert_applies_batches_idempotently(spark, tmp_path):
+    """foreachBatch CDC apply: stream a feed of updates (with duplicate
+    keys, __seq ordering) into a bucketed table; the final table must be
+    last-writer-wins per key and only the touched buckets rewrite."""
+    from graphframes_rs_spark.pipeline.cdc import streaming_upsert
+
+    path = str(tmp_path / "tbl_stream")
+    base = spark.range(0, 200).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_bucketed_table(base, path, "id", num_buckets=8)
+
+    feed_dir = str(tmp_path / "feed")
+    updates = spark.createDataFrame(
+        # key 5 updated twice — seq 2 must win; key 1005 is an insert
+        [(5, 500, 1), (5, 555, 2), (9, 900, 1), (1005, 1, 1)],
+        "id long, v long, __seq long",
+    )
+    updates.write.json(feed_dir)
+    stream = spark.readStream.schema(updates.schema).json(feed_dir)
+    q = streaming_upsert(
+        stream,
+        path,
+        "id",
+        num_buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    final = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert final[5] == 555
+    assert final[9] == 900
+    assert final[1005] == 1
+    assert final[7] == 14  # untouched key unchanged
+    assert len(final) == 201
+
+    # restart over the same checkpoint: no new data -> no change (idempotent)
+    stream2 = spark.readStream.schema(updates.schema).json(feed_dir)
+    q2 = streaming_upsert(
+        stream2, path, "id", num_buckets=8,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(180)
+    again = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert again == final
