@@ -2372,6 +2372,74 @@ def _q_closeness(spark, sf_dir):
     )
 
 
+def _q_matching_forest(spark, sf_dir):
+    """Per-vertex maximal-matching invariant gate (mirrors mis_forest):
+    ``ok`` = matched vertices have exactly one symmetric partner along a
+    real edge AND no edge survives with both endpoints unmatched. The
+    matched set is seed-dependent (hash handshake), so the oracle asserts
+    the all-true invariant, not membership."""
+    from graphframes_rs_spark.graphframe import symmetrize_edges
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    m = (
+        g.maximal_matching()
+        .with_random_seed(7)
+        .set_checkpoint_dir(_ckpt())
+        .run()
+    )
+    edges = symmetrize_edges(g.edges, deduplicate=True)
+    # partner edge must exist
+    real = m.join(
+        edges,
+        (m["id"] == edges["src"]) & (m["partner"] == edges["dst"]),
+        "left_semi",
+    ).select("id").withColumn("edge_ok", F.lit(True))
+    # symmetry: partner's partner is me; one row per id by construction
+    sym = (
+        m.alias("a")
+        .join(
+            m.alias("b"),
+            (F.col("a.partner") == F.col("b.id"))
+            & (F.col("b.partner") == F.col("a.id")),
+            "left_semi",
+        )
+        .select(F.col("id")).withColumn("sym_ok", F.lit(True))
+    )
+    matched_ids = m.select("id").withColumn("is_m", F.lit(True))
+    # maximality: every vertex either matched or has a matched neighbour
+    # OR is isolated (no incident edges at all)
+    nbr_matched = (
+        edges.join(matched_ids, edges["dst"] == matched_ids["id"], "left_semi")
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("has_mnbr", F.lit(True))
+    )
+    non_isolated = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("touch", F.lit(True))
+    )
+    return (
+        g.vertices.select("id")
+        .join(matched_ids, "id", "left")
+        .join(real, "id", "left")
+        .join(sym, "id", "left")
+        .join(nbr_matched, "id", "left")
+        .join(non_isolated, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("is_m", F.lit(False)),
+                F.coalesce("edge_ok", F.lit(False))
+                & F.coalesce("sym_ok", F.lit(False)),
+            )
+            .otherwise(
+                ~F.coalesce("touch", F.lit(False))
+                | F.coalesce("has_mnbr", F.lit(False))
+            )
+            .alias("ok"),
+        )
+    )
+
+
 def _q_katz(spark, sf_dir):
     """Truncated Katz series (3 rounds, alpha=0.05, beta=1.0) on the
     hierarchy DAG. Oracle: the identical recurrence unrolled in SQL —
@@ -2460,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_stats": _q_length_stats,
         "eigenvector": _q_eigenvector,
         "katz": _q_katz,
+        "matching_forest": _q_matching_forest,
         "densest_subgraph": _q_densest_subgraph,
         "interval_join": _q_interval_join,
         "source_terms": _q_source_terms,
@@ -3353,6 +3422,9 @@ def oracle_sql() -> dict[str, str]:
         "kcore_big": _kcore_big_sql(),
         "label_propagation": _label_propagation_sql(5),
         "mis_forest": (
+            f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
+        ),
+        "matching_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
         ),
         "coloring_forest": (

@@ -451,6 +451,14 @@ BENCH_QUERIES = {
     "hypertable_rollup": entry.queries()["hypertable_rollup"],
     "token_cms": entry.queries()["token_cms"],
     "sessions": entry.queries()["sessions"],
+    # session-4 operators
+    "bm25_topk": entry.queries()["bm25_topk"],
+    "doc_entropy": entry.queries()["doc_entropy"],
+    "tpch_shipping": entry.queries()["tpch_shipping"],
+    "tpch_local_volume": entry.queries()["tpch_local_volume"],
+    "sales_cube": entry.queries()["sales_cube"],
+    "price_percentiles": entry.queries()["price_percentiles"],
+    "salted_user_stats": entry.queries()["salted_user_stats"],
     # round-5 operators
     "mst_big": _bench_mst_big,
     "kmeans_big": _bench_kmeans_big,

@@ -81,7 +81,7 @@ def main(argv=None) -> int:
             "pagerank", "wcc", "bfs", "kcore", "mis",
             "hits", "coloring", "ktruss", "betweenness", "walks",
             "node2vec", "anf", "fanout", "mst", "closeness", "eigenvector",
-            "temporal", "katz", "densest",
+            "temporal", "katz", "densest", "matching",
         ],
     )
     p.add_argument(
@@ -93,7 +93,7 @@ def main(argv=None) -> int:
             "walks: walk length; node2vec: length,p,q; anf: radius; "
             "fanout: k; mst: weight column name; closeness: comma-separated "
             "landmarks; eigenvector: iterations; temporal: "
-            "source,ts_column; katz: alpha; densest: epsilon"
+            "source,ts_column; katz: alpha; densest: epsilon; matching: seed"
         ),
     )
     p.add_argument("out", help="output parquet directory")
@@ -153,6 +153,12 @@ def main(argv=None) -> int:
         builder = (
             g.eigenvector_centrality()
             .max_iterations(int(args.param))
+            .set_checkpoint_dir(ckpt)
+        )
+    elif args.algorithm == "matching":
+        builder = (
+            g.maximal_matching()
+            .with_random_seed(int(args.param))
             .set_checkpoint_dir(ckpt)
         )
     elif args.algorithm == "katz":

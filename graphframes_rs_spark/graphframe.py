@@ -488,6 +488,11 @@ class GraphFrame:
 
         return EigenvectorBuilder(self)
 
+    def maximal_matching(self) -> "MatchingBuilder":
+        from graphframes_rs_spark.operators.matching import MatchingBuilder
+
+        return MatchingBuilder(self)
+
     def katz_centrality(self) -> "KatzBuilder":
         from graphframes_rs_spark.operators.katz import KatzBuilder
 

@@ -1,0 +1,147 @@
+"""Maximal matching via local-min-edge handshake rounds.
+
+Extension beyond the reference's algorithm surface (its MIS,
+`/root/reference/src/algorithm/mis.rs`, is the vertex-side dual; the
+edge-side primitive is absent): a maximal set of vertex-disjoint edges —
+the building block for 2-approximate vertex cover (both endpoints of
+every matched edge), graph coarsening levels, and load-balanced
+pairwise work assignment.
+
+Algorithm (Israeli-Itai-style, derandomized per round by a seeded hash):
+every round each edge draws a deterministic key ``xxhash64(seed, u, v)``
+(canonical endpoint order, so both endpoints see the SAME key). An edge
+joins the matching iff its key is the minimum among ALL edges incident
+to BOTH endpoints — local-minimum edges of a random total order are
+vertex-disjoint by construction (two adjacent edges share an endpoint,
+where only one can be that endpoint's minimum). Matched vertices leave;
+a constant expected fraction of edges drops per round, so the loop
+drains in O(log E) rounds w.h.p. — each round is ONE combine-enabled
+per-endpoint min aggregate + one join back to edges + one semi-join
+prune, all keyed on vertex ids.
+
+Maximality: the loop only stops when no edges remain, and an edge only
+disappears when an endpoint matched — so no edge can survive with both
+endpoints unmatched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from graphframes_rs_spark.graphframe import (
+    DST,
+    GraphFrame,
+    ID,
+    SRC,
+    symmetrize_edges,
+)
+
+
+class MatchingBuilder:
+    def __init__(self, graph: GraphFrame):
+        self.graph = graph
+        self.random_seed = 42
+        self.max_iter = 10_000  # safety cap; expected rounds O(log E)
+        self._checkpoint_dir = None
+        self.iterations_ = 0
+
+    def with_random_seed(self, seed: int) -> "MatchingBuilder":
+        self.random_seed = seed
+        return self
+
+    def max_iterations(self, n: int) -> "MatchingBuilder":
+        self.max_iter = n
+        return self
+
+    def set_checkpoint_dir(self, d: str) -> "MatchingBuilder":
+        self._checkpoint_dir = d
+        return self
+
+    def run(self) -> DataFrame:
+        """Returns DataFrame[id, partner] — one row per MATCHED vertex
+        (two rows per matched edge, symmetric); unmatched vertices are
+        absent."""
+        from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+        spark = self.graph.vertices.sparkSession
+        ckpt = ParquetCheckpointer(spark, self._checkpoint_dir)
+
+        # one canonical row per unordered pair, no self-loops
+        obs = Observation()
+        edges = ckpt.push(
+            symmetrize_edges(self.graph.edges.select(SRC, DST), deduplicate=True)
+            .filter(F.col(SRC) < F.col(DST))
+            .observe(obs, F.count(F.lit(1)).alias("n")),
+            "match_e0",
+        )
+        n_edges = obs.get["n"]
+
+        matched = None
+        rnd = 0
+        while n_edges > 0:
+            if rnd >= self.max_iter:
+                from graphframes_rs_spark.graphframe import GraphFrameError
+
+                raise GraphFrameError(
+                    f"matching did not drain in {self.max_iter} rounds"
+                )
+            keyed = edges.select(
+                SRC, DST,
+                F.xxhash64(
+                    F.lit(self.random_seed + rnd), F.col(SRC), F.col(DST)
+                ).alias("k"),
+            )
+            # per-endpoint minimum key: one explode-free union + min agg
+            vmin = (
+                keyed.select(F.col(SRC).alias(ID), "k")
+                .unionByName(keyed.select(F.col(DST).alias(ID), "k"))
+                .groupBy(ID)
+                .agg(F.min("k").alias("mk"))
+            )
+            won = (
+                keyed.join(
+                    vmin.withColumnRenamed(ID, SRC).withColumnRenamed("mk", "mk_s"),
+                    SRC,
+                )
+                .join(
+                    vmin.withColumnRenamed(ID, DST).withColumnRenamed("mk", "mk_d"),
+                    DST,
+                )
+                .filter((F.col("k") == F.col("mk_s")) & (F.col("k") == F.col("mk_d")))
+                .select(SRC, DST)
+            )
+            pairs = won.select(F.col(SRC).alias(ID), F.col(DST).alias("partner")).unionByName(
+                won.select(F.col(DST).alias(ID), F.col(SRC).alias("partner"))
+            )
+            matched = (
+                pairs if matched is None else matched.unionByName(pairs)
+            )
+            matched = ckpt.push(matched, f"match_m{rnd}")
+
+            gone = matched.select(ID)
+            obs = Observation()
+            edges = ckpt.push(
+                edges.join(gone.withColumnRenamed(ID, SRC), SRC, "left_anti")
+                .join(gone.withColumnRenamed(ID, DST), DST, "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n")),
+                f"match_e{rnd + 1}",
+            )
+            n_edges = obs.get["n"]
+            rnd += 1
+            self.iterations_ = rnd
+        if matched is None:
+            return self.graph.vertices.select(ID).limit(0).select(
+                ID, F.col(ID).alias("partner")
+            )
+        return matched.select(ID, "partner")
+
+
+def vertex_cover_2approx(graph: GraphFrame, seed: int = 42, checkpoint_dir=None) -> DataFrame:
+    """[id] — both endpoints of a maximal matching: the textbook
+    2-approximate vertex cover (every edge touches a matched vertex by
+    maximality; any cover needs >= one endpoint per matched edge)."""
+    b = MatchingBuilder(graph).with_random_seed(seed)
+    if checkpoint_dir is not None:
+        b = b.set_checkpoint_dir(checkpoint_dir)
+    return b.run().select(ID)
