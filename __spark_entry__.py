@@ -2253,6 +2253,21 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_vocab_ids(spark, sf_dir):
+    """Frequency-ranked vocabulary (min_count=2): deterministic dense ids,
+    ties lexicographic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.build_vocab(docs, min_count=2)
+
+
+def _q_encode_docs(spark, sf_dir):
+    """Documents encoded as vocabulary-id sequences (min_count=50 so some
+    tokens fall out-of-vocab and exercise the unk path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = txt.build_vocab(docs, min_count=50)
+    return txt.encode_documents(docs, vocab)
+
+
 def _q_doc_entropy(spark, sf_dir):
     """Within-document token Shannon entropy (repetitiveness signal)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2542,6 +2557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
         "doc_entropy": _q_doc_entropy,
+        "vocab_ids": _q_vocab_ids,
+        "encode_docs": _q_encode_docs,
         "quality_filter": _q_quality_filter,
         "degree_histogram": _q_degree_histogram,
         "salted_user_stats": _q_salted_user_stats,
@@ -3077,6 +3094,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "vocab_ids": (
+            "SELECT token, CAST(n AS BIGINT) AS n, "
+            "CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT) "
+            "AS token_id FROM (SELECT t AS token, count(*) AS n FROM ("
+            "SELECT unnest(string_split(lower(text), ' ')) AS t "
+            "FROM documents) GROUP BY 1) WHERE n >= 2"
+        ),
+        "encode_docs": (
+            "WITH v AS (SELECT token, CAST(row_number() OVER ("
+            "ORDER BY n DESC, token) - 1 AS BIGINT) AS token_id FROM ("
+            "SELECT t AS token, count(*) AS n FROM ("
+            "SELECT unnest(string_split(lower(text), ' ')) AS t "
+            "FROM documents) GROUP BY 1) WHERE n >= 50), "
+            "p AS (SELECT doc_id, "
+            "unnest(range(0, len(string_split(lower(text), ' ')))) AS pos, "
+            "unnest(string_split(lower(text), ' ')) AS token FROM documents) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "list(COALESCE(v.token_id, -1) ORDER BY p.pos) AS token_ids "
+            "FROM p LEFT JOIN v USING (token) GROUP BY doc_id"
         ),
         "doc_entropy": (
             "WITH c AS (SELECT doc_id, t, count(*) AS c FROM ("

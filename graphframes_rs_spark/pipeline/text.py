@@ -742,3 +742,66 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 6
         ).alias("entropy"),
     )
+
+
+def build_vocab(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """[token, n, token_id] — frequency-ranked vocabulary: token_id 0 is
+    the most frequent token, ties break lexicographically (fully
+    deterministic across engines and partitionings — a vocab whose ids
+    drift between builds silently corrupts every downstream shard).
+
+    Scale note: the id assignment is a GLOBAL rank over the vocabulary —
+    inherently one ordered pass. That is fine: the heavy work (the corpus
+    explode + count) is combine-enabled and fully parallel; what reaches
+    the rank is one row per DISTINCT token (10^5–10^6 for real corpora
+    after ``min_count``), orders of magnitude smaller than the corpus."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.select(
+        "token", "n", (F.row_number().over(w) - 1).cast("long").alias("token_id")
+    )
+
+
+def encode_documents(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """[doc_id, n_tokens, token_ids] — each document as its vocabulary-id
+    sequence (position order preserved; out-of-vocab tokens become
+    ``unk_id``). The tokenize→shard step of a pre-training pipeline.
+
+    Scale shape: posexplode → broadcast-or-shuffle join on token (Spark
+    picks; vocabs usually broadcast) → one groupBy(doc_id) reassembling
+    the sequence via sort_array(collect_list(struct(pos, id))) — the only
+    wide state is each doc's own token list, bounded by document length."""
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    )
+    joined = pos.join(vocab.select("token", "token_id"), "token", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce("token_id", F.lit(unk_id)).alias("tid"),
+                        )
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+        )
+    )
