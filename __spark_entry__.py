@@ -2253,6 +2253,15 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by key hash —
+    stable under corpus growth. Oracle replays the md5-bucket cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.train_val_test_split(docs, (0.8, 0.1, 0.1), seed=42).select(
+        "doc_id", "split"
+    )
+
+
 def _q_vocab_ids(spark, sf_dir):
     """Frequency-ranked vocabulary (min_count=2): deterministic dense ids,
     ties lexicographic."""
@@ -2557,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
         "doc_entropy": _q_doc_entropy,
+        "split_assign": _q_split_assign,
         "vocab_ids": _q_vocab_ids,
         "encode_docs": _q_encode_docs,
         "quality_filter": _q_quality_filter,
@@ -3094,6 +3104,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "split_assign": (
+            "SELECT doc_id, CASE WHEN "
+            + _HASH60.format(x="'42:' || doc_id")
+            + " % 1000000 < 800000 THEN 'train' WHEN "
+            + _HASH60.format(x="'42:' || doc_id")
+            + " % 1000000 < 900000 THEN 'val' ELSE 'test' END AS split "
+            "FROM documents"
         ),
         "vocab_ids": (
             "SELECT token, CAST(n AS BIGINT) AS n, "

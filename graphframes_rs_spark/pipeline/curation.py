@@ -15,7 +15,7 @@ that side is broadcast — the corpus never shuffles on shingle.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -376,3 +376,38 @@ def domain_cap(
         .withColumn("grp_rank", F.row_number().over(w).cast("long") - 1)
     )
     return ranked.filter(F.col("grp_rank") < cap).drop("__h")
+
+
+def train_val_test_split(
+    df: DataFrame,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    key_col: str = "doc_id",
+    seed: int = 42,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Adds a ``split`` column ('train' | 'val' | 'test') by deterministic
+    key hash: bucket = hash60(seed:key) mod resolution, cut at the
+    cumulative weight boundaries. The properties that matter for corpus
+    plumbing, all inherited from the hash design of
+    :func:`stratified_sample`: reproducible across runs/partitionings, a
+    pure narrow projection (zero shuffle), and STABLE under corpus growth —
+    adding documents never moves an existing document between splits
+    (uniform random assignment can't promise that across re-runs).
+
+    One pass, one output: filter ``split = 'train'`` downstream and the
+    predicate pushes to the scan."""
+    w = list(weights)
+    if len(w) != 3 or any(x < 0 for x in w) or sum(w) <= 0:
+        raise ValueError("weights must be 3 non-negative values")
+    total = sum(w)
+    c1 = int(round(w[0] / total * resolution))
+    c2 = c1 + int(round(w[1] / total * resolution))
+    bucket = hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    ) % resolution
+    return df.withColumn(
+        "split",
+        F.when(bucket < c1, F.lit("train"))
+        .when(bucket < c2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -138,3 +138,51 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_cols: Optional[Sequence[str]] = None,
+) -> dict:
+    """Small-file compaction for a plain parquet directory: rewrite to
+    ceil(total_bytes / target_file_mb) files (atomically via a sibling
+    temp dir + two renames — readers never see a half-written layout).
+    Long-running ingest — streaming sinks, per-batch appends, hive
+    partitions written task-per-task — accretes thousands of KB-sized
+    files; each costs a scan task + a NameNode/liststatus entry, and at
+    100 TB file-count, not byte-count, becomes the scan bottleneck.
+    Optionally re-sorts while it is at it (``sort_cols`` — compaction is
+    the natural moment to restore clustering). Returns
+    {files_before, files_after, bytes}."""
+    import math
+    import os
+    import shutil
+
+    files = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    if sort_cols:
+        (
+            df.repartitionByRange(n_out, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("error").parquet(tmp)
+        )
+    else:
+        df.coalesce(n_out).write.mode("error").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    out_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "bytes": total,
+    }

@@ -710,3 +710,27 @@ def test_token_cms_overestimates_bounded_and_merges(spark):
 
     with _pt.raises(ValueError):
         token_cms(docs, width=1)
+
+
+def test_train_val_test_split_stable_and_proportional(spark):
+    from graphframes_rs_spark.pipeline.curation import train_val_test_split
+
+    docs = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    out = train_val_test_split(docs, (0.8, 0.1, 0.1), seed=1)
+    frac = {
+        r["split"]: r["n"] / 4000
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # growth stability: the first 1000 docs keep their assignment when the
+    # corpus quadruples
+    small = train_val_test_split(
+        docs.filter("doc_id < 1000"), (0.8, 0.1, 0.1), seed=1
+    )
+    a = {r["doc_id"]: r["split"] for r in small.collect()}
+    b = {r["doc_id"]: r["split"] for r in out.filter("doc_id < 1000").collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, (0.5, 0.5))

@@ -94,3 +94,34 @@ def test_partitioned_write_rejects_empty_cols(spark, orders, tmp_path):
         sinks.write_partitioned(orders, str(tmp_path / "x"), [])
     with pytest.raises(ValueError):
         sinks.write_sorted(orders, str(tmp_path / "y"), [])
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, orders, tmp_path):
+    from graphframes_rs_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "many_small")
+    orders.repartition(37).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before == 37
+    stats = compact_parquet(spark, path, target_file_mb=256)
+    assert stats["files_before"] == 37
+    assert stats["files_after"] < 37
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+
+
+def test_compact_parquet_with_resort(spark, orders, tmp_path):
+    import pyarrow.parquet as pq
+    from graphframes_rs_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "resort")
+    orders.repartition(20).write.parquet(path)
+    compact_parquet(spark, path, target_file_mb=1, sort_cols=["o_orderkey"])
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    for f in files:
+        keys = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"].to_pylist()
+        assert keys == sorted(keys)
+    assert spark.read.parquet(path).count() == orders.count()
