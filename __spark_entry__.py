@@ -2253,6 +2253,27 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 for {hash, join, spark}
+    fused with the dense top-20 around embedding 0 (vec_id = doc_id) by
+    reciprocal-rank fusion, k=60. Oracle: both retrievers + the fusion
+    formula in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = txt.bm25_search(docs, ["hash", "join", "spark"], k=20).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    dense = similarity.cosine_topk(emb, queries, k=20).select(
+        F.col("neighbor_id").alias("id"), F.col("rank").cast("long").alias("rank")
+    )
+    return similarity.rrf_fuse([lex, dense], k=60, topk=10).select(
+        F.col("id").alias("doc_id"), "rrf", "n_lists", "rank"
+    )
+
+
 def _q_split_assign(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment by key hash —
     stable under corpus growth. Oracle replays the md5-bucket cut."""
@@ -2566,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
         "doc_entropy": _q_doc_entropy,
+        "hybrid_search": _q_hybrid_search,
         "split_assign": _q_split_assign,
         "vocab_ids": _q_vocab_ids,
         "encode_docs": _q_encode_docs,
@@ -3104,6 +3126,41 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "hybrid_search": (
+            # lexical CTE = bm25_topk's scoring; dense CTE = ann_topk's
+            # cosine ranking for query vec 0; fusion = sum 1/(60+rank)
+            "WITH base AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, "
+            "string_split(lower(text), ' ') AS toks FROM documents), "
+            "tf AS (SELECT doc_id, dl, t AS token, count(*) AS tf FROM ("
+            "SELECT doc_id, dl, unnest(toks) AS t FROM base) "
+            "WHERE t IN ('hash', 'join', 'spark') GROUP BY 1, 2, 3), "
+            "d AS (SELECT token, count(*) AS dfq FROM tf GROUP BY 1), "
+            "st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base), "
+            "sc AS (SELECT doc_id, round(sum("
+            "ln(1 + (n_docs - dfq + 0.5) / (dfq + 0.5)) * (tf * 2.2) / "
+            "(tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score "
+            "FROM tf JOIN d USING (token), st GROUP BY doc_id), "
+            "bm AS (SELECT doc_id AS id, CAST(row_number() OVER ("
+            "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc "
+            "QUALIFY rank <= 20), "
+            "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id = 0), "
+            "b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv "
+            "FROM embeddings), "
+            f"cs AS (SELECT neighbor_id, round({cos_qn}, 6) AS cosine "
+            "FROM b CROSS JOIN q WHERE query_id <> neighbor_id), "
+            "dn AS (SELECT neighbor_id AS id, CAST(row_number() OVER ("
+            "ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM cs "
+            "QUALIFY rank <= 20), "
+            "u AS (SELECT id, 1.0 / (60 + rank) AS c FROM bm "
+            "UNION ALL SELECT id, 1.0 / (60 + rank) FROM dn), "
+            "f AS (SELECT id, round(sum(c), 6) AS rrf, "
+            "CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY id) "
+            "SELECT id AS doc_id, rrf, n_lists, CAST(row_number() OVER ("
+            "ORDER BY rrf DESC, id) AS BIGINT) AS rank FROM f "
+            "QUALIFY rank <= 10"
         ),
         "split_assign": (
             "SELECT doc_id, CASE WHEN "

@@ -679,3 +679,48 @@ def cosine_topk_blas(
     return q.mapInPandas(
         score, "query_id long, neighbor_id long, cosine double, rank int"
     )
+
+
+def rrf_fuse(
+    rankings,
+    k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    topk: int = 10,
+) -> DataFrame:
+    """[id, rrf, n_lists, rank] — reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09) of N ranked lists: score(d) = Σ_lists 1 / (k + rank_d).
+    The standard hybrid-retrieval combiner (BM25 ⊕ dense ANN): rank-based,
+    so the lists' incomparable score scales never need calibration; a
+    document missing from a list simply contributes nothing.
+
+    Scale shape: a unionByName of the (already small, top-k-bounded)
+    ranked lists, ONE combine-enabled groupBy(id), and a
+    TakeOrderedAndProject final top-k. Fusing costs nothing next to the
+    retrievers that produced the lists."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("__id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__id").agg(
+        F.round(F.sum("__c"), 6).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    from pyspark.sql.window import Window
+
+    top = fused.orderBy(F.desc("rrf"), F.asc("__id")).limit(topk)
+    w = Window.orderBy(F.desc("rrf"), F.asc("__id"))
+    return top.select(
+        F.col("__id").alias(id_col),
+        "rrf",
+        "n_lists",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
