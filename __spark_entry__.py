@@ -3301,16 +3301,16 @@ def oracle_sql() -> dict[str, str]:
             # 3 Katz rounds unrolled: x_{t+1} = 1 + 0.05 * (A^T x_t)
             f"WITH es AS MATERIALIZED (SELECT src, dst FROM ({_EDGES_SMALL_SQL})), "
             f"v AS MATERIALIZED ({_VERTS_SMALL_SQL}), "
-            "x0 AS (SELECT id, 1.0 AS x FROM v), "
-            "x1 AS MATERIALIZED (SELECT v.id, 1.0 + 0.05 * COALESCE(s.mx, 0.0) "
+            "x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM v), "
+            "x1 AS MATERIALIZED (SELECT v.id, CAST(1.0 AS DOUBLE) + 0.05 * COALESCE(s.mx, 0.0) "
             "AS x FROM v LEFT JOIN (SELECT es.dst AS id, sum(x0.x) AS mx "
             "FROM es JOIN x0 ON es.src = x0.id GROUP BY es.dst) s "
             "ON v.id = s.id), "
-            "x2 AS MATERIALIZED (SELECT v.id, 1.0 + 0.05 * COALESCE(s.mx, 0.0) "
+            "x2 AS MATERIALIZED (SELECT v.id, CAST(1.0 AS DOUBLE) + 0.05 * COALESCE(s.mx, 0.0) "
             "AS x FROM v LEFT JOIN (SELECT es.dst AS id, sum(x1.x) AS mx "
             "FROM es JOIN x1 ON es.src = x1.id GROUP BY es.dst) s "
             "ON v.id = s.id), "
-            "x3 AS (SELECT v.id, 1.0 + 0.05 * COALESCE(s.mx, 0.0) "
+            "x3 AS (SELECT v.id, CAST(1.0 AS DOUBLE) + 0.05 * COALESCE(s.mx, 0.0) "
             "AS x FROM v LEFT JOIN (SELECT es.dst AS id, sum(x2.x) AS mx "
             "FROM es JOIN x2 ON es.src = x2.id GROUP BY es.dst) s "
             "ON v.id = s.id) "
@@ -3320,7 +3320,7 @@ def oracle_sql() -> dict[str, str]:
             # problem-structure closure: the peel provably isolates the
             # planted K8, whose density is (8*7/2)/8 = 3.5
             "SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) "
-            "AS id, 3.5 AS density FROM customer "
+            "AS id, CAST(3.5 AS DOUBLE) AS density FROM customer "
             "QUALIFY row_number() OVER (ORDER BY c_custkey) <= 8"
         ),
         "interval_join": (
