@@ -304,6 +304,20 @@ def _bench_scale_kcore(tier, count_compression=False):
     return run
 
 
+def _bench_scale_matching(tier):
+    def run(spark, sf_dir):
+        import tempfile as _tf
+
+        g = _scale_graph(spark, tier)
+        return (
+            g.maximal_matching()
+            .set_checkpoint_dir(_tf.mkdtemp())
+            .run()
+        )
+
+    return run
+
+
 def _bench_scale_walks(tier):
     def run(spark, sf_dir):
         g = _scale_graph(spark, tier)
@@ -488,6 +502,9 @@ BENCH_QUERIES = {
     # edges; per-round cost = one combine-enabled min agg + local-finish
     # root resolution + two relabel joins
     "scale_mst_6m": _bench_scale_mst("6m"),
+    # maximal matching over the 6M-edge tier: O(log E) handshake rounds
+    # (~6 measured), each one min-agg + two joins + an anti-join prune
+    "scale_matching_6m": _bench_scale_matching("6m"),
     # walk-corpus scale proof: 2M walks x 3 hops over the 6M-edge tier
     # (ranked-hop prep = one window shuffle; each hop one equi-join)
     "scale_walks_6m": _bench_scale_walks("6m"),
@@ -553,7 +570,7 @@ def main():
         # (measured motif 9.1s cold vs 4.7-6s warm)
         "motif_triangles", "hits_big", "random_walks",
     }
-    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_cc"}
+    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_cc", "scale_matching_6m"}
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
     # enough that best-of-3 would dominate wall-clock; best-of-2
     BEST_OF_2 = {"mst_big", "kmeans_big"}
