@@ -2253,6 +2253,22 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_events_anomaly(spark, sf_dir):
+    """Trailing-24h z-score anomaly flags on the per-type hourly series;
+    the scored hour is excluded from its own baseline frame. Warm-up
+    hours carry z = 0 here (entry-level NULL-free policy; the library
+    keeps them NULL)."""
+    events = load_table(spark, sf_dir, "events")
+    out = ev.hourly_anomalies(events)
+    return out.select(
+        "event_type",
+        "window_start_epoch",
+        "n_events",
+        F.coalesce("z", F.lit(0.0)).alias("z"),
+        "is_anomaly",
+    )
+
+
 def _q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-20 for {hash, join, spark}
     fused with the dense top-20 around embedding 0 (vec_id = doc_id) by
@@ -2587,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
         "doc_entropy": _q_doc_entropy,
+        "events_anomaly": _q_events_anomaly,
         "hybrid_search": _q_hybrid_search,
         "split_assign": _q_split_assign,
         "vocab_ids": _q_vocab_ids,
@@ -3126,6 +3143,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "events_anomaly": (
+            "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, (epoch_ms(hh) // 1000) AS window_start_epoch, "
+            "n_events, "
+            "avg(n_events::DOUBLE) OVER w AS m, "
+            "stddev_samp(n_events::DOUBLE) OVER w AS sd, "
+            "count(*) OVER w AS c FROM h "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY hh "
+            "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_type, window_start_epoch, n_events, "
+            "COALESCE(CASE WHEN c >= 2 AND sd > 0 "
+            "THEN round((n_events - m) / sd, 6) END, 0.0) AS z, "
+            "COALESCE(abs(CASE WHEN c >= 2 AND sd > 0 "
+            "THEN round((n_events - m) / sd, 6) END) > 3.0, false) AS is_anomaly "
+            "FROM s"
         ),
         "hybrid_search": (
             # lexical CTE = bm25_topk's scoring; dense CTE = ann_topk's

@@ -670,3 +670,50 @@ def funnel(
             F.col("n_users") / F.greatest(base, F.lit(1)), 6
         ).alias("conversion"),
     )
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """[event_type, window_start_epoch, n_events, z, is_anomaly] — per-type
+    hourly event counts scored against their own trailing ``trailing``-hour
+    mean/stddev (frame ends at the PREVIOUS hour, so the scored point
+    never contaminates its own baseline). z is NULL for the warm-up hours
+    (frame shorter than 2 points or zero variance); the monitoring-table
+    query every event pipeline ends up needing.
+
+    Scale shape: one combine-enabled (type, hour) aggregate, then a window
+    partitioned BY EVENT TYPE ordered by hour — each partition holds one
+    type's hourly series (bounded: hours elapsed, not events), and the
+    trailing frame is O(1) incremental per row."""
+    from pyspark.sql.window import Window
+
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-trailing, -1)
+    )
+    mean = F.avg(F.col("n_events").cast("double")).over(w)
+    sd = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    z = F.when(
+        (cnt >= 2) & (sd > 0), F.round((F.col("n_events") - mean) / sd, 6)
+    )
+    return hourly.select(
+        "event_type",
+        F.col("h").cast("long").alias("window_start_epoch"),
+        "n_events",
+        z.alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
