@@ -2253,6 +2253,18 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_profile_orders(spark, sf_dir):
+    """Per-column profiling report over orders (exact distincts, min/max
+    as strings)."""
+    from graphframes_rs_spark.pipeline.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
 def _q_events_anomaly(spark, sf_dir):
     """Trailing-24h z-score anomaly flags on the per-type hourly series;
     the scored hour is excluded from its own baseline frame. Warm-up
@@ -2603,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
         "doc_entropy": _q_doc_entropy,
+        "profile_orders": _q_profile_orders,
         "events_anomaly": _q_events_anomaly,
         "hybrid_search": _q_hybrid_search,
         "split_assign": _q_split_assign,
@@ -3143,6 +3156,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "profile_orders": (
+            "SELECT 'o_orderkey' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_orderkey) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_custkey' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_custkey) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_orderstatus' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_orderstatus) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct, CAST(min(o_orderstatus) AS VARCHAR) AS min_value, CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_totalprice' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_totalprice) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct, CAST(min(o_totalprice) AS VARCHAR) AS min_value, CAST(max(o_totalprice) AS VARCHAR) AS max_value FROM orders"
         ),
         "events_anomaly": (
             "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh, "
