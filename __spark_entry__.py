@@ -2253,6 +2253,45 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_wcc_incremental(spark, sf_dir):
+    """Incremental WCC maintenance: start from the labeling of the
+    customer→nation subgraph (components = nations, min-member labels),
+    then fold in the nation→region edge batch — the composed labeling
+    must equal a full recompute on the whole hierarchy (the
+    connected_components closed form, which is this entry's oracle)."""
+    from graphframes_rs_spark.operators.connected_components import (
+        update_components,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    labels = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            (F.col("c_custkey") + 1000).cast("long").alias("id"),
+            (F.col("n_nationkey") + 100).cast("long").alias("component"),
+        )
+        .unionByName(
+            nation.select(
+                (F.col("n_nationkey") + 100).cast("long").alias("id"),
+                (F.col("n_nationkey") + 100).cast("long").alias("component"),
+            )
+        )
+        .unionByName(
+            region.select(
+                (F.col("r_regionkey") + 50).cast("long").alias("id"),
+                (F.col("r_regionkey") + 50).cast("long").alias("component"),
+            )
+        )
+    )
+    batch = nation.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("src"),
+        (F.col("n_regionkey") + 50).cast("long").alias("dst"),
+    )
+    return update_components(labels, batch, checkpoint_dir=_ckpt())
+
+
 def _q_profile_orders(spark, sf_dir):
     """Per-column profiling report over orders (exact distincts, min/max
     as strings)."""
@@ -2615,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
         "doc_entropy": _q_doc_entropy,
+        "wcc_incremental": _q_wcc_incremental,
         "profile_orders": _q_profile_orders,
         "events_anomaly": _q_events_anomaly,
         "hybrid_search": _q_hybrid_search,
@@ -3156,6 +3196,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "wcc_incremental": (
+            "SELECT CAST(r_regionkey + 50 AS BIGINT) AS id, "
+            "CAST(r_regionkey + 50 AS BIGINT) AS component FROM region "
+            "UNION ALL SELECT CAST(n_nationkey + 100 AS BIGINT), "
+            "CAST(n_regionkey + 50 AS BIGINT) FROM nation "
+            "UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), "
+            "CAST(n_regionkey + 50 AS BIGINT) "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
         ),
         "profile_orders": (
             "SELECT 'o_orderkey' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_orderkey) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_custkey' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_custkey) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_orderstatus' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_orderstatus) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct, CAST(min(o_orderstatus) AS VARCHAR) AS min_value, CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_totalprice' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_totalprice) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct, CAST(min(o_totalprice) AS VARCHAR) AS min_value, CAST(max(o_totalprice) AS VARCHAR) AS max_value FROM orders"

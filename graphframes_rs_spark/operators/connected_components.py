@@ -265,3 +265,71 @@ class ConnectedComponentsBuilder:
                 .select(ID, F.col("__cc_min").alias(COMPONENT))
             )
         return result
+
+
+def update_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    checkpoint_dir=None,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental WCC maintenance: fold a batch of NEW edges into an
+    existing ``[id, component]`` labeling without recomputing the full
+    graph — the streaming-graph operation an edge-append lakehouse table
+    needs nightly.
+
+    Edge additions can only MERGE components, never split them, so the
+    update reduces to WCC on the CONTRACTED graph: map each new edge's
+    endpoints through the current labeling (unseen vertices become their
+    own singleton component), keep the distinct cross-component pairs —
+    a frame bounded by the batch size, not the graph — run the engine's
+    full WCC on that contracted graph, and compose the relabeling.
+    Because component labels are minimum member ids (the engine default),
+    the contracted WCC's min-label output IS the merged set's true
+    minimum member, so the composed labeling is exactly what a full
+    recompute would produce (the incremental-vs-full equality is the
+    driver oracle for this operator).
+
+    Cost: two label-map joins + one distinct over the batch + a WCC over
+    a graph whose size is O(components touched) — at 100 TB the daily
+    batch's contracted graph is typically thousands of vertices, not
+    billions."""
+    spark = labels.sparkSession
+    e = new_edges.select(SRC, DST)
+    # unseen endpoints -> singleton components
+    ends = (
+        e.select(F.col(SRC).alias(ID))
+        .unionByName(e.select(F.col(DST).alias(ID)))
+        .distinct()
+    )
+    fresh = ends.join(labels.select(ID), ID, "left_anti").select(
+        ID, F.col(ID).alias("component")
+    )
+    full = labels.unionByName(fresh)
+
+    lab_src = full.select(F.col(ID).alias(SRC), F.col("component").alias("__cs"))
+    lab_dst = full.select(F.col(ID).alias(DST), F.col("component").alias("__cd"))
+    contracted = (
+        e.join(lab_src, SRC)
+        .join(lab_dst, DST)
+        .filter(F.col("__cs") != F.col("__cd"))
+        .select(F.col("__cs").alias(SRC), F.col("__cd").alias(DST))
+        .distinct()
+    )
+    cverts = (
+        contracted.select(F.col(SRC).alias(ID))
+        .unionByName(contracted.select(F.col(DST).alias(ID)))
+        .distinct()
+    )
+    if cverts.limit(1).count() == 0:
+        return full
+    sub = (
+        ConnectedComponentsBuilder(GraphFrame(cverts, contracted))
+        .with_random_seed(seed)
+        .set_checkpoint_dir(checkpoint_dir)
+        .run()
+        .select(F.col(ID).alias("component"), F.col("component").alias("__new"))
+    )
+    return full.join(sub, "component", "left").select(
+        ID, F.coalesce("__new", "component").alias("component")
+    )

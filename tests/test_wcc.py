@@ -66,3 +66,72 @@ def test_distributed_contraction_path(spark, ckpt_dir):
         spark.conf.unset(LOCAL_FINISH_EDGES)
     assert out == expected
     assert _wcc(spark, ckpt_dir + "l", vertices, edges) == expected
+
+
+def test_update_components_merges_and_singletons(spark, ckpt_dir):
+    from graphframes_rs_spark.operators.connected_components import (
+        update_components,
+    )
+
+    # existing: {1,2} labeled 1, {3} labeled 3
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, component long"
+    )
+    # batch: 2-3 merges the two; 7-8 is entirely new
+    batch = spark.createDataFrame([(2, 3), (7, 8)], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in update_components(labels, batch, checkpoint_dir=ckpt_dir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_update_components_noop_batch_keeps_labels(spark, ckpt_dir):
+    from graphframes_rs_spark.operators.connected_components import (
+        update_components,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5)], "id long, component long"
+    )
+    # both endpoints already share a component -> no contracted edges
+    batch = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in update_components(labels, batch, checkpoint_dir=ckpt_dir).collect()
+    }
+    assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_update_components_equals_full_recompute(spark, ckpt_dir, tmp_path):
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from graphframes_rs_spark.operators.connected_components import (
+        ConnectedComponentsBuilder,
+        update_components,
+    )
+
+    # random-ish deterministic graph split into two edge batches
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    first, second = edges[:25], edges[25:]
+    v = spark.createDataFrame([(i,) for i in range(40)], "id long")
+
+    base = (
+        ConnectedComponentsBuilder(
+            GraphFrame(v, spark.createDataFrame(first, "src long, dst long"))
+        )
+        .set_checkpoint_dir(str(tmp_path / "a"))
+        .run()
+    )
+    inc = update_components(
+        base,
+        spark.createDataFrame(second, "src long, dst long"),
+        checkpoint_dir=str(tmp_path / "b"),
+    )
+    full = (
+        ConnectedComponentsBuilder(
+            GraphFrame(v, spark.createDataFrame(edges, "src long, dst long"))
+        )
+        .set_checkpoint_dir(str(tmp_path / "c"))
+        .run()
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
