@@ -55,9 +55,14 @@ from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
 COMPONENT = "component"
 
 LOCAL_FINISH_EDGES = "spark.graphframes.wcc.localFinishEdges"
-# 5M edges ≈ 80 MB of int64 pairs in the finisher task — comfortably
-# executor-sized, and the vectorized solver clears it in well under a second.
-DEFAULT_LOCAL_FINISH_EDGES = 5_000_000
+# The finisher runs in ONE task: everything above the cut serializes on a
+# single core while the cluster idles. Measured on the 6M/18M-edge bench
+# tiers, a 5M cut made the tail the dominant cost (6M-edge WCC: 31.8s at
+# 5M vs 17.4s at 500k — one extra distributed round is far cheaper than a
+# multi-million-edge single task, and on a 1000-executor cluster the
+# imbalance is worse). 500k pairs ≈ 8 MB in the task: big enough to stop
+# the long constant-work contraction tail, small enough to never straggle.
+DEFAULT_LOCAL_FINISH_EDGES = 500_000
 
 
 def _compute_reps(edges: DataFrame, seed: int) -> DataFrame:
