@@ -55,7 +55,12 @@ from graphframes_rs_spark.graphframe import DST, GraphFrame, SRC
 # couple of Borůvka rounds the component table fits a task no matter the
 # starting size). 5M rows ≈ 80 MB of int64 pairs.
 LOCAL_FINISH_COMPONENTS = "spark.graphframes.mst.localFinishComponents"
-DEFAULT_LOCAL_FINISH_COMPONENTS = 5_000_000
+# Same single-task-straggler reasoning as WCC's localFinishEdges (see
+# connected_components.py): measured on the 6M-edge tier the forest
+# resolve is not MST's dominant cost (38.6s at 5M vs 36.8s at 200k), but
+# a 5M-row serial task still stalls a real cluster; 500k keeps the tail
+# bounded at ~8 MB for one task.
+DEFAULT_LOCAL_FINISH_COMPONENTS = 500_000
 
 
 def _local_roots(parent: DataFrame) -> DataFrame:
