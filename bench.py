@@ -575,18 +575,24 @@ def main():
     # enough that best-of-3 would dominate wall-clock; best-of-2
     BEST_OF_2 = {"mst_big", "kmeans_big"}
 
+    def _gc_barrier():
+        # Cache drop + double full GC with a settle pause. One System.gc()
+        # was not enough: the FIRST scale tiers after the ~70 small queries
+        # still measured ~2x their isolated cost (scale_kcore_6m 83.3s in
+        # the run vs 40.3s isolated; scale_wcc_6m 100.8s vs 53.9s) while
+        # LATER tiers ran at isolated speed — i.e. the session settles only
+        # after a few heavy queries. Repeating the barrier before EVERY
+        # scale tier costs ~2s each and removes the slot-position bias.
+        spark.catalog.clearCache()
+        jvm = spark.sparkContext._jvm
+        jvm.System.gc()
+        time.sleep(1.0)
+        jvm.System.gc()
+
     timings = {}
-    gc_barrier_done = False
     for name, fn in BENCH_QUERIES.items():
-        if name.startswith("scale_") and not gc_barrier_done:
-            # The scale tiers are the biggest numbers in the artifact and
-            # run LAST, after ~60 queries of accumulated broadcast/shuffle
-            # state; measured +150% drift on scale_pagerank_18m (27.9s in
-            # a late slot vs 11.1s isolated). One cache drop + full GC
-            # isolates them from session history.
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            gc_barrier_done = True
+        if name.startswith("scale_"):
+            _gc_barrier()
         if name in REPEATED:
             runs = 3
         elif name in BEST_OF_2:
