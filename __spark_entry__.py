@@ -2253,6 +2253,13 @@ def _q_markup_strip(spark, sf_dir):
     )
 
 
+def _q_lm_score(spark, sf_dir):
+    """Corpus-bigram-model average log-probability per document (add-0.5
+    smoothing) — the cheap perplexity proxy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.bigram_lm_score(docs)
+
+
 def _q_wcc_incremental(spark, sf_dir):
     """Incremental WCC maintenance: start from the labeling of the
     customer→nation subgraph (components = nations, min-member labels),
@@ -2290,6 +2297,31 @@ def _q_wcc_incremental(spark, sf_dir):
         (F.col("n_regionkey") + 50).cast("long").alias("dst"),
     )
     return update_components(labels, batch, checkpoint_dir=_ckpt())
+
+
+def _q_coarsen(spark, sf_dir):
+    """One coarsening level: contract a deterministic matching (nation
+    2k ↔ 2k+1; nation 24 unmatched) over the 25-vertex customer-fanout
+    multigraph (edge per customer: c_nationkey → c_custkey % 25, unit
+    weight). Parallel edges collapse by weight-sum; intra-pair edges
+    drop. Returns the coarsened edge set [src, dst, weight]."""
+    from graphframes_rs_spark.operators.coarsen import coarsen_graph
+
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    v = nation.select(F.col("n_nationkey").cast("long").alias("id"))
+    e = cust.select(
+        F.col("c_nationkey").cast("long").alias("src"),
+        (F.col("c_custkey") % 25).cast("long").alias("dst"),
+    )
+    matching = (
+        nation.filter(F.col("n_nationkey") < 24)
+        .select(
+            F.col("n_nationkey").cast("long").alias("id"),
+            F.col("n_nationkey").bitwiseXOR(F.lit(1)).cast("long").alias("partner"),
+        )
+    )
+    return coarsen_graph(GraphFrame(v, e), matching).edges
 
 
 def _q_profile_orders(spark, sf_dir):
@@ -2654,7 +2686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": _q_sales_rollup,
         "sales_cube": _q_sales_cube,
         "doc_entropy": _q_doc_entropy,
+        "lm_score": _q_lm_score,
         "wcc_incremental": _q_wcc_incremental,
+        "coarsen": _q_coarsen,
         "profile_orders": _q_profile_orders,
         "events_anomaly": _q_events_anomaly,
         "hybrid_search": _q_hybrid_search,
@@ -3197,6 +3231,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY ROLLUP (r_name, n_name)"
         ),
+        "lm_score": (
+            "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, "
+            "unnest(toks[2:len(toks)]) AS w2 FROM t), "
+            "bc AS (SELECT w1, w2, count(*) AS cb FROM g GROUP BY 1, 2), "
+            "wc AS (SELECT w1, sum(cb) AS cw1 FROM bc GROUP BY 1), "
+            "vv AS (SELECT count(DISTINCT tk) AS v FROM ("
+            "SELECT unnest(string_split(lower(text), ' ')) AS tk "
+            "FROM documents)), "
+            "sc AS (SELECT doc_id, ln((cb + 0.5) / (cw1 + 0.5 * v)) AS lp "
+            "FROM g JOIN bc USING (w1, w2) JOIN wc USING (w1), vv), "
+            "o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "round(avg(lp), 6) AS avg_logprob FROM sc GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, "
+            "COALESCE(avg_logprob, 0.0) AS avg_logprob "
+            "FROM documents d LEFT JOIN o USING (doc_id)"
+        ),
         "wcc_incremental": (
             "SELECT CAST(r_regionkey + 50 AS BIGINT) AS id, "
             "CAST(r_regionkey + 50 AS BIGINT) AS component FROM region "
@@ -3205,6 +3257,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT CAST(c_custkey + 1000 AS BIGINT), "
             "CAST(n_regionkey + 50 AS BIGINT) "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "coarsen": (
+            "WITH e AS (SELECT CAST(c_nationkey AS BIGINT) AS src, "
+            "CAST(c_custkey % 25 AS BIGINT) AS dst FROM customer), "
+            "r AS (SELECT "
+            "CASE WHEN src < 24 THEN src - src % 2 ELSE src END AS s2, "
+            "CASE WHEN dst < 24 THEN dst - dst % 2 ELSE dst END AS d2 "
+            "FROM e) "
+            "SELECT s2 AS src, d2 AS dst, "
+            "CAST(count(*) AS DOUBLE) AS weight "
+            "FROM r WHERE s2 <> d2 GROUP BY 1, 2"
         ),
         "profile_orders": (
             "SELECT 'o_orderkey' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_orderkey) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_custkey' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_custkey) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_value, CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_orderstatus' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_orderstatus) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct, CAST(min(o_orderstatus) AS VARCHAR) AS min_value, CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders UNION ALL SELECT 'o_totalprice' AS column, (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows, CAST(count(o_totalprice) AS BIGINT) AS n_nonnull, CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct, CAST(min(o_totalprice) AS VARCHAR) AS min_value, CAST(max(o_totalprice) AS VARCHAR) AS max_value FROM orders"

@@ -805,3 +805,72 @@ def encode_documents(
             ).alias("token_ids"),
         )
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", add_k: float = 0.5
+) -> DataFrame:
+    """[doc_id, n_bigrams, avg_logprob] — each document scored under the
+    CORPUS's own add-k-smoothed bigram model:
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1·) + k·V)
+
+    where c(w1 w2) counts the bigram corpus-wide, c(w1·) counts bigrams
+    starting with w1, and V is the unigram vocabulary size.
+    avg_logprob = mean ln P over the document's bigrams — the cheap
+    perplexity proxy: text that looks nothing like the corpus (wrong
+    language, mojibake, boilerplate) scores far below the corpus mode.
+    Single-token documents emit n_bigrams = 0 with avg_logprob = 0.
+
+    Scale shape: one positional bigram explode feeding BOTH the corpus
+    counts and the per-doc scoring (Spark reuses the exchange), two
+    combine-enabled count aggregates, a 1-row broadcast for V, and one
+    join from doc-bigrams to the (bounded-by-vocabulary²,
+    realistically ≪) corpus bigram table."""
+    toks = tokens(F.lower(F.col(text_col)))
+    # n-1 bigrams via two offset slices zipped (empty-safe: a 1-token doc
+    # slices to two empty arrays; F.sequence would auto-step BACKWARD on
+    # a start > stop and fabricate pairs)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, m),
+                F.slice(toks, 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    big_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    w1_counts = big_counts.groupBy("w1").agg(F.sum("cb").alias("cw1"))
+    vocab_n = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t")
+    ).agg(F.count_distinct("t").alias("v"))
+
+    scored = (
+        grams.join(big_counts, ["w1", "w2"])
+        .join(w1_counts, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cb") + F.lit(add_k))
+                / (F.col("cw1") + F.lit(add_k) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    # single-token/empty docs have no bigrams: emit explicit zeros
+    return (
+        docs.select("doc_id")
+        .join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
