@@ -212,10 +212,23 @@ def _q_bfs_paths(spark, sf_dir):
     """BFS with path output (GraphFrames bfs parity): from a customer
     subset to any region on the 3-level DAG — every shortest path is the
     [customer, its nation, that nation's region] chain at length 2.
-    Oracle: the equivalent two-hop join with a list-literal path."""
+    Oracle: the equivalent two-hop join with a string-joined path.
+
+    The path array is serialized to a '->'-joined string so the driver's
+    pandas canonicalizer (which cannot sort list-valued columns) can order
+    and hash the rows; the operator itself keeps its array API
+    (reference precedent for scalar comparison:
+    shortest_paths.rs:402-441 compares scalar distances)."""
     g = customer_hierarchy_graph(spark, sf_dir)
     out = g.bfs("id >= 1000 AND id % 50 = 3", "id < 100", max_path_length=4)
-    return out.select("from_id", "to_id", "path", "length")
+    return out.select(
+        "from_id",
+        "to_id",
+        F.concat_ws("->", F.col("path").cast("array<string>")).alias(
+            "path_str"
+        ),
+        "length",
+    )
 
 
 def _q_pagerank_weighted(spark, sf_dir):
@@ -295,16 +308,28 @@ def _q_pagerank_parallel(spark, sf_dir):
         .with_tol(0.0)
         .set_checkpoint_dir(_ckpt())
     )
+    # explode the per-source array to (id, source_idx, pagerank) rows: the
+    # driver's pandas canonicalizer cannot sort array columns, and the
+    # exploded form is losslessly equivalent (source order is the index)
     return pr.run().select(
         "id",
-        F.transform("pageranks", lambda x: F.round(x, 6)).alias("pageranks"),
+        F.posexplode(
+            F.transform("pageranks", lambda x: F.round(x, 6))
+        ).alias("source_idx", "pagerank"),
     )
 
 
-def _random_walks_sql(num_walks: int = 2, steps: int = 3, seed: int = 42) -> str:
+def _random_walks_sql(
+    num_walks: int = 2,
+    steps: int = 3,
+    seed: int = 42,
+    scalar_path: bool = False,
+) -> str:
     """DuckDB replay of operators/random_walks.py: identical md5-derived
     hash60 rank order and per-step choice, unrolled over ``steps`` CTEs,
-    on the reversed hierarchy edge set."""
+    on the reversed hierarchy edge set. ``scalar_path`` emits the path as
+    a '->'-joined string (driver-comparable form); the list form feeds
+    ``_skipgram_pairs_sql``."""
 
     def h(expr: str) -> str:
         return f"('0x'||substr(md5({expr}),1,15))::BIGINT"
@@ -336,10 +361,13 @@ def _random_walks_sql(num_walks: int = 2, steps: int = 3, seed: int = 42) -> str
             f"FROM {prev} LEFT JOIN ranked r ON r.src = {prev}.cur "
             f"AND r.rank = {choice} % r.odeg + 1)"
         )
+    path_col = (
+        "array_to_string(path, '->') AS path_str" if scalar_path else "path"
+    )
     return (
         "WITH "
         + ", ".join(ctes)
-        + f" SELECT walk_id, path[1] AS start, path FROM w{steps}"
+        + f" SELECT walk_id, path[1] AS start, {path_col} FROM w{steps}"
     )
 
 
@@ -376,7 +404,16 @@ def _q_random_walks(spark, sf_dir):
         g.vertices,
         g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
-    return rev.random_walks(num_walks=2, walk_length=3, seed=42)
+    walks = rev.random_walks(num_walks=2, walk_length=3, seed=42)
+    # '->'-join the path so the driver canonicalizer can sort/hash rows
+    # (pandas sort_values cannot order list columns); operator keeps arrays
+    return walks.select(
+        "walk_id",
+        "start",
+        F.concat_ws("->", F.col("path").cast("array<string>")).alias(
+            "path_str"
+        ),
+    )
 
 
 def _q_hits(spark, sf_dir):
@@ -510,7 +547,8 @@ def _node2vec_sql(
     return (
         "WITH "
         + ", ".join(ctes)
-        + f" SELECT walk_id, path[1] AS start, path FROM w{steps}"
+        + f" SELECT walk_id, path[1] AS start, "
+        f"array_to_string(path, '->') AS path_str FROM w{steps}"
     )
 
 
@@ -566,7 +604,8 @@ def _weighted_walks_sql(
     return (
         "WITH "
         + ", ".join(ctes)
-        + f" SELECT walk_id, path[1] AS start, path FROM w{steps}"
+        + f" SELECT walk_id, path[1] AS start, "
+        f"array_to_string(path, '->') AS path_str FROM w{steps}"
     )
 
 
@@ -588,8 +627,15 @@ def _q_weighted_walks(spark, sf_dir):
             "weight",
         ),
     )
-    return weighted_random_walks(
+    walks = weighted_random_walks(
         rev, "weight", num_walks=1, walk_length=3, seed=42
+    )
+    return walks.select(
+        "walk_id",
+        "start",
+        F.concat_ws("->", F.col("path").cast("array<string>")).alias(
+            "path_str"
+        ),
     )
 
 
@@ -599,8 +645,15 @@ def _q_node2vec_walks(spark, sf_dir):
     return / distance-1 / distance-2 weights all fire. Oracle: the
     identical integer-weight hash draw unrolled in SQL."""
     g = _node2vec_graph(spark, sf_dir)
-    return g.node2vec_walks(
+    walks = g.node2vec_walks(
         num_walks=1, walk_length=3, p=4.0, q=0.25, seed=42
+    )
+    return walks.select(
+        "walk_id",
+        "start",
+        F.concat_ws("->", F.col("path").cast("array<string>")).alias(
+            "path_str"
+        ),
     )
 
 
@@ -2641,6 +2694,67 @@ def _q_densest_subgraph(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+    # Ordered for driver-verification coverage, not by theme: the
+    # driver's CORRECTNESS pass is time-boxed and walks this dict in
+    # order, so entries it has never reached come FIRST — the five
+    # re-scalarized array entries, then every entry without a driver
+    # row through round 5, then the long-verified remainder.
+        "bfs_paths": _q_bfs_paths,
+        "pagerank_parallel": _q_pagerank_parallel,
+        "random_walks": _q_random_walks,
+        "weighted_walks": _q_weighted_walks,
+        "node2vec_walks": _q_node2vec_walks,
+        "hybrid_search": _q_hybrid_search,
+        "split_assign": _q_split_assign,
+        "vocab_ids": _q_vocab_ids,
+        "encode_docs": _q_encode_docs,
+        "quality_filter": _q_quality_filter,
+        "degree_histogram": _q_degree_histogram,
+        "salted_user_stats": _q_salted_user_stats,
+        "tpch_shipping": _q_tpch_shipping,
+        "tpch_local_volume": _q_tpch_local_volume,
+        "price_percentiles": _q_price_percentiles,
+        "markup_strip": _q_markup_strip,
+        "running_totals": _q_running_totals,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_steps": _q_funnel_steps,
+        "doc_chunks": _q_doc_chunks,
+        "coloring_forest": _q_coloring_forest,
+        "betweenness": _q_betweenness,
+        "ktruss_planted": _q_ktruss,
+        "link_prediction": _q_link_prediction,
+        "assortativity": _q_assortativity,
+        "conductance": _q_conductance,
+        "feature_propagation": _q_feature_propagation,
+        "clustering_coeff": _q_clustering_coeff,
+        "topo_layers": _q_topo_layers,
+        "modularity_nations": _q_modularity,
+        "louvain_cliques": _q_louvain_cliques,
+        "source_stats": _q_source_stats,
+        "doc_repetition": _q_doc_repetition,
+        "line_dedup": _q_line_dedup,
+        "token_cms": _q_token_cms,
+        "kmv_overlap": _q_kmv_overlap,
+        "bipartite_projection": _q_bipartite_projection,
+        "ngram_dup_coverage": _q_ngram_dup_coverage,
+        "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25,
+        "curate_corpus": _q_curate_corpus,
+        "semantic_dedup": _q_semantic_dedup,
+        "decontaminate_eval": _q_decontaminate_eval,
+        "decontaminate_prod": _q_decontaminate_prod,
+        "ann_pq": _q_ann_pq,
+        "embedding_outliers": _q_embedding_outliers,
+        "image_dims_png": _q_image_dims_png,
+        "video_duration": _q_video_duration,
+        "attribution": _q_attribution,
+        "events_sliding": _q_events_sliding,
+        "asof_join": _q_asof_join,
+        "hypertable_rollup": _q_hypertable_rollup,
+        "mixture_sample": _q_mixture_sample,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "sample_neighbors": _q_sample_neighbors,
+        "event_transitions": _q_event_transitions,
         "graph_counts": _q_graph_counts,
         "in_degrees": _q_in_degrees,
         "out_degrees": _q_out_degrees,
@@ -2652,17 +2766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": _q_shortest_paths,
         "pagerank_dag": _q_pagerank_dag,
         "pagerank_personalized": _q_pagerank_personalized,
-        "pagerank_parallel": _q_pagerank_parallel,
-        "random_walks": _q_random_walks,
-        "node2vec_walks": _q_node2vec_walks,
-        "weighted_walks": _q_weighted_walks,
         "neighborhood_fn": _q_neighborhood,
         "effective_diameter": _q_effective_diameter,
         "skipgram_pairs": _q_skipgram_pairs,
         "hits": _q_hits,
         "pagerank_weighted": _q_pagerank_weighted,
         "motif_triangles": _q_motif_triangles,
-        "bfs_paths": _q_bfs_paths,
         "scc_rings": _q_scc_rings,
         "mst_rings": _q_mst_rings,
         "closeness": _q_closeness,
@@ -2691,43 +2800,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen": _q_coarsen,
         "profile_orders": _q_profile_orders,
         "events_anomaly": _q_events_anomaly,
-        "hybrid_search": _q_hybrid_search,
-        "split_assign": _q_split_assign,
-        "vocab_ids": _q_vocab_ids,
-        "encode_docs": _q_encode_docs,
-        "quality_filter": _q_quality_filter,
-        "degree_histogram": _q_degree_histogram,
-        "salted_user_stats": _q_salted_user_stats,
-        "tpch_shipping": _q_tpch_shipping,
-        "tpch_local_volume": _q_tpch_local_volume,
-        "price_percentiles": _q_price_percentiles,
-        "markup_strip": _q_markup_strip,
-        "running_totals": _q_running_totals,
-        "cohort_retention": _q_cohort_retention,
-        "funnel_steps": _q_funnel_steps,
-        "doc_chunks": _q_doc_chunks,
         "kcore_forest": _q_kcore_forest,
         "mis_forest": _q_mis_forest,
-        "coloring_forest": _q_coloring_forest,
-        "betweenness": _q_betweenness,
-        "ktruss_planted": _q_ktruss,
-        "link_prediction": _q_link_prediction,
-        "assortativity": _q_assortativity,
-        "conductance": _q_conductance,
-        "feature_propagation": _q_feature_propagation,
         "wcc_big": _q_wcc_big,
         "kcore_big": _q_kcore_big,
         "triangles": _q_triangles,
         "weighted_sssp": _q_weighted_sssp,
         "label_propagation": _q_label_propagation,
-        "clustering_coeff": _q_clustering_coeff,
-        "topo_layers": _q_topo_layers,
-        "modularity_nations": _q_modularity,
-        "louvain_cliques": _q_louvain_cliques,
-        "source_stats": _q_source_stats,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
-        "doc_repetition": _q_doc_repetition,
         "doc_lang": _q_doc_lang,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_normalize": _q_doc_normalize,
@@ -2736,45 +2817,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab_stats,
         "token_topk": _q_token_topk,
         "dedup_exact": _q_dedup_exact,
-        "line_dedup": _q_line_dedup,
-        "token_cms": _q_token_cms,
-        "kmv_overlap": _q_kmv_overlap,
-        "bipartite_projection": _q_bipartite_projection,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
-        "ngram_dup_coverage": _q_ngram_dup_coverage,
-        "tfidf_topk": _q_tfidf_topk,
-        "bm25_topk": _q_bm25,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
-        "curate_corpus": _q_curate_corpus,
-        "semantic_dedup": _q_semantic_dedup,
         "decontaminate": _q_decontaminate,
-        "decontaminate_eval": _q_decontaminate_eval,
-        "decontaminate_prod": _q_decontaminate_prod,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
-        "ann_pq": _q_ann_pq,
-        "embedding_outliers": _q_embedding_outliers,
         "image_features": _q_image_features,
         "image_dims": _q_image_dims,
-        "image_dims_png": _q_image_dims_png,
-        "video_duration": _q_video_duration,
         "audio_features": _q_audio_features,
         "events_hourly": _q_events_hourly,
-        "attribution": _q_attribution,
-        "events_sliding": _q_events_sliding,
-        "asof_join": _q_asof_join,
-        "hypertable_rollup": _q_hypertable_rollup,
-        "mixture_sample": _q_mixture_sample,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "sample_neighbors": _q_sample_neighbors,
-        "event_transitions": _q_event_transitions,
         "sessions": _q_sessions,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
@@ -3581,9 +3639,9 @@ def oracle_sql() -> dict[str, str]:
         "bfs_paths": (
             "SELECT CAST(c_custkey + 1000 AS BIGINT) AS from_id, "
             "CAST(n_regionkey + 50 AS BIGINT) AS to_id, "
-            "[CAST(c_custkey + 1000 AS BIGINT), "
+            "array_to_string([CAST(c_custkey + 1000 AS BIGINT), "
             "CAST(c_nationkey + 100 AS BIGINT), "
-            "CAST(n_regionkey + 50 AS BIGINT)] AS path, "
+            "CAST(n_regionkey + 50 AS BIGINT)], '->') AS path_str, "
             "CAST(2 AS BIGINT) AS length "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "WHERE (c_custkey + 1000) % 50 = 3"
@@ -3643,7 +3701,7 @@ def oracle_sql() -> dict[str, str]:
             "tot AS (SELECT sum(pr) AS s FROM raw) "
             "SELECT id, round(pr / s, 6) AS pagerank FROM raw, tot"
         ),
-        "random_walks": _random_walks_sql(),
+        "random_walks": _random_walks_sql(scalar_path=True),
         "node2vec_walks": _node2vec_sql(),
         "weighted_walks": _weighted_walks_sql(),
         "neighborhood_fn": _neighborhood_sql(),
@@ -3667,11 +3725,11 @@ def oracle_sql() -> dict[str, str]:
             "round(h / th, 6) AS hub FROM raw, tot"
         ),
         "pagerank_parallel": (
-            # two closed-form chains (see pagerank_personalized), packed
-            # into an array in source order [customer 1001, nation 101];
-            # each chain normalizes over its own total mass. Elements cast
-            # to DOUBLE: list values are compared raw (no per-element float
-            # normalization), so the types must match Spark's array<double>
+            # two closed-form chains (see pagerank_personalized), exploded
+            # to (id, source_idx, pagerank) rows in source order
+            # [customer 1001 -> idx 0, nation 101 -> idx 1]; each chain
+            # normalizes over its own total mass. source_idx is INTEGER to
+            # match Spark posexplode's int32 position column
             "WITH c1 AS (SELECT CAST(c_custkey + 1000 AS BIGINT) AS cid, "
             "CAST(c_nationkey + 100 AS BIGINT) AS nid FROM customer "
             "WHERE c_custkey = 1), "
@@ -3688,9 +3746,10 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(b.pr, 0.0) AS prb FROM verts v "
             "LEFT JOIN sa a ON v.id = a.id LEFT JOIN sb b ON v.id = b.id), "
             "tot AS (SELECT sum(pra) AS ta, sum(prb) AS tb FROM raw) "
-            "SELECT id, [round(CAST(pra / ta AS DOUBLE), 6), "
-            "round(CAST(prb / tb AS DOUBLE), 6)] AS pageranks "
-            "FROM raw, tot"
+            "SELECT id, CAST(0 AS INTEGER) AS source_idx, "
+            "round(CAST(pra / ta AS DOUBLE), 6) AS pagerank FROM raw, tot "
+            "UNION ALL SELECT id, CAST(1 AS INTEGER), "
+            "round(CAST(prb / tb AS DOUBLE), 6) FROM raw, tot"
         ),
         "wcc_big": _wcc_big_sql(),
         "kcore_big": _kcore_big_sql(),
