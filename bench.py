@@ -612,18 +612,64 @@ def main():
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "scale_graph": SCALE_TIERS,
-            }
+
+    # Regression guard: diff against the previous round's committed detail
+    # file so a slowdown is visible in-round rather than at judging.
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_DETAIL.json")
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        prev = {}
+    if prev:
+        print("# delta vs previous round (ratio = now/prev):", file=sys.stderr)
+        for name, now in timings.items():
+            old = prev.get(name)
+            if old and old > 0:
+                flag = " <-- REGRESSION" if now > 1.3 * old and now > 1.0 else ""
+                print(f"#   {name}: {old}s -> {now}s "
+                      f"({now / old:.2f}x){flag}", file=sys.stderr)
+
+    detail = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "scale_graph": SCALE_TIERS,
+    }
+    with open(prev_path, "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    # Full per-query detail on a PENULTIMATE line (may exceed the driver's
+    # tail-capture window; also persisted to BENCH_DETAIL.json above) ...
+    print(json.dumps(detail, separators=(",", ":")))
+    # ... and a compact FINAL line kept under ~1 KB so the driver's tail
+    # capture always machine-parses it (round 5's single 2.1 KB line
+    # overflowed the window and recorded "parsed": null). Scale tiers and
+    # headline queries first; trailing entries dropped if the line would
+    # exceed the cap.
+    headline = [n for n in timings if n.startswith("scale_")] + [
+        "pagerank_big", "wcc_big", "kcore_big", "bfs_big", "motif_triangles",
+        "betweenness_big", "mst_big", "kmeans_big", "minhash_sigs",
+        "lsh_candidates", "jaccard_pairs", "semantic_dedup", "ann_ivf",
+        "ann_pq", "curate_corpus", "tpch_shipping", "pricing_summary",
+    ]
+    compact_q = {}
+    for name in headline:
+        if name in timings:
+            compact_q[name] = round(timings[name], 2)
+    while compact_q:
+        line = json.dumps(
+            {"metric": "total_bench_seconds", "value": total, "unit": "sec",
+             "queries": compact_q, "sf": float(sf), "detail": "BENCH_DETAIL.json"},
+            separators=(",", ":"),
         )
-    )
+        if len(line) <= 1000:
+            break
+        compact_q.popitem()
+    print(line)
     spark.stop()
 
 
