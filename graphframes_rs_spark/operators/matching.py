@@ -8,16 +8,26 @@ every matched edge), graph coarsening levels, and load-balanced
 pairwise work assignment.
 
 Algorithm (Israeli-Itai-style, derandomized per round by a seeded hash):
-every round each edge draws a deterministic key ``xxhash64(seed, u, v)``
-(canonical endpoint order, so both endpoints see the SAME key). An edge
-joins the matching iff its key is the minimum among ALL edges incident
-to BOTH endpoints — local-minimum edges of a random total order are
-vertex-disjoint by construction (two adjacent edges share an endpoint,
-where only one can be that endpoint's minimum). Matched vertices leave;
-a constant expected fraction of edges drops per round, so the loop
-drains in O(log E) rounds w.h.p. — each round is ONE combine-enabled
-per-endpoint min aggregate + one join back to edges + one semi-join
-prune, all keyed on vertex ids.
+every round each edge draws a deterministic key ``(xxhash64(seed, u, v),
+u, v)`` (canonical endpoint order, so both endpoints see the SAME key;
+the trailing ``(u, v)`` breaks 64-bit hash ties lexicographically, making
+the per-round order a TRUE total order — without it two adjacent edges
+colliding on the hash could both pass the min-at-both-endpoints filter
+and hand the shared vertex two partners). An edge joins the matching iff
+its key is the minimum among ALL edges incident to BOTH endpoints —
+local-minimum edges of a total order are vertex-disjoint by construction
+(two adjacent edges share an endpoint, where only one can be that
+endpoint's minimum). Matched vertices leave; a constant expected
+fraction of edges drops per round, so the loop drains in O(log E) rounds
+w.h.p. — each round is ONE combine-enabled per-endpoint min aggregate +
+one join back to edges + one semi-join prune, all keyed on vertex ids.
+
+Checkpoint discipline: only the round's NEW pairs are materialized
+(write volume Σ|new pairs| = |matching|, not O(rounds x |matched|)), and
+the superseded edge frame is evicted as soon as its successor lands —
+disk high-water mark is one edge frame + the matching itself. Edge
+pruning anti-joins against just the new pairs: earlier rounds' matched
+vertices already have no surviving edges.
 
 Maximality: the loop only stops when no edges remain, and an edge only
 disappears when an endpoint matched — so no edge can survive with both
@@ -62,14 +72,24 @@ class MatchingBuilder:
         """Returns DataFrame[id, partner] — one row per MATCHED vertex
         (two rows per matched edge, symmetric); unmatched vertices are
         absent."""
+        from functools import reduce
+
         from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
 
         spark = self.graph.vertices.sparkSession
-        ckpt = ParquetCheckpointer(spark, self._checkpoint_dir)
+        # separate stores: edge frames are superseded every round and
+        # evicted eagerly; pair frames accumulate (they ARE the result)
+        base = self._checkpoint_dir.rstrip("/") if self._checkpoint_dir else None
+        ckpt_e = ParquetCheckpointer(
+            spark, None if base is None else base + "/edges"
+        )
+        ckpt_p = ParquetCheckpointer(
+            spark, None if base is None else base + "/pairs"
+        )
 
         # one canonical row per unordered pair, no self-loops
         obs = Observation()
-        edges = ckpt.push(
+        edges = ckpt_e.push(
             symmetrize_edges(self.graph.edges.select(SRC, DST), deduplicate=True)
             .filter(F.col(SRC) < F.col(DST))
             .observe(obs, F.count(F.lit(1)).alias("n")),
@@ -77,7 +97,7 @@ class MatchingBuilder:
         )
         n_edges = obs.get["n"]
 
-        matched = None
+        rounds = []
         rnd = 0
         while n_edges > 0:
             if rnd >= self.max_iter:
@@ -86,10 +106,16 @@ class MatchingBuilder:
                 raise GraphFrameError(
                     f"matching did not drain in {self.max_iter} rounds"
                 )
+            # total per-round order: hash first, then (src, dst) to break
+            # 64-bit hash collisions — struct min/equality is lexicographic
             keyed = edges.select(
                 SRC, DST,
-                F.xxhash64(
-                    F.lit(self.random_seed + rnd), F.col(SRC), F.col(DST)
+                F.struct(
+                    F.xxhash64(
+                        F.lit(self.random_seed + rnd), F.col(SRC), F.col(DST)
+                    ).alias("h"),
+                    F.col(SRC).alias("s"),
+                    F.col(DST).alias("d"),
                 ).alias("k"),
             )
             # per-endpoint minimum key: one explode-free union + min agg
@@ -114,27 +140,31 @@ class MatchingBuilder:
             pairs = won.select(F.col(SRC).alias(ID), F.col(DST).alias("partner")).unionByName(
                 won.select(F.col(DST).alias(ID), F.col(SRC).alias("partner"))
             )
-            matched = (
-                pairs if matched is None else matched.unionByName(pairs)
-            )
-            matched = ckpt.push(matched, f"match_m{rnd}")
+            # materialize ONLY this round's new pairs
+            pairs = ckpt_p.push(pairs, f"match_p{rnd}")
+            rounds.append(pairs)
 
-            gone = matched.select(ID)
+            # edges already exclude earlier rounds' matched vertices, so
+            # pruning only needs the vertices matched THIS round
+            gone = pairs.select(ID)
             obs = Observation()
-            edges = ckpt.push(
+            edges = ckpt_e.push(
                 edges.join(gone.withColumnRenamed(ID, SRC), SRC, "left_anti")
                 .join(gone.withColumnRenamed(ID, DST), DST, "left_anti")
                 .observe(obs, F.count(F.lit(1)).alias("n")),
                 f"match_e{rnd + 1}",
             )
+            ckpt_e.evict_all_but_latest(1)
             n_edges = obs.get["n"]
             rnd += 1
             self.iterations_ = rnd
-        if matched is None:
+        if not rounds:
             return self.graph.vertices.select(ID).limit(0).select(
                 ID, F.col(ID).alias("partner")
             )
-        return matched.select(ID, "partner")
+        return reduce(
+            lambda a, b: a.unionByName(b), rounds
+        ).select(ID, "partner")
 
 
 def vertex_cover_2approx(graph: GraphFrame, seed: int = 42, checkpoint_dir=None) -> DataFrame:

@@ -52,6 +52,16 @@ class _HadoopFS:
     def delete_recursive(self, path: str) -> None:
         self._fs.delete(self._path_cls(path), True)
 
+    def rename(self, src: str, dst: str) -> bool:
+        return self._fs.rename(self._path_cls(src), self._path_cls(dst))
+
+    def list_files(self, path: str) -> List[Tuple[str, int]]:
+        """[(name, size)] for direct children of ``path``."""
+        return [
+            (st.getPath().getName(), st.getLen())
+            for st in self._fs.listStatus(self._path_cls(path))
+        ]
+
     def has_parquet_parts(self, path: str) -> bool:
         p = self._path_cls(path)
         if not self._fs.exists(p):

@@ -147,8 +147,18 @@ def compact_parquet(
     sort_cols: Optional[Sequence[str]] = None,
 ) -> dict:
     """Small-file compaction for a plain parquet directory: rewrite to
-    ceil(total_bytes / target_file_mb) files (atomically via a sibling
-    temp dir + two renames — readers never see a half-written layout).
+    ceil(total_bytes / target_file_mb) files via a sibling temp dir + two
+    directory renames. Readers never see a HALF-WRITTEN layout (the new
+    files become visible only by the final rename), but the swap itself is
+    not atomic: between the two renames the table path briefly does not
+    exist, so a reader racing the swap can hit a transient not-found —
+    run compaction when the table has no concurrent readers, or point
+    readers at a catalog/manifest layer. All directory operations go
+    through the Hadoop ``FileSystem`` API resolved from the path's scheme
+    (same code path as the checkpointer), so ``file://``, ``hdfs://`` and
+    object stores with rename support work alike; note object-store
+    renames (``s3a://``) are copies, not metadata ops.
+
     Long-running ingest — streaming sinks, per-batch appends, hive
     partitions written task-per-task — accretes thousands of KB-sized
     files; each costs a scan task + a NameNode/liststatus entry, and at
@@ -157,14 +167,16 @@ def compact_parquet(
     the natural moment to restore clustering). Returns
     {files_before, files_after, bytes}."""
     import math
-    import os
-    import shutil
 
+    from graphframes_rs_spark.plans.checkpointer import _HadoopFS
+
+    fs = _HadoopFS(spark, path)
     files = [
-        f for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(".")
+        (name, size)
+        for name, size in fs.list_files(path)
+        if name.endswith(".parquet") and not name.startswith(".")
     ]
-    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    total = sum(size for _, size in files)
     n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
@@ -177,10 +189,12 @@ def compact_parquet(
     else:
         df.coalesce(n_out).write.mode("error").parquet(tmp)
     old = path.rstrip("/") + "__compact_old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    out_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    fs.rename(path.rstrip("/"), old)
+    fs.rename(tmp, path.rstrip("/"))
+    fs.delete_recursive(old)
+    out_files = [
+        name for name, _ in fs.list_files(path) if name.endswith(".parquet")
+    ]
     return {
         "files_before": len(files),
         "files_after": len(out_files),

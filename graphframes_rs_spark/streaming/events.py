@@ -16,6 +16,8 @@ per user with inter-event gap <= timeout.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -675,16 +677,20 @@ def funnel(
 def hourly_anomalies(
     events: DataFrame,
     ts_col: str = "ts",
-    value_col: str = "value",
+    value_col: Optional[str] = None,
     trailing: int = 24,
     z_threshold: float = 3.0,
 ) -> DataFrame:
     """[event_type, window_start_epoch, n_events, z, is_anomaly] — per-type
-    hourly event counts scored against their own trailing ``trailing``-hour
+    hourly metric scored against its own trailing ``trailing``-hour
     mean/stddev (frame ends at the PREVIOUS hour, so the scored point
-    never contaminates its own baseline). z is NULL for the warm-up hours
-    (frame shorter than 2 points or zero variance); the monitoring-table
-    query every event pipeline ends up needing.
+    never contaminates its own baseline). The metric is the hourly event
+    COUNT by default; pass ``value_col`` to score ``sum(value_col)`` per
+    hour instead (volume anomalies rather than rate anomalies — the
+    column is still named ``n_events`` so downstream schemas are stable).
+    z is NULL for the warm-up hours (frame shorter than 2 points or zero
+    variance); the monitoring-table query every event pipeline ends up
+    needing.
 
     Scale shape: one combine-enabled (type, hour) aggregate, then a window
     partitioned BY EVENT TYPE ordered by hour — each partition holds one
@@ -692,12 +698,17 @@ def hourly_anomalies(
     trailing frame is O(1) incremental per row."""
     from pyspark.sql.window import Window
 
+    metric = (
+        F.count(F.lit(1))
+        if value_col is None
+        else F.sum(F.col(value_col).cast("double"))
+    )
     hourly = (
         events.groupBy(
             F.col("event_type"),
             F.date_trunc("hour", F.col(ts_col)).alias("h"),
         )
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(metric.alias("n_events"))
     )
     w = (
         Window.partitionBy("event_type")
