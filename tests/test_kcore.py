@@ -96,6 +96,23 @@ def test_kcore_merge_pairs_matches_raw(spark):
         assert r["raw"] == r["packed"], f"case {r['id']}: {r['raw']} != {r['packed']}"
 
 
+def test_specialized_loop_equals_pregel(spark, tmp_path):
+    """The specialized single-exchange loop (default) must reach the same
+    fixpoint as the Pregel-client form on the bipartite lineitem graph."""
+    from graphframes_rs_spark.sources.graphs import lineitem_graph
+
+    g = lineitem_graph(spark, "/root/testdata/sf0.001")
+    fast = g.k_core().set_checkpoint_dir(str(tmp_path / "s")).run()
+    spark.conf.set("spark.graphframes.kcore.specializedLoop", "false")
+    try:
+        pregel = g.k_core().set_checkpoint_dir(str(tmp_path / "p")).run()
+    finally:
+        spark.conf.unset("spark.graphframes.kcore.specializedLoop")
+    a = {(r["id"], r["kcore"]) for r in fast.collect()}
+    b = {(r["id"], r["kcore"]) for r in pregel.collect()}
+    assert a == b
+
+
 def test_incremental_equals_full_rebroadcast(spark, tmp_path):
     """The delta-histogram protocol must match the reference's full
     re-aggregation round-for-round on the bipartite lineitem graph."""
