@@ -490,10 +490,12 @@ BENCH_QUERIES = {
     "scale_pagerank_18m": _bench_scale_pagerank("18m"),
     "scale_kcore_18m": _bench_scale_kcore("18m"),
     # power-law tier: same 18M-edge size, hub in-degree ~364k — measures
-    # skew handling, incl. the k-core count-compression dial as an explicit
-    # A/B on the graph shape it was built for (default OFF re-broadcasts
-    # raw estimates: the hub's whole neighbour list shuffles every round;
-    # _cc groupBy(id, estimate)-combines them map-side first)
+    # skew handling. The default k-core now runs the specialized
+    # single-exchange loop (spark.graphframes.kcore.specializedLoop,
+    # measured 38-47s vs 60-103s for the Pregel form on this tier); the
+    # _cc variant routes through the Pregel client with count-compressed
+    # messages, so the pair A/Bs specialized-loop vs Pregel+compression
+    # on the graph shape the compression dial was built for
     "scale_wcc_skew18m": _bench_scale_wcc("skew18m"),
     "scale_pagerank_skew18m": _bench_scale_pagerank("skew18m"),
     "scale_kcore_skew18m": _bench_scale_kcore("skew18m"),

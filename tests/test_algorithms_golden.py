@@ -33,6 +33,35 @@ def test_bfs_golden(spark, ckpt_dir):
         assert r["dist_1"] == r["expected"], f"vertex {r['id']}"
 
 
+def test_bfs_to_landmarks_golden_on_transpose(spark, ckpt_dir):
+    """to_landmarks (reversed BFS, shortest_paths.rs:187-198) checked
+    against the LDBC BFS golden: distance TO landmark 1 on the TRANSPOSED
+    fixture graph equals the golden distance FROM 1 on the original."""
+    from graphframes_rs_spark import GraphFrame
+
+    g = load_ldbc_graph(spark, LDBC_DIR, "test-bfs-directed")
+    transposed = GraphFrame(
+        g.vertices,
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    expected = load_ldbc_expected(spark, LDBC_DIR, "test-bfs-directed", "BFS")
+    sp = transposed.shortest_paths([1]).to_landmarks().set_checkpoint_dir(ckpt_dir)
+    result = sp.run()
+    joined = result.join(
+        expected, result["id"] == expected["vertex_id"], "inner"
+    ).select(
+        "id",
+        "dist_1",
+        F.when(F.col("expected") == I64_MAX, F.lit(INT_MAX))
+        .otherwise(F.col("expected"))
+        .alias("expected"),
+    )
+    rows = joined.collect()
+    assert len(rows) == g.num_nodes()
+    for r in rows:
+        assert r["dist_1"] == r["expected"], f"vertex {r['id']}"
+
+
 def test_wcc_golden(spark, ckpt_dir):
     g = load_ldbc_graph(spark, LDBC_DIR, "test-wcc-directed")
     expected = load_ldbc_expected(spark, LDBC_DIR, "test-wcc-directed", "WCC")
