@@ -295,6 +295,9 @@ class KCoreBuilder:
             .dropDuplicates([SRC, DST])
         )
         edges = _push(pinned, sym, DST, "edges", assume_partitioned=True)
+        # 0 when the edge frame was empty (push materializes nothing) —
+        # the final evict must then skip, not eat the result checkpoint
+        n_edge_ckpts = pinned.num_checkpoints
         # degree seed: exchange-free groupBy over the dst-clustered edges;
         # NOT materialized — it rides round 1's plan (isolated vertices
         # stay out of the loop entirely and join as 0 at the end)
@@ -359,7 +362,7 @@ class KCoreBuilder:
             .select(ID, F.coalesce(F.col(KCORE), F.lit(0)).alias(KCORE))
         )
         final = pinned.push(out, "final")
-        pinned.evict(1)  # the edges offload
+        pinned.evict(n_edge_ckpts)  # the edges offload (0 for empty graphs)
         rotating.purge()
         return final
 
