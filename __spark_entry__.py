@@ -2405,6 +2405,21 @@ def _q_events_anomaly(spark, sf_dir):
     )
 
 
+def _q_events_anomaly_value(spark, sf_dir):
+    """Value-scored variant: the hourly metric is sum(value) per type
+    (volume anomalies), exercising hourly_anomalies' value_col mode.
+    Same trailing-24h self-excluded baseline."""
+    events = load_table(spark, sf_dir, "events")
+    out = ev.hourly_anomalies(events, value_col="value")
+    return out.select(
+        "event_type",
+        "window_start_epoch",
+        F.round("n_events", 6).alias("n_events"),
+        F.coalesce("z", F.lit(0.0)).alias("z"),
+        "is_anomaly",
+    )
+
+
 def _q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-20 for {hash, join, spark}
     fused with the dense top-20 around embedding 0 (vec_id = doc_id) by
@@ -2705,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_walks": _q_weighted_walks,
         "node2vec_walks": _q_node2vec_walks,
         "hybrid_search": _q_hybrid_search,
+        "events_anomaly_value": _q_events_anomaly_value,
         "split_assign": _q_split_assign,
         "vocab_ids": _q_vocab_ids,
         "encode_docs": _q_encode_docs,
@@ -3341,6 +3357,23 @@ def oracle_sql() -> dict[str, str]:
             "WINDOW w AS (PARTITION BY event_type ORDER BY hh "
             "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
             "SELECT event_type, window_start_epoch, n_events, "
+            "COALESCE(CASE WHEN c >= 2 AND sd > 0 "
+            "THEN round((n_events - m) / sd, 6) END, 0.0) AS z, "
+            "COALESCE(abs(CASE WHEN c >= 2 AND sd > 0 "
+            "THEN round((n_events - m) / sd, 6) END) > 3.0, false) AS is_anomaly "
+            "FROM s"
+        ),
+        "events_anomaly_value": (
+            "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh, "
+            "sum(value) AS n_events FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, (epoch_ms(hh) // 1000) AS window_start_epoch, "
+            "n_events, "
+            "avg(n_events::DOUBLE) OVER w AS m, "
+            "stddev_samp(n_events::DOUBLE) OVER w AS sd, "
+            "count(*) OVER w AS c FROM h "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY hh "
+            "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+            "SELECT event_type, window_start_epoch, round(n_events, 6) AS n_events, "
             "COALESCE(CASE WHEN c >= 2 AND sd > 0 "
             "THEN round((n_events - m) / sd, 6) END, 0.0) AS z, "
             "COALESCE(abs(CASE WHEN c >= 2 AND sd > 0 "
