@@ -546,15 +546,29 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Smoke/debug filter: SPARK_GRAFT_BENCH_ONLY="q1,q2" runs just those
+    # queries (skipping scale-tier prep they don't need). Unset = full run.
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
+    bench_queries = (
+        {k: v for k, v in BENCH_QUERIES.items() if k in only}
+        if only
+        else BENCH_QUERIES
+    )
+
     # Untimed warmup: exercises codegen/JIT, the Python-worker pool, and the
     # parquet readers once so the first timed query measures the engine, not
     # JVM startup (standard steady-state benchmarking practice).
     warm = entry.entry(spark)
     warm.count()
-    for tier in SCALE_TIERS:  # untimed: input generation is not the query
-        _prepare_scale_graph(spark, tier)
-    _prepare_scale_docs(spark)  # untimed, same reason
-    _prepare_scale_emb(spark)
+    if any(n.startswith("scale_") for n in bench_queries):
+        for tier in SCALE_TIERS:  # untimed: input generation is not the query
+            _prepare_scale_graph(spark, tier)
+        _prepare_scale_docs(spark)  # untimed, same reason
+        _prepare_scale_emb(spark)
 
     # The iterative graph algorithms run many short jobs and are the most
     # sensitive to JVM/GC state (observed ±40% across identical runs, and
@@ -592,7 +606,7 @@ def main():
         jvm.System.gc()
 
     timings = {}
-    for name, fn in BENCH_QUERIES.items():
+    for name, fn in bench_queries.items():
         if name.startswith("scale_"):
             _gc_barrier()
         if name in REPEATED:
@@ -641,9 +655,10 @@ def main():
         "sf": float(sf),
         "scale_graph": SCALE_TIERS,
     }
-    with open(prev_path, "w") as f:
-        json.dump(detail, f, indent=1)
-        f.write("\n")
+    if not only:  # a filtered smoke run must not clobber the baseline
+        with open(prev_path, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
     # Full per-query detail on a PENULTIMATE line (may exceed the driver's
     # tail-capture window; also persisted to BENCH_DETAIL.json above) ...
     print(json.dumps(detail, separators=(",", ":")))
