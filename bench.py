@@ -586,7 +586,10 @@ def main():
         # (measured motif 9.1s cold vs 4.7-6s warm)
         "motif_triangles", "hits_big", "random_walks",
     }
-    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_cc", "scale_matching_6m"}
+    # (scale_matching_6m moved to best-of-2 after a single-shot run recorded
+    # 60.8s against a 15-21s isolated range — late-session JVM state, not
+    # the operator; best-of-2 bounds that slot-position noise)
+    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_cc"}
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
     # enough that best-of-3 would dominate wall-clock; best-of-2
     BEST_OF_2 = {"mst_big", "kmeans_big"}
