@@ -33,7 +33,7 @@ O(1) distributed rounds the surviving graph fits in a single task no
 matter the starting size (100 TB in, a few MB of contracted edges out).
 Distributed rounds then waste a full job cycle per ~1000 edges, so once
 the edge count drops below ``spark.graphframes.wcc.localFinishEdges``
-(default 1M, ≈ 16 MB) the remaining contraction runs as ONE single-task
+(default 500k, ≈ 8 MB) the remaining contraction runs as ONE single-task
 union-find over ``mapInPandas`` and the loop ends. Results are identical:
 the finisher emits a representative mapping exactly like a contraction
 round does, and back-propagation composes it the same way.
