@@ -813,7 +813,9 @@ def _feature_prop_sql(rounds: int = 2, alpha: float = 0.5) -> str:
     return (
         "WITH "
         + ", ".join(ctes)
-        + " SELECT id, list_transform(f, x -> round(x, 6)) AS features "
+        + f" SELECT id, CAST(0 AS INTEGER) AS feat_idx, "
+        f"round(f[1], 6) AS feature FROM f{rounds} "
+        f"UNION ALL SELECT id, CAST(1 AS INTEGER), round(f[2], 6) "
         f"FROM f{rounds}"
     )
 
@@ -836,9 +838,13 @@ def _q_feature_propagation(spark, sf_dir):
         ).alias("features"),
     )
     out = feature_propagation(g, feats, rounds=2, alpha=0.5)
+    # exploded scalar form (id, feat_idx, feature): the driver comparator
+    # cannot sort array columns (same policy as pagerank_parallel)
     return out.select(
         "id",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        F.posexplode(
+            F.transform("features", lambda x: F.round(x, 6))
+        ).alias("feat_idx", "feature"),
     )
 
 
@@ -1402,15 +1408,27 @@ def _q_asof_join(spark, sf_dir):
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "value"
     )
-    return asof_join(purchases, clicks, "user_id")
+    out = asof_join(purchases, clicks, "user_id")
+    # NULL-free entry policy: purchases with no prior click carry epoch-0 /
+    # -1 sentinels instead of NULLs (the library keeps the NULLs)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            "ts_right", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("ts_right"),
+        F.coalesce("value_right", F.lit(-1.0)).alias("value_right"),
+    )
 
 
 _ASOF_SQL = (
     "WITH p AS (SELECT event_id, user_id, ts FROM events "
     "WHERE event_type = 'purchase'), "
     "c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click') "
-    "SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_right, "
-    "c.value AS value_right "
+    "SELECT p.event_id, p.user_id, p.ts, "
+    "COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS ts_right, "
+    "COALESCE(c.value, -1.0) AS value_right "
     "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts"
 )
 
@@ -2459,10 +2477,19 @@ def _q_vocab_ids(spark, sf_dir):
 
 def _q_encode_docs(spark, sf_dir):
     """Documents encoded as vocabulary-id sequences (min_count=50 so some
-    tokens fall out-of-vocab and exercise the unk path)."""
+    tokens fall out-of-vocab and exercise the unk path). The id sequence
+    is '-'-joined for the driver comparator (array columns are
+    unsortable there); the operator keeps its array API."""
     docs = load_table(spark, sf_dir, "documents")
     vocab = txt.build_vocab(docs, min_count=50)
-    return txt.encode_documents(docs, vocab)
+    out = txt.encode_documents(docs, vocab)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws("-", F.col("token_ids").cast("array<string>")).alias(
+            "token_ids_str"
+        ),
+    )
 
 
 def _q_doc_entropy(spark, sf_dir):
@@ -3440,7 +3467,8 @@ def oracle_sql() -> dict[str, str]:
             "unnest(range(0, len(string_split(lower(text), ' ')))) AS pos, "
             "unnest(string_split(lower(text), ' ')) AS token FROM documents) "
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-            "list(COALESCE(v.token_id, -1) ORDER BY p.pos) AS token_ids "
+            "array_to_string(list(COALESCE(v.token_id, -1) ORDER BY p.pos), '-') "
+            "AS token_ids_str "
             "FROM p LEFT JOIN v USING (token) GROUP BY doc_id"
         ),
         "doc_entropy": (
