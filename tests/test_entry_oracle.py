@@ -47,6 +47,20 @@ def _canon(rows, cols):
 def test_query_matches_oracle(spark, duck, name):
     assert name in QUERIES, f"oracle {name} has no queries() entry"
     sdf = QUERIES[name](spark, SF_DIR)
+    # POLICY: entries must be scalar-typed — the driver's pandas
+    # canonicalizer cannot sort array/map/struct columns (round-5 reds).
+    # Serialize arrays ('->'-join) or posexplode them at the entry level.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed columns {complex_cols} are not "
+        "driver-comparable; scalarize them in the entry projection"
+    )
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
