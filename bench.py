@@ -286,20 +286,28 @@ def _bench_scale_pagerank(tier):
     return run
 
 
-def _bench_scale_kcore(tier, count_compression=False):
+def _bench_scale_kcore(tier, pregel=False):
     # fixed 5 supersteps: full convergence on the random graph takes ~15
     # rounds (a long constant-work tail), so the bench measures a fixed
     # superstep budget — identical work across rounds/tiers, so the timing
     # is a throughput signal, not a convergence-length signal.
+    # pregel=True forces the Pregel-client form (the specialized loop's
+    # A/B baseline; the count-compressed (value, cnt) aggregate is already
+    # built into the specialized loop's round shape).
     def run(spark, sf_dir):
         g = _scale_graph(spark, tier)
-        kc = (
-            g.k_core()
-            .with_count_compression(count_compression)
-            .max_iterations(5)
-            .set_checkpoint_dir(tempfile.mkdtemp())
-        )
-        return kc.run()
+        if pregel:
+            spark.conf.set("spark.graphframes.kcore.specializedLoop", "false")
+        try:
+            kc = (
+                g.k_core()
+                .max_iterations(5)
+                .set_checkpoint_dir(tempfile.mkdtemp())
+            )
+            return kc.run()
+        finally:
+            if pregel:
+                spark.conf.unset("spark.graphframes.kcore.specializedLoop")
 
     return run
 
@@ -490,16 +498,16 @@ BENCH_QUERIES = {
     "scale_pagerank_18m": _bench_scale_pagerank("18m"),
     "scale_kcore_18m": _bench_scale_kcore("18m"),
     # power-law tier: same 18M-edge size, hub in-degree ~364k — measures
-    # skew handling. The default k-core now runs the specialized
-    # single-exchange loop (spark.graphframes.kcore.specializedLoop,
-    # measured 38-47s vs 60-103s for the Pregel form on this tier); the
-    # _cc variant routes through the Pregel client with count-compressed
-    # messages, so the pair A/Bs specialized-loop vs Pregel+compression
-    # on the graph shape the compression dial was built for
+    # skew handling. The default k-core runs the specialized
+    # single-exchange loop (spark.graphframes.kcore.specializedLoop); the
+    # _pregel arm is the standing A/B against the generic Pregel-client
+    # form (round-6 measurements: 38-47s specialized vs 60-103s Pregel on
+    # this tier; the old _cc arm became redundant once the count-compressed
+    # (value, cnt) aggregate was built into the specialized round shape)
     "scale_wcc_skew18m": _bench_scale_wcc("skew18m"),
     "scale_pagerank_skew18m": _bench_scale_pagerank("skew18m"),
     "scale_kcore_skew18m": _bench_scale_kcore("skew18m"),
-    "scale_kcore_skew18m_cc": _bench_scale_kcore("skew18m", count_compression=True),
+    "scale_kcore_skew18m_pregel": _bench_scale_kcore("skew18m", pregel=True),
     # Borůvka MSF over the 6M-edge tier: 8 contraction rounds, ~2M tree
     # edges; per-round cost = one combine-enabled min agg + local-finish
     # root resolution + two relabel joins
@@ -589,7 +597,7 @@ def main():
     # (scale_matching_6m moved to best-of-2 after a single-shot run recorded
     # 60.8s against a 15-21s isolated range — late-session JVM state, not
     # the operator; best-of-2 bounds that slot-position noise)
-    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_cc"}
+    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_pregel"}
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
     # enough that best-of-3 would dominate wall-clock; best-of-2
     BEST_OF_2 = {"mst_big", "kmeans_big"}
