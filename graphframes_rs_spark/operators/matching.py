@@ -8,19 +8,26 @@ every matched edge), graph coarsening levels, and load-balanced
 pairwise work assignment.
 
 Algorithm (Israeli-Itai-style, derandomized per round by a seeded hash):
-every round each edge draws a deterministic key ``(xxhash64(seed, u, v),
-u, v)`` (canonical endpoint order, so both endpoints see the SAME key;
-the trailing ``(u, v)`` breaks 64-bit hash ties lexicographically, making
-the per-round order a TRUE total order — without it two adjacent edges
-colliding on the hash could both pass the min-at-both-endpoints filter
-and hand the shared vertex two partners). An edge joins the matching iff
-its key is the minimum among ALL edges incident to BOTH endpoints —
-local-minimum edges of a total order are vertex-disjoint by construction
-(two adjacent edges share an endpoint, where only one can be that
-endpoint's minimum). Matched vertices leave; a constant expected
-fraction of edges drops per round, so the loop drains in O(log E) rounds
-w.h.p. — each round is ONE combine-enabled per-endpoint min aggregate +
-one join back to edges + one semi-join prune, all keyed on vertex ids.
+every round each edge draws a deterministic key ``xxhash64(seed, u, v)``
+(canonical endpoint order, so both endpoints see the SAME key). An edge
+joins the matching iff its key is the minimum among ALL edges incident
+to BOTH endpoints — local-minimum edges of a random order are
+vertex-disjoint (two adjacent edges share an endpoint, where only one
+can be that endpoint's minimum) UNLESS two adjacent edges collide on
+the 64-bit key. Collisions are repaired, not prevented: preventing them
+needs a (key, u, v) total order whose ``min(struct)`` aggregate Spark
+plans as a SortAggregate — a full sort of the 2|E| endpoint rows every
+round — while the plain long min stays a codegen'd partial-aggregating
+HashAggregate. Instead, the winner set (≤ |V|/2 rows) is checked for
+vertices holding two partners and every pair touching such a vertex is
+dropped back into the pool for the next round — deterministic, exact,
+and the check costs one count aggregate plus two anti-joins over the
+small winner frame (empty in practice: adjacent-edge 64-bit collisions
+are ~2^-64 per pair). Matched vertices leave; a constant expected
+fraction of edges drops per round, so the loop drains in O(log E)
+rounds w.h.p. — each round is ONE combine-enabled per-endpoint min
+aggregate + one join back to edges + one semi-join prune, all keyed on
+vertex ids.
 
 Checkpoint discipline: only the round's NEW pairs are materialized
 (write volume Σ|new pairs| = |matching|, not O(rounds x |matched|)), and
@@ -46,6 +53,22 @@ from graphframes_rs_spark.graphframe import (
     SRC,
     symmetrize_edges,
 )
+
+
+def _repair_collisions(pairs: DataFrame) -> DataFrame:
+    """Drop every (id, partner) row touching a vertex that holds two
+    partners — the 64-bit key-collision repair (see module docstring).
+    ``pairs`` is symmetric (both directions per matched edge); the result
+    is too: both anti-joins retract both directions of a bad edge."""
+    conflicted = (
+        pairs.groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select(ID)
+    )
+    return pairs.join(conflicted, ID, "left_anti").join(
+        conflicted.withColumnRenamed(ID, "partner"), "partner", "left_anti"
+    )
 
 
 class MatchingBuilder:
@@ -106,16 +129,13 @@ class MatchingBuilder:
                 raise GraphFrameError(
                     f"matching did not drain in {self.max_iter} rounds"
                 )
-            # total per-round order: hash first, then (src, dst) to break
-            # 64-bit hash collisions — struct min/equality is lexicographic
+            # plain long key: the per-endpoint min stays a codegen'd
+            # HashAggregate (a (k, src, dst) struct would force a
+            # SortAggregate over 2|E| rows — see module docstring)
             keyed = edges.select(
                 SRC, DST,
-                F.struct(
-                    F.xxhash64(
-                        F.lit(self.random_seed + rnd), F.col(SRC), F.col(DST)
-                    ).alias("h"),
-                    F.col(SRC).alias("s"),
-                    F.col(DST).alias("d"),
+                F.xxhash64(
+                    F.lit(self.random_seed + rnd), F.col(SRC), F.col(DST)
                 ).alias("k"),
             )
             # per-endpoint minimum key: one explode-free union + min agg
@@ -140,6 +160,10 @@ class MatchingBuilder:
             pairs = won.select(F.col(SRC).alias(ID), F.col(DST).alias("partner")).unionByName(
                 won.select(F.col(DST).alias(ID), F.col(SRC).alias("partner"))
             )
+            # collision repair on the SMALL winner set: a vertex with two
+            # partners means two adjacent edges drew the same 64-bit key —
+            # drop every pair touching it; its edges retry next round
+            pairs = _repair_collisions(pairs)
             # materialize ONLY this round's new pairs
             pairs = ckpt_p.push(pairs, f"match_p{rnd}")
             rounds.append(pairs)

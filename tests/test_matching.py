@@ -81,3 +81,18 @@ def test_vertex_cover_covers_every_edge(spark, ckpt_dir):
     g = _graph(spark, edges, 12)
     cover = {r["id"] for r in vertex_cover_2approx(g, checkpoint_dir=ckpt_dir).collect()}
     assert all(a in cover or b in cover for a, b in edges)
+
+
+def test_collision_repair_drops_conflicted_pairs(spark):
+    """A vertex holding two partners (64-bit key collision between two
+    adjacent winning edges) must be fully retracted — both directions of
+    both bad edges — while unrelated matches survive."""
+    from graphframes_rs_spark.operators.matching import _repair_collisions
+
+    pairs = spark.createDataFrame(
+        # conflicted: vertex 1 matched to both 2 and 3; clean: 10-11
+        [(1, 2), (2, 1), (1, 3), (3, 1), (10, 11), (11, 10)],
+        "id long, partner long",
+    )
+    out = sorted((r["id"], r["partner"]) for r in _repair_collisions(pairs).collect())
+    assert out == [(10, 11), (11, 10)]
