@@ -15,7 +15,12 @@ Spark-first design:
   component labels, so the per-component choice is ONE
   ``groupBy(component).min(struct(weight, src, dst, other))`` — Spark's
   map-side partial min makes it combine-enabled, never a shuffle of
-  whole posting lists.
+  whole posting lists. The struct min plans as a SortAggregate (struct
+  buffers are not hash-aggregable), which was MEASURED to beat the
+  obvious two-pass alternative (HashAgg min(weight) + join-back +
+  struct-min over tie candidates): 1.1-2.6s vs 3.0-5.6s per round on the
+  6M-edge tier — the join's second pass over the 2|E| rows costs more
+  than the partial sort saves. Keep the single aggregate.
 - The chosen-edge graph (one out-edge per component) is a pseudoforest
   whose cycles are provably 2-cycles: the min is taken over a TOTAL
   order ``struct(weight, src, dst)``, so a pointer cycle must ride a
