@@ -2438,6 +2438,37 @@ def _q_events_anomaly_value(spark, sf_dir):
     )
 
 
+def _q_gapfill_locf(spark, sf_dir):
+    """TimescaleDB-style time_bucket_gapfill, LOCF fill: 15-minute grid
+    per event type over the value>9 subsample (~56% of grid buckets are
+    gaps at sf0.01). Oracle: the same grid + IGNORE-NULLS window carry in
+    DuckDB SQL."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value") > 9)
+    return ev.time_bucket_gapfill(events, bucket_s=900, method="locf")
+
+
+def _q_gapfill_linear(spark, sf_dir):
+    """Gap-fill with linear interpolation between the surrounding observed
+    buckets (trailing gaps fall back to locf). Oracle: identical
+    prev/next IGNORE-NULLS window lookups and the same interpolation
+    expression order."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value") > 9)
+    return ev.time_bucket_gapfill(events, bucket_s=900, method="linear")
+
+
+_GAPFILL_BASE_SQL = (
+    "o AS (SELECT event_type, (epoch_ms(ts) // 1000) // 900 * 900 "
+    "AS bucket_epoch, avg(value) AS v FROM events WHERE value > 9 "
+    "GROUP BY 1, 2), "
+    "s AS (SELECT event_type, min(bucket_epoch) AS lo, "
+    "max(bucket_epoch) AS hi FROM o GROUP BY 1), "
+    "g AS (SELECT event_type, unnest(range(lo, hi + 900, 900)) "
+    "AS bucket_epoch FROM s), "
+    "j AS (SELECT g.event_type, g.bucket_epoch, o.v FROM g "
+    "LEFT JOIN o USING (event_type, bucket_epoch))"
+)
+
+
 def _q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-20 for {hash, join, spark}
     fused with the dense top-20 around embedding 0 (vec_id = doc_id) by
@@ -2748,6 +2779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,
         "hybrid_search": _q_hybrid_search,
         "events_anomaly_value": _q_events_anomaly_value,
+        "gapfill_locf": _q_gapfill_locf,
+        "gapfill_linear": _q_gapfill_linear,
         "split_assign": _q_split_assign,
         "vocab_ids": _q_vocab_ids,
         "encode_docs": _q_encode_docs,
@@ -3389,6 +3422,35 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(abs(CASE WHEN c >= 2 AND sd > 0 "
             "THEN round((n_events - m) / sd, 6) END) > 3.0, false) AS is_anomaly "
             "FROM s"
+        ),
+        "gapfill_locf": (
+            f"WITH {_GAPFILL_BASE_SQL} "
+            "SELECT event_type, bucket_epoch, "
+            "round(last_value(v IGNORE NULLS) OVER ("
+            "PARTITION BY event_type ORDER BY bucket_epoch "
+            "ROWS UNBOUNDED PRECEDING), 6) AS value, "
+            "v IS NULL AS is_gap FROM j"
+        ),
+        "gapfill_linear": (
+            f"WITH {_GAPFILL_BASE_SQL}, "
+            "w AS (SELECT event_type, bucket_epoch, v, "
+            "last_value(v IGNORE NULLS) OVER ("
+            "PARTITION BY event_type ORDER BY bucket_epoch "
+            "ROWS UNBOUNDED PRECEDING) AS pv, "
+            "last_value(CASE WHEN v IS NOT NULL THEN bucket_epoch END "
+            "IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_epoch "
+            "ROWS UNBOUNDED PRECEDING) AS pt, "
+            "first_value(v IGNORE NULLS) OVER ("
+            "PARTITION BY event_type ORDER BY bucket_epoch "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+            "first_value(CASE WHEN v IS NOT NULL THEN bucket_epoch END "
+            "IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket_epoch "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt FROM j) "
+            "SELECT event_type, bucket_epoch, "
+            "round(CASE WHEN v IS NOT NULL THEN v "
+            "WHEN nt IS NULL THEN pv "
+            "ELSE pv + (nv - pv) * (bucket_epoch - pt) / (nt - pt) END, 6) "
+            "AS value, v IS NULL AS is_gap FROM w"
         ),
         "events_anomaly_value": (
             "WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh, "

@@ -728,3 +728,87 @@ def hourly_anomalies(
         z.alias("z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    method: str = "locf",
+) -> DataFrame:
+    """[<key>, bucket_epoch, value, is_gap] — a TimescaleDB-style
+    ``time_bucket_gapfill``: per key, the regular ``bucket_s``-second grid
+    from the key's first observed bucket to its last, with the observed
+    buckets carrying ``avg(value_col)`` and the missing ones synthesized
+    and filled by ``method``:
+
+    * ``"locf"`` — carry the last observed bucket's value forward;
+    * ``"linear"`` — interpolate between the surrounding observed buckets
+      (trailing gaps, which have no next observation, fall back to locf).
+
+    The grid is bounded by observation (first..last bucket per key), so a
+    key's leading bucket is always observed — no leading-NULL case exists
+    and the output is NULL-free by construction.
+
+    Scale shape: one combine-enabled (key, bucket) aggregate over the raw
+    events, then per-key work bounded by TIMELINE length (buckets elapsed,
+    not event count): the grid is a ``sequence()`` explode off the per-key
+    min/max span, and the fills are IGNORE-NULLS window lookups over the
+    key's own grid partition. At 100 TB of events the only full-size pass
+    is the first aggregate; everything after is |keys| x |buckets|."""
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown gapfill method {method!r}")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s) * bucket_s
+    ).cast("long")
+    observed = (
+        events.select(F.col(key_col), bucket.alias("bucket_epoch"),
+                      F.col(value_col).alias("__v"))
+        .groupBy(key_col, "bucket_epoch")
+        .agg(F.avg("__v").alias("__v"))
+    )
+    grid = (
+        observed.groupBy(key_col)
+        .agg(F.min("bucket_epoch").alias("__lo"), F.max("bucket_epoch").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(bucket_s))
+            ).alias("bucket_epoch"),
+        )
+    )
+    joined = grid.join(observed, [key_col, "bucket_epoch"], "left")
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_v = F.last("__v", ignorenulls=True).over(w_prev)
+    if method == "locf":
+        filled = prev_v
+    else:
+        w_next = (
+            Window.partitionBy(key_col)
+            .orderBy("bucket_epoch")
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        obs_t = F.when(F.col("__v").isNotNull(), F.col("bucket_epoch"))
+        prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
+        next_v = F.first("__v", ignorenulls=True).over(w_next)
+        next_t = F.first(obs_t, ignorenulls=True).over(w_next)
+        filled = F.when(F.col("__v").isNotNull(), F.col("__v")).otherwise(
+            F.when(next_t.isNull(), prev_v).otherwise(
+                prev_v
+                + (next_v - prev_v)
+                * (F.col("bucket_epoch") - prev_t)
+                / (next_t - prev_t)
+            )
+        )
+    return joined.select(
+        key_col,
+        "bucket_epoch",
+        F.round(filled, 6).alias("value"),
+        F.col("__v").isNull().alias("is_gap"),
+    )

