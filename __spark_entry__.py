@@ -2469,6 +2469,47 @@ _GAPFILL_BASE_SQL = (
 )
 
 
+def _q_ewma_counts(spark, sf_dir):
+    """EWMA-smoothed hourly event rate per type (alpha=0.3), the alerting
+    baseline series. The fold evaluates ``0.3*x + 0.7*prev`` JVM-side in
+    that operand order; the oracle's recursive CTE replays the identical
+    IEEE-754 expression, so the doubles match bit-for-bit before the
+    6-dp round."""
+    return ev.ewma_counts(
+        load_table(spark, sf_dir, "events"), alpha=0.3, bucket_s=3600
+    )
+
+
+def _q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: per
+    source, exactly 5 docs with inclusion probability proportional to
+    n_chars (deterministic md5-derived u). Oracle: the identical
+    -ln(u)/w exponential keys and row_number ordering in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.weighted_sample_topk(
+        docs, weight_col="n_chars", k=5, strata_col="source", seed=42
+    )
+    return out.select("source", "doc_id", "n_chars", "sample_rank")
+
+
+def _q_reciprocity(spark, sf_dir):
+    """Global digraph statistics (reciprocity + density) on the dense
+    97-residue graph (src = l_orderkey % 97, dst = l_partkey % 97,
+    distinct) — partially reciprocal by construction. Oracle: EXISTS
+    self-join over the same deduplicated non-loop edge set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 97).cast("long").alias("src"),
+        (F.col("l_partkey") % 97).cast("long").alias("dst"),
+    ).distinct()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return GraphFrame(vertices, edges).reciprocity()
+
+
 def _q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: BM25 lexical top-20 for {hash, join, spark}
     fused with the dense top-20 around embedding 0 (vec_id = doc_id) by
@@ -2781,6 +2822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_value": _q_events_anomaly_value,
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_linear": _q_gapfill_linear,
+        "ewma_counts": _q_ewma_counts,
+        "weighted_sample": _q_weighted_sample,
+        "reciprocity": _q_reciprocity,
         "split_assign": _q_split_assign,
         "vocab_ids": _q_vocab_ids,
         "encode_docs": _q_encode_docs,

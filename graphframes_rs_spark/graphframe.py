@@ -387,6 +387,50 @@ class GraphFrame:
             ).alias("assortativity")
         )
 
+    def reciprocity(self) -> DataFrame:
+        """One-row DataFrame[num_vertices, num_edges, reciprocal_edges,
+        reciprocity, density] — global directed-graph statistics:
+        reciprocity is the fraction of (non-loop, distinct) directed
+        edges whose reverse edge also exists (1.0 on symmetric graphs,
+        0.0 on DAGs); density is |E| / (|V|·(|V|−1)), the filled
+        fraction of the possible directed simple edges. Empty edge sets
+        report NULL reciprocity (0/0) rather than a division blow-up.
+
+        Not in the reference (its metric surface stops at degrees —
+        SURVEY.md §2.1); standard digraph statistic (Newman,
+        "Networks", §7.10) added for engine completeness.
+
+        Scale shape: one distinct over the edge set, one self-join on
+        the reversed key pair to count mutual edges (equi-join on both
+        columns — hash join, combine-enabled count), one row out.
+        Nothing quadratic, nothing driver-side."""
+        e = (
+            self.edges.select(SRC, DST)
+            .filter(F.col(SRC) != F.col(DST))
+            .distinct()
+        )
+        rev = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        stats = e.agg(F.count(F.lit(1)).alias("__m")).crossJoin(
+            e.join(rev, [SRC, DST], "left_semi").agg(
+                F.count(F.lit(1)).alias("__r")
+            )
+        ).crossJoin(self.vertices.agg(F.count(F.lit(1)).alias("__n")))
+        return stats.select(
+            F.col("__n").alias("num_vertices"),
+            F.col("__m").alias("num_edges"),
+            F.col("__r").alias("reciprocal_edges"),
+            F.round(
+                F.when(F.col("__m") > 0, F.col("__r") / F.col("__m")), 6
+            ).alias("reciprocity"),
+            F.round(
+                F.when(
+                    F.col("__n") > 1,
+                    F.col("__m") / (F.col("__n") * (F.col("__n") - F.lit(1))),
+                ),
+                6,
+            ).alias("density"),
+        )
+
     def hits(self) -> "HITSBuilder":
         from graphframes_rs_spark.operators.hits import HITSBuilder
 

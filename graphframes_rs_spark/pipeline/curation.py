@@ -411,3 +411,63 @@ def train_val_test_split(
         .when(bucket < c2, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    strata_col: Optional[str] = None,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement: per stratum (or
+    globally when ``strata_col`` is None), pick exactly ``k`` rows with
+    inclusion probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis exponential-key scheme (IPL 97(5), 2006): draw
+    u ~ U(0,1) per row, order by the key ``-ln(u) / w`` ascending, take
+    the first ``k``. Rows with non-positive or NULL weight are excluded
+    (they'd have infinite keys).
+
+    Deterministic like every sampler in this module: ``u`` derives from
+    ``hash60(seed:stratum:key)`` (``(bucket + 0.5) / resolution``, never
+    exactly 0 or 1), so re-runs, re-partitionings, and a SQL oracle all
+    select the identical set. Output adds ``sample_rank`` (1-based
+    position in the stratum's key order).
+
+    Scale shape: the key is a narrow per-row projection; per-stratum
+    top-k is one rank window (single shuffle on the stratum key, and
+    Spark's WindowGroupLimit pushes the rank<=k filter into partial
+    top-k sorts map-side — no stratum ever materializes fully sorted).
+    The global variant uses one all-rows window partition: prefer
+    strata, or at 100 TB swap in orderBy(key).limit(k) which
+    tree-reduces per-partition top-k on the driver-free path."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    strata = (
+        F.col(strata_col).cast("string")
+        if strata_col is not None
+        else F.lit("")
+    )
+    key = F.concat_ws(
+        ":", F.lit(str(seed)), strata, F.col(key_col).cast("string")
+    )
+    u = (
+        F.pmod(hash60(key), F.lit(resolution)).cast("double") + F.lit(0.5)
+    ) / F.lit(float(resolution))
+    es_key = -F.log(u) / F.col(weight_col).cast("double")
+    from pyspark.sql.window import Window
+
+    part = (
+        Window.partitionBy(strata_col) if strata_col is not None else Window.partitionBy()
+    )
+    ranked = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es", es_key)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(part.orderBy(F.col("__es"), F.col(key_col))),
+        )
+    )
+    return ranked.filter(F.col("sample_rank") <= k).drop("__es")

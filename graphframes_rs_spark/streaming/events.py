@@ -812,3 +812,76 @@ def time_bucket_gapfill(
         F.round(filled, 6).alias("value"),
         F.col("__v").isNull().alias("is_gap"),
     )
+
+
+def ewma_counts(
+    events: DataFrame,
+    alpha: float = 0.3,
+    bucket_s: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """[<key>, bucket_epoch, n_events, ewma] — exponentially weighted
+    moving average of the per-bucket event count over each key's observed
+    buckets in time order, the standard smoothed-rate series behind
+    alerting baselines:
+
+        y_0 = x_0;   y_t = alpha * x_t + (1 - alpha) * y_{t-1}
+
+    The recursion runs JVM-side as a higher-order ``aggregate`` fold over
+    the key's time-sorted (bucket, count) array — no Python worker, no
+    per-row UDF. The fold evaluates ``alpha * x + (1 - alpha) * prev``
+    with exactly that operand order, so an oracle replaying the identical
+    IEEE-754 expression (e.g. a DuckDB recursive CTE) reproduces the
+    doubles bit-for-bit; inputs are integer counts, so there is no
+    upstream float-summation ambiguity either.
+
+    Scale shape: one combine-enabled (key, bucket) count over the raw
+    events is the only full-size pass; the fold's state is bounded by
+    TIMELINE length per key (buckets elapsed, not event count), the same
+    contract as :func:`time_bucket_gapfill`. The growing-accumulator
+    concat is O(T^2) element copies per key — fine for the
+    years-of-hourly-buckets regime (T ~ 1e4); for longer series lower the
+    resolution or split the timeline."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s) * bucket_s
+    ).cast("long")
+    observed = (
+        events.select(F.col(key_col), bucket.alias("bucket_epoch"))
+        .groupBy(key_col, "bucket_epoch")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    packed = observed.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_epoch", "n_events"))
+        ).alias("__s")
+    )
+    a = F.lit(float(alpha))
+    b = F.lit(float(1.0 - alpha))
+    folded = packed.withColumn(
+        "__e",
+        F.aggregate(
+            "__s",
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.when(
+                        F.size(acc) == 0, x["n_events"].cast("double")
+                    ).otherwise(
+                        a * x["n_events"].cast("double")
+                        + b * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        ),
+    )
+    pair = F.posexplode(F.arrays_zip("__s", "__e"))
+    return folded.select(F.col(key_col), pair.alias("__i", "__z")).select(
+        key_col,
+        F.col("__z.__s.bucket_epoch").alias("bucket_epoch"),
+        F.col("__z.__s.n_events").alias("n_events"),
+        F.round(F.col("__z.__e"), 6).alias("ewma"),
+    )
