@@ -599,8 +599,11 @@ def main():
     # the operator; best-of-2 bounds that slot-position noise)
     SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_pregel"}
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
-    # enough that best-of-3 would dominate wall-clock; best-of-2
-    BEST_OF_2 = {"mst_big", "kmeans_big"}
+    # enough that best-of-3 would dominate wall-clock; best-of-2.
+    # knn_components added after r6 recorded 7.6s vs r5's 4.4s with NO
+    # code change on its path — re-measure under best-of-2 + GC barrier
+    # before believing the regression.
+    BEST_OF_2 = {"mst_big", "kmeans_big", "knn_components"}
 
     def _gc_barrier():
         # Cache drop + double full GC with a settle pause. One System.gc()
@@ -618,7 +621,7 @@ def main():
 
     timings = {}
     for name, fn in bench_queries.items():
-        if name.startswith("scale_"):
+        if name.startswith("scale_") or name in BEST_OF_2:
             _gc_barrier()
         if name in REPEATED:
             runs = 3
@@ -688,15 +691,20 @@ def main():
     for name in headline:
         if name in timings:
             compact_q[name] = round(timings[name], 2)
-    while compact_q:
-        line = json.dumps(
+
+    def _compact_line() -> str:
+        return json.dumps(
             {"metric": "total_bench_seconds", "value": total, "unit": "sec",
              "queries": compact_q, "sf": float(sf), "detail": "BENCH_DETAIL.json"},
             separators=(",", ":"),
         )
-        if len(line) <= 1000:
-            break
+
+    # always defined (compact_q may start empty under SPARK_GRAFT_BENCH_ONLY),
+    # and re-serialized after the last popitem so the cap genuinely holds
+    line = _compact_line()
+    while len(line) > 1000 and compact_q:
         compact_q.popitem()
+        line = _compact_line()
     print(line)
     spark.stop()
 

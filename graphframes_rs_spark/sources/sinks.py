@@ -188,9 +188,27 @@ def compact_parquet(
         )
     else:
         df.coalesce(n_out).write.mode("error").parquet(tmp)
+    # Hadoop FileSystem.rename signals failure by returning false, not
+    # by raising — check each step, and if the second rename fails roll
+    # the original directory back before raising: deleting ``old``
+    # unconditionally would destroy the only remaining copy.
     old = path.rstrip("/") + "__compact_old"
-    fs.rename(path.rstrip("/"), old)
-    fs.rename(tmp, path.rstrip("/"))
+    if not fs.rename(path.rstrip("/"), old):
+        fs.delete_recursive(tmp)
+        raise IOError(
+            f"compact_parquet: rename {path!r} -> {old!r} failed; "
+            "table left untouched, temp output removed"
+        )
+    if not fs.rename(tmp, path.rstrip("/")):
+        restored = fs.rename(old, path.rstrip("/"))
+        raise IOError(
+            f"compact_parquet: rename {tmp!r} -> {path!r} failed; "
+            + (
+                "original table restored"
+                if restored
+                else f"ROLLBACK ALSO FAILED — data is at {old!r}"
+            )
+        )
     fs.delete_recursive(old)
     out_files = [
         name for name, _ in fs.list_files(path) if name.endswith(".parquet")

@@ -688,6 +688,14 @@ def hourly_anomalies(
     COUNT by default; pass ``value_col`` to score ``sum(value_col)`` per
     hour instead (volume anomalies rather than rate anomalies — the
     column is still named ``n_events`` so downstream schemas are stable).
+
+    .. versionchanged:: round 6
+       ``value_col`` used to be accepted but IGNORED (the body always
+       counted, default ``"value"``). It now actually switches the metric
+       to ``sum(value_col)`` and defaults to ``None`` (count mode) — a
+       caller that explicitly passed ``value_col="value"`` under the old
+       signature was silently getting counts and now gets sums; drop the
+       argument to keep the old behavior.
     z is NULL for the warm-up hours (frame shorter than 2 points or zero
     variance); the monitoring-table query every event pipeline ends up
     needing.

@@ -93,3 +93,23 @@ def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
     assert df.columns == ["id", "pagerank"]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_driver_safe(duck, name):
+    """Entry policy: no oracle may emit a HUGEINT (or UHUGEINT) column.
+    The driver compares through a pandas round-trip, where DuckDB's
+    HUGEINT — the un-CAST ``sum()`` of any integer column — degrades to
+    float64 (121.0) while Spark emits int64 (121): raw values equal,
+    value-hash red (the round-6 ``conductance`` defect). DESCRIBE plans
+    the query without running it, so this lint is cheap and exact where
+    a ``CAST``-regex lint would be brittle."""
+    bad = [
+        (col, typ)
+        for col, typ, *_ in duck.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+        if "HUGEINT" in typ.upper()
+    ]
+    assert not bad, (
+        f"{name}: oracle emits HUGEINT columns {bad}; wrap the aggregate "
+        "in CAST(... AS BIGINT) so the driver's pandas path keeps int64"
+    )

@@ -5,8 +5,17 @@ comparator's tolerance is unknown, so any entry that only matches after
 rounding is a driver-red risk: its floats should be rounded IN the query
 and IN the oracle SQL, not by the comparator.
 
-Reports per-entry: exact match / float drift (max abs delta) / hard
-mismatch. Usage: python tools/strict_compare.py [name ...]
+The oracle side is fetched via ``fetchdf()`` (the driver's pandas path),
+and each column's pandas dtype KIND is compared against the kind the
+Spark schema maps to — this catches representation bugs the raw
+``fetchall()`` comparison is blind to, e.g. an un-CAST DuckDB ``sum()``
+returning HUGEINT, which pandas renders as float64 (121.0) while Spark
+emits int64 (121): raw values equal, driver hash red (the round-6
+``conductance`` defect).
+
+Reports per-entry: exact match / dtype-kind mismatch / float drift
+(max abs delta) / hard mismatch. Usage:
+python tools/strict_compare.py [name ...]
 """
 
 import math
@@ -17,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
 from graphframes_rs_spark.sources.tables import TABLES  # noqa: E402
@@ -32,6 +42,23 @@ def _key(row, float_digits=6):
         else:
             out.append(v)
     return tuple(out)
+
+
+def spark_pandas_kind(dt) -> str:
+    """The pandas dtype kind a NULL-free Spark column of type ``dt``
+    lands on after toPandas (the entry policy forbids NULLs, so the
+    nullable-int-to-float pandas promotion never applies)."""
+    if isinstance(
+        dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, T.TimestampType):
+        return "M"
+    return "O"
 
 
 def main():
@@ -58,19 +85,36 @@ def main():
         try:
             sdf = fn(spark, SF_DIR)
             cols = sdf.columns
+            s_kinds = {
+                f.name: spark_pandas_kind(f.dataType)
+                for f in sdf.schema.fields
+            }
             order = sorted(range(len(cols)), key=lambda i: cols[i])
             s_rows = sorted(
                 tuple(_key([r[i] for i in order], 12)) for r in sdf.collect()
             )
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
+            # the driver's pandas path: dtype kinds come from fetchdf,
+            # where e.g. HUGEINT (an un-CAST sum) degrades to float64
+            ddf = con.execute(oracles[name]).fetchdf()
+            d_cols = list(ddf.columns)
+            d_kinds = {c: ddf[c].dtype.kind for c in d_cols}
             d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
             d_rows = sorted(
-                tuple(_key([r[i] for i in d_order], 12)) for r in res.fetchall()
+                tuple(_key([r[i] for i in d_order], 12))
+                for r in ddf.itertuples(index=False, name=None)
             )
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: ERROR {exc}", flush=True)
             risky.append((name, "error"))
+            continue
+        kind_diffs = {
+            c: (s_kinds.get(c), d_kinds.get(c))
+            for c in set(s_kinds) | set(d_kinds)
+            if s_kinds.get(c) != d_kinds.get(c)
+        }
+        if kind_diffs:
+            print(f"{name}: KIND_MISMATCH {kind_diffs}", flush=True)
+            risky.append((name, f"dtype kinds {kind_diffs}"))
             continue
         if s_rows == d_rows:
             print(f"{name}: exact", flush=True)
