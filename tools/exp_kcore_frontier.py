@@ -74,18 +74,18 @@ def main():
         new_est = ckpt.push(new_est, f"est{rnd}")
         changed = new_est.filter("chg").count()
         # vertices adjacent to a change = what a frontier round recomputes
-        affected = (
-            edges.join(
-                new_est.filter("chg").select(F.col("id").alias("src")), "src", "leftsemi"
-            )
-            .select("dst")
-            .distinct()
-            .count()
-        )
+        chg_src = new_est.filter("chg").select(F.col("id").alias("src"))
+        affected_v = edges.join(chg_src, "src", "leftsemi").select("dst").distinct()
+        affected = affected_v.count()
+        # EDGE rows whose src is affected = the shuffle volume a frontier
+        # round still pays; this fraction of 2|E| bounds the saving
+        affected_edges = edges.join(
+            affected_v.select(F.col("dst").alias("src")), "src", "leftsemi"
+        ).count()
         est = new_est.select("id", "kcore")
         print(
             f"round {rnd}: changed={changed} affected_next={affected} "
-            f"sec={time.monotonic() - t0:.1f}",
+            f"affected_edges={affected_edges} sec={time.monotonic() - t0:.1f}",
             flush=True,
         )
         if changed == 0:

@@ -56,7 +56,8 @@ def spark_pandas_kind(dt) -> str:
         return "f"
     if isinstance(dt, T.BooleanType):
         return "b"
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        # Arrow-backed toPandas lands DateType on datetime64 too
         return "M"
     return "O"
 
@@ -84,14 +85,31 @@ def main():
             continue
         try:
             sdf = fn(spark, SF_DIR)
-            cols = sdf.columns
-            s_kinds = {
+            # toPandas, not collect: the driver compares pandas-to-pandas,
+            # so e.g. a NULL double is NaN on BOTH sides (collect() would
+            # give None on the Spark side and false-flag entries like
+            # snapshot_diff whose inserted/deleted rows carry NULL bals)
+            spdf = sdf.toPandas()
+            cols = list(spdf.columns)
+            s_kinds = {c: spdf[c].dtype.kind for c in cols}
+            schema_kinds = {
                 f.name: spark_pandas_kind(f.dataType)
                 for f in sdf.schema.fields
             }
+            degraded = {
+                c: (schema_kinds[c], s_kinds[c])
+                for c in cols
+                if schema_kinds.get(c) not in (None, s_kinds[c])
+            }
+            if degraded:
+                # NULLs degraded a Spark column's pandas dtype (int64 ->
+                # float64/object) — worth knowing, but the driver sees the
+                # degraded kind, so compare with that
+                print(f"{name}: note: null-degraded kinds {degraded}", flush=True)
             order = sorted(range(len(cols)), key=lambda i: cols[i])
             s_rows = sorted(
-                tuple(_key([r[i] for i in order], 12)) for r in sdf.collect()
+                tuple(_key([r[i] for i in order], 12))
+                for r in spdf.itertuples(index=False, name=None)
             )
             # the driver's pandas path: dtype kinds come from fetchdf,
             # where e.g. HUGEINT (an un-CAST sum) degrades to float64
