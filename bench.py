@@ -500,14 +500,14 @@ BENCH_QUERIES = {
     # power-law tier: same 18M-edge size, hub in-degree ~364k — measures
     # skew handling. The default k-core runs the specialized
     # single-exchange loop (spark.graphframes.kcore.specializedLoop); the
-    # _pregel arm is the standing A/B against the generic Pregel-client
-    # form (round-6 measurements: 38-47s specialized vs 60-103s Pregel on
-    # this tier; the old _cc arm became redundant once the count-compressed
+    # _pregel A/B arm (specialized 38-47s vs Pregel 60-103s on this tier,
+    # round 6; the old _cc arm became redundant once the count-compressed
     # (value, cnt) aggregate was built into the specialized round shape)
+    # settled the design question, so the ~75s arm now runs only under
+    # SPARK_GRAFT_BENCH_AB=1 instead of taxing every round
     "scale_wcc_skew18m": _bench_scale_wcc("skew18m"),
     "scale_pagerank_skew18m": _bench_scale_pagerank("skew18m"),
     "scale_kcore_skew18m": _bench_scale_kcore("skew18m"),
-    "scale_kcore_skew18m_pregel": _bench_scale_kcore("skew18m", pregel=True),
     # Borůvka MSF over the 6M-edge tier: 8 contraction rounds, ~2M tree
     # edges; per-round cost = one combine-enabled min agg + local-finish
     # root resolution + two relabel joins
@@ -561,10 +561,15 @@ def main():
         for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if q.strip()
     }
+    all_queries = dict(BENCH_QUERIES)
+    if os.environ.get("SPARK_GRAFT_BENCH_AB"):
+        all_queries["scale_kcore_skew18m_pregel"] = _bench_scale_kcore(
+            "skew18m", pregel=True
+        )
     bench_queries = (
-        {k: v for k, v in BENCH_QUERIES.items() if k in only}
+        {k: v for k, v in all_queries.items() if k in only}
         if only
-        else BENCH_QUERIES
+        else all_queries
     )
 
     # Untimed warmup: exercises codegen/JIT, the Python-worker pool, and the
@@ -596,8 +601,13 @@ def main():
     }
     # (scale_matching_6m moved to best-of-2 after a single-shot run recorded
     # 60.8s against a 15-21s isolated range — late-session JVM state, not
-    # the operator; best-of-2 bounds that slot-position noise)
-    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m", "scale_kcore_skew18m_pregel"}
+    # the operator; best-of-2 bounds that slot-position noise.
+    # scale_kcore_skew18m likewise: r6's single-shot 50.1s vs a 31.6s warm
+    # isolated run — with the pregel A/B arm now opt-in, the skew tier
+    # measures steady-state like every other scale tier. The A/B arm stays
+    # single-shot: it exists for the ratio, and doubling a ~75s query
+    # isn't worth de-noising an already-settled comparison.)
+    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m_pregel"}
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
     # enough that best-of-3 would dominate wall-clock; best-of-2.
     # knn_components added after r6 recorded 7.6s vs r5's 4.4s with NO

@@ -260,6 +260,20 @@ class KCoreBuilder:
         numbers are apples-to-apples across the two forms. Isolated
         vertices never enter the loop; they join as coreness 0 at the end.
         Reference semantics: k_core.rs:66-144, kcore_merge.rs:29-55.
+
+        Measured negative — frontier restriction (round 7): recomputing
+        only vertices adjacent to a change sounds like it should skip the
+        settled majority, but on the skew18m tier the EDGE-weighted
+        affected fraction (tools/exp_kcore_frontier.py) decays too slowly
+        for the 7-refinement budget: rounds 2-7 still touch 97/89/76/62/
+        48/46% of the 36M symmetrized edge rows, bounding the saving at
+        ~20% of round stream volume; the affected set itself is 1.7-5.9M
+        ids (only broadcastable from round 6 on), and computing it costs
+        an extra edges-vs-changed semi-join plus a distinct per round.
+        Net expected gain ~2s of a 31.6s warm isolated run (prep 5.7s +
+        7 rounds at a flat ~3.2-4.8s each, change-count-independent) —
+        not worth the second code path. The flat per-round floor is the
+        single full-size exchange itself, which is the design.
         """
         from pyspark.sql import Observation
 
