@@ -1812,6 +1812,18 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Near-dup clusters with the survivor chosen by QUALITY (argmax via
+    one combine-enabled max_by aggregate, ties -> lowest doc_id) — the
+    curation form of dedup: min-id canonicals throw away the best-written
+    copy whenever it isn't the smallest id. Oracle: the dedup_clusters
+    recursive-CTE closure + the quality expression + a row_number argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_keep_best(
+        docs, threshold=JACCARD_T, max_doc_freq=None, checkpoint_dir=_ckpt()
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark-overlap check: distinct 3-gram collisions of every train
     doc (doc_id % 100 != 0) against the deterministic eval split."""
@@ -3004,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -3214,6 +3227,23 @@ def oracle_sql() -> dict[str, str]:
     )
     cos_ab = _cosine_sql("a.v", "b.v")
     cos_qn = _cosine_sql("q.qv", "b.nv")
+    # shared by dedup_clusters / dedup_keep_best: recursive closure over
+    # the exact n-gram-Jaccard pair graph, ending at the `reach` CTE
+    dedup_cluster_cte = (
+        f"WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES_SQL}), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), "
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS c FROM sh a "
+        "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
+        "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j "
+        "FROM common JOIN sizes sa ON doc_a = sa.doc_id "
+        f"JOIN sizes sb ON doc_b = sb.doc_id) WHERE j >= {JACCARD_T}), "
+        "ue AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach AS (SELECT doc_id AS x, doc_id AS y FROM documents "
+        "UNION SELECT r.x, e.v FROM reach r JOIN ue e ON r.y = e.u)"
+    )
 
     return {
         "graph_counts": (
@@ -4379,21 +4409,22 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "dedup_clusters": (
             # WCC closure over the exact jaccard pair graph, min-member labels
-            f"WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES_SQL}), "
-            "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), "
-            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "CAST(count(*) AS BIGINT) AS c FROM sh a "
-            "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-            "pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ("
-            "SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS j "
-            "FROM common JOIN sizes sa ON doc_a = sa.doc_id "
-            f"JOIN sizes sb ON doc_b = sb.doc_id) WHERE j >= {JACCARD_T}), "
-            "ue AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs "
-            "UNION ALL SELECT doc_b, doc_a FROM pairs), "
-            "reach AS (SELECT doc_id AS x, doc_id AS y FROM documents "
-            "UNION SELECT r.x, e.v FROM reach r JOIN ue e ON r.y = e.u) "
-            "SELECT x AS doc_id, min(y) AS cluster, x = min(y) AS is_canonical "
+            dedup_cluster_cte
+            + " SELECT x AS doc_id, min(y) AS cluster, x = min(y) AS is_canonical "
             "FROM reach GROUP BY x"
+        ),
+        "dedup_keep_best": (
+            # same closure, survivor = argmax quality (ties -> lowest id)
+            dedup_cluster_cte
+            + ", cl AS (SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x), "
+            f"qs AS (SELECT doc_id, {quality} AS quality FROM documents), "
+            "rk AS (SELECT cl.doc_id, cl.cluster, qs.quality, "
+            "row_number() OVER (PARTITION BY cl.cluster "
+            "ORDER BY qs.quality DESC, cl.doc_id) AS rn "
+            "FROM cl JOIN qs USING (doc_id)), "
+            "sv AS (SELECT cluster, doc_id AS survivor FROM rk WHERE rn = 1) "
+            "SELECT rk.doc_id, rk.cluster, rk.quality, sv.survivor, "
+            "rk.doc_id = sv.survivor AS keep FROM rk JOIN sv USING (cluster)"
         ),
         "decontaminate": (
             f"WITH sh AS MATERIALIZED ({_SHINGLES_SQL}), "

@@ -404,6 +404,65 @@ def duplicate_clusters(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[doc_id, cluster, quality, survivor, keep] — near-dup clusters with
+    the representative chosen by QUALITY instead of by id: per cluster
+    keep the highest :func:`~graphframes_rs_spark.pipeline.text.quality_score`
+    document (ties broken toward the lowest doc_id, so the choice is
+    total and deterministic). This is the form a curation pass actually
+    wants — :func:`duplicate_clusters`' min-id canonical throws away the
+    best-written copy whenever it doesn't happen to carry the smallest id
+    (C4/Gopher-style pipelines keep the highest-quality duplicate).
+
+    Scale design: clustering cost is :func:`duplicate_clusters` (only
+    near-dup pairs enter the WCC); on top of it this adds one corpus-size
+    equi-join (cluster labels x scores, on doc_id), one combine-enabled
+    ``max_by`` per cluster (argmax rides a struct ordering — no window,
+    no per-cluster sort), and one join of the |clusters|-sized survivor
+    frame back on the cluster key. Nothing quadratic, nothing driver-side.
+    """
+    from graphframes_rs_spark.pipeline.text import quality_score
+
+    clusters = duplicate_clusters(
+        docs,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+        checkpoint_dir=checkpoint_dir,
+    ).select("doc_id", "cluster")
+    scored = docs.select(
+        F.col("doc_id"), quality_score(F.col(text_col)).alias("quality")
+    )
+    labeled = clusters.join(scored, "doc_id")
+    # argmax(quality, then min doc_id) as a plain aggregate: max_by over
+    # the (quality, -doc_id) struct ordering — partial-aggregatable, so
+    # a giant cluster never concentrates a sort in one task
+    best = labeled.groupBy("cluster").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(
+                F.col("quality").alias("q"),
+                (-F.col("doc_id")).alias("tie"),
+            ),
+        ).alias("survivor")
+    )
+    return labeled.join(best, "cluster").select(
+        "doc_id",
+        "cluster",
+        "quality",
+        "survivor",
+        (F.col("doc_id") == F.col("survivor")).alias("keep"),
+    )
+
+
 def semantic_dedup_clusters(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -390,6 +390,37 @@ def test_duplicate_clusters_transitivity(spark, tmp_path):
     assert out[13]["cluster"] == 13 and out[13]["is_canonical"]
 
 
+def test_dedup_keep_best_survivor_by_quality(spark, tmp_path):
+    """The survivor must be the highest-quality cluster member even when
+    it is NOT the min doc_id (the case duplicate_clusters' min-id
+    canonical gets wrong), ties broken toward the lowest doc_id; the
+    per-doc quality column must equal text.quality_score."""
+    # doc 21 is the near-dup of 20 but longer/cleaner -> higher quality;
+    # both well over the 0.3 jaccard threshold on 3-shingles
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests under a tree while the dog watches the road for a while"
+    )
+    degraded = base.replace("the ", "th3 ")  # same shingle skeleton mostly
+    docs = spark.createDataFrame(
+        [(20, degraded), (21, base), (30, "zz qq xx " * 3)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_keep_best(
+        docs, threshold=0.2, checkpoint_dir=str(tmp_path / "kb")).collect()}
+    assert len(out) == 3
+    assert out[20]["cluster"] == out[21]["cluster"] == 20
+    # survivor = 21 (higher quality), NOT the min-id canonical 20
+    q = {r["doc_id"]: r["quality"] for r in docs.select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality")).collect()}
+    assert q[21] > q[20], "fixture must make the non-min-id doc better"
+    assert out[20]["survivor"] == 21 and not out[20]["keep"]
+    assert out[21]["survivor"] == 21 and out[21]["keep"]
+    assert out[21]["quality"] == q[21]
+    # singleton survives itself
+    assert out[30]["survivor"] == 30 and out[30]["keep"]
+
+
 def test_decontamination_single_pass_plan(spark):
     """The self-split path must explode the corpus once per side — exactly
     two Generate nodes (train + eval-subset), totals and collisions fused
