@@ -1265,6 +1265,23 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _q_ann_topk_scan(spark, sf_dir):
+    """Exact top-k with the base DISTRIBUTED and the query set broadcast —
+    the dual of cosine_topk_blas for the serving-shaped case (huge base,
+    few queries): one mapInPandas BLAS scan emits per-batch candidate ids
+    (bounded |q|*(k+margin) per batch), then the exact sequential-fold SQL
+    cosine rescores and ranks, so results are bit-identical to ann_topk.
+    Oracle: identical to ann_topk (same semantics by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk_scan(emb, queries, k=ANN_K)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _recall_gate(exact, approx):
     """[query_id, recall_ok]: per-query recall@k of ``approx`` against the
     exact top-k, gated at RECALL_MIN_HITS/ANN_K. Both inputs are
@@ -3021,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
+        "ann_topk_scan": _q_ann_topk_scan,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "image_features": _q_image_features,
@@ -3227,6 +3245,18 @@ def oracle_sql() -> dict[str, str]:
     )
     cos_ab = _cosine_sql("a.v", "b.v")
     cos_qn = _cosine_sql("q.qv", "b.nv")
+    # shared by ann_topk / ann_topk_scan: exact cosine ranking
+    ann_topk_sql = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        "FROM embeddings WHERE vec_id < 10), "
+        "b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings), "
+        f"s AS (SELECT query_id, neighbor_id, round({cos_qn}, 6) AS cosine "
+        "FROM b CROSS JOIN q WHERE query_id <> neighbor_id), "
+        "r AS (SELECT *, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank "
+        "FROM s) "
+        f"SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {ANN_K}"
+    )
     # shared by dedup_clusters / dedup_keep_best: recursive closure over
     # the exact n-gram-Jaccard pair graph, ending at the `reach` CTE
     dedup_cluster_cte = (
@@ -4560,17 +4590,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.id < b.id) "
             f"SELECT * FROM s WHERE cosine >= {NEARDUP_COS_T}"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
-            "FROM embeddings WHERE vec_id < 10), "
-            "b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings), "
-            f"s AS (SELECT query_id, neighbor_id, round({cos_qn}, 6) AS cosine "
-            "FROM b CROSS JOIN q WHERE query_id <> neighbor_id), "
-            "r AS (SELECT *, CAST(row_number() OVER ("
-            "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank "
-            "FROM s) "
-            f"SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {ANN_K}"
-        ),
+        "ann_topk": ann_topk_sql,
+        # bit-identical semantics by construction (exact-fold rescore of
+        # the BLAS-scanned candidates) -> the same oracle
+        "ann_topk_scan": ann_topk_sql,
         "image_features": (
             # analytic integration of the synthetic pixel formula: channel c
             # of image m averages (m*31 + (3i+c)*7) % 256 over i in [0, 48)

@@ -630,10 +630,11 @@ def cosine_topk_blas(
     (the per-pair higher-order-function fold is interpreted; measured
     58s -> 3s on a 2000x2000 self-kNN at d=64).
 
-    The base side must fit a broadcast (rows x d doubles). That is the
-    exact-kNN contract at any scale — when the base itself is huge, use
-    :func:`ivf_topk` / :func:`lsh_topk`, which bound what each query
-    scans."""
+    The base side must fit a broadcast (rows x d doubles). When the base
+    is huge and the QUERY set is the small side, use
+    :func:`cosine_topk_scan` — the exact dual (queries broadcast, base
+    stays distributed) — or :func:`ivf_topk` / :func:`lsh_topk` to bound
+    what each query scans approximately."""
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
@@ -678,6 +679,102 @@ def cosine_topk_blas(
 
     return q.mapInPandas(
         score, "query_id long, neighbor_id long, cosine double, rank int"
+    )
+
+
+def cosine_topk_scan(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_margin: int = 8,
+) -> DataFrame:
+    """[query_id, neighbor_id, cosine, rank] — same exact contract as
+    :func:`cosine_topk` / :func:`cosine_topk_blas` (cosine rounded to 6,
+    ties by ascending neighbor id, self-matches excluded), shaped for the
+    serving case ``cosine_topk_blas`` cannot scale to: the BASE is huge
+    and stays fully distributed; only the QUERY set is collected and
+    broadcast (the bounded side — |queries| x d doubles, the exact dual
+    of the blas variant's base-collect contract).
+
+    Dataflow: one ``mapInPandas`` scan of the base scores every Arrow
+    batch against the whole query matrix in a single BLAS matmul and
+    keeps the per-batch top ``k + batch_margin`` candidate IDS per query
+    — so each batch emits at most |queries| x (k+margin) rows no matter
+    the batch size, and the scan's output is bounded by
+    |queries| x (k+margin) x n_batches, never by |base|. The candidates
+    are then re-scored with the exact sequential-fold SQL cosine (two
+    broadcast joins of the tiny candidate set back to the vectors) and
+    ranked with one WindowGroupLimit top-k — so BLAS floating-point
+    summation order affects only WHICH candidates are pre-selected
+    (protected by the margin against sub-ulp rounding-boundary flips),
+    never the reported scores or their order: results are bit-identical
+    to the expression path.
+
+    Scale shape at 100 TB: two base scans (score + rescore-probe via a
+    broadcast hash join, no shuffle of the base either time), one
+    candidate-sized shuffle. No driver-side materialization of anything
+    data-sized."""
+    from pyspark.sql.functions import pandas_udf  # noqa: F401  (arrow path)
+
+    qpd = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).toPandas()
+    )
+    if qpd.empty:
+        raise ValueError("cosine_topk_scan: empty query set")
+    q_ids = qpd["query_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    take_n = k + max(batch_margin, 0)
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            bm = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            s = np.round(qm @ bm.T, 6)  # (nq, nb)
+            s[q_ids[:, None] == b_ids[None, :]] = -np.inf
+            nb = s.shape[1]
+            t = min(take_n, nb)
+            order = np.lexsort((b_ids[None, :].repeat(len(q_ids), 0), -s), axis=1)
+            take = order[:, :t]
+            rows = np.repeat(np.arange(len(q_ids)), t)
+            cols = take.ravel()
+            keep = ~np.isinf(s[rows, cols])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[rows[keep]],
+                    "neighbor_id": b_ids[cols[keep]],
+                }
+            )
+
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    cand = base.mapInPandas(partial_topk, "query_id long, neighbor_id long")
+    qv_side = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    rescored = (
+        base.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv_side), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

@@ -132,6 +132,27 @@ def test_cosine_topk_exact(spark, embeddings):
         assert all(r["neighbor_id"] != qid for r in ranked)
 
 
+def test_cosine_topk_scan_equals_expression_path(spark, embeddings):
+    """The distributed-base BLAS scan must be BIT-identical to the
+    expression path — same ids, same rounded scores, same ranks (the
+    exact-fold rescore guarantees it; the margin protects the candidate
+    preselection), including when the base is split across many small
+    Arrow batches (partial top-k per batch must still cover the global
+    winners)."""
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    expect = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk(embeddings, queries, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.cosine_topk_scan(
+            embeddings.repartition(16), queries, k=5
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_lsh_topk_recall_against_bruteforce(spark, embeddings):
     queries = embeddings.filter(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(embeddings, queries, k=5)
