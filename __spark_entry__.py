@@ -1676,6 +1676,25 @@ def _q_ann_pq(spark, sf_dir):
     return _recall_gate(exact, approx)
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVFADC composite (coarse inverted lists bound the rows scanned,
+    PQ residual codes bound the bytes shipped — the production 1e9+
+    vector shape): nlist=16, nprobe=12, m=8 x 6 bits on residuals, ADC
+    top-200 re-ranked exactly. Measured min per-query recall@5 at these
+    dials is 0.8 at sf0.01 (the misses are coarse-probe misses, gone at
+    nprobe=nlist), exactly the 4/5 gate."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=ANN_K)
+    approx = similarity.ivfpq_topk(
+        emb, queries, k=ANN_K, nlist=IVF_NLIST, nprobe=12, m=8, nbits=6,
+        rerank=200,
+    )
+    return _recall_gate(exact, approx)
+
+
 def _q_ann_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -3041,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_scan": _q_ann_topk_scan,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivfpq": _q_ann_ivfpq,
         "image_features": _q_image_features,
         "image_dims": _q_image_dims,
         "audio_features": _q_audio_features,
@@ -4157,6 +4177,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE vec_id < 10"
         ),
         "ann_pq": (
+            "SELECT vec_id AS query_id, true AS recall_ok "
+            "FROM embeddings WHERE vec_id < 10"
+        ),
+        "ann_ivfpq": (
             "SELECT vec_id AS query_id, true AS recall_ok "
             "FROM embeddings WHERE vec_id < 10"
         ),

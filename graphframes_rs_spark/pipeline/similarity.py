@@ -510,6 +510,179 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """IVFADC — the :func:`ivf_topk` x :func:`pq_topk` composition
+    production ANN systems deploy at 1e9+ vectors (Jégou, Douze & Schmid,
+    TPAMI'11 §V): the coarse inverted-file quantizer bounds WHICH rows a
+    query scans (~nprobe/nlist of the base), and product-quantized
+    RESIDUAL codes (v̂ - centroid, sharper than coding raw vectors
+    because residual variance is what's left after the coarse step)
+    bound the BYTES each scanned row ships — 64-d float64 = 512 B down
+    to ``m * ceil(nbits/8)`` + one list id. Scoring is asymmetric:
+    cos(q, v) ≈ <q̂, centroid_l> + Σ_j LUT[j][code_j], with the per-query
+    LUTs and the (nq x nlist) centroid-dot table both tiny UDF-closure
+    constants; the ADC top-``rerank`` per query is re-scored with the
+    exact sequential-fold SQL cosine, so quantization error affects only
+    WHICH candidates are considered, never the reported scores (same
+    contract as every ANN operator here).
+
+    Scale shape: both fits are hash-ordered sample-bounded (no
+    count-star, driver holds ~100*max(nlist, 2^nbits) rows); encoding is
+    one narrow Arrow-batched pass; candidate generation is ONE equi-join
+    of codes against the broadcast (query, probed-list) frame; nothing
+    data-sized is collected. Requires ``dim % m == 0``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    ncodes = 2 ** nbits
+    if nbits < 1 or nbits > 8:
+        raise ValueError("nbits must be in [1, 8]")
+    if rerank < k:
+        raise ValueError("rerank must be >= k")
+
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    spark = base.sparkSession
+
+    # one sample feeds BOTH fits (coarse centroids + residual codebooks)
+    fit_sample = max(100 * max(nlist, ncodes), 256)
+    train_pd = (
+        base.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+        .limit(fit_sample)
+        .select("nv")
+        .toPandas()
+    )
+    sample = np.stack(train_pd["nv"].to_numpy())
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(nrm == 0, 1.0, nrm)
+
+    # coarse quantizer: seeded MLlib KMeans on the normalized sample
+    # (same topK-threshold discipline as ivf_topk's fit)
+    train = spark.createDataFrame(
+        [(list(map(float, r)),) for r in sample], "nv array<double>"
+    ).select(array_to_vector("nv").alias("features")).cache()
+    topk_key = "spark.sql.execution.topKSortFallbackThreshold"
+    prev_topk = spark.conf.get(topk_key, None)
+    try:
+        if prev_topk is None or fit_sample >= int(prev_topk):
+            spark.conf.set(topk_key, str(fit_sample + 1))
+        model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
+    finally:
+        train.unpersist()
+        if prev_topk is None:
+            spark.conf.unset(topk_key)
+        else:
+            spark.conf.set(topk_key, prev_topk)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    # residual codebooks: PQ fit on (sample - assigned centroid)
+    d2s = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    resid = sample - centers[d2s.argmin(axis=1)]
+    books = _pq_fit(resid, m, ncodes, seed)
+    sub = dim // m
+
+    @pandas_udf("array<int>")
+    def assign_encode(v: pd.Series) -> pd.Series:
+        # element 0 = coarse list id, elements 1..m = residual PQ codes
+        x = np.stack(v.to_numpy())
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(n == 0, 1.0, n)
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lists = d2.argmin(axis=1).astype("int32")
+        r = x - centers[lists]
+        out = np.empty((len(x), m + 1), dtype="int32")
+        out[:, 0] = lists
+        for j in range(m):
+            rs = r[:, j * sub : (j + 1) * sub]
+            dd = ((rs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j + 1] = dd.argmin(axis=1)
+        return pd.Series(list(out))
+
+    # query-side constants: normalized queries, probed lists, centroid
+    # dots, residual LUTs — all O(nq * (nlist + m * ncodes)) doubles
+    qpd = q.toPandas()
+    if qpd.empty:
+        raise ValueError("ivfpq_topk: empty query set")
+    qids = qpd["query_id"].to_numpy(dtype=np.int64)
+    qx = np.stack(qpd["qv"].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(qx, axis=1, keepdims=True)
+    qx = qx / np.where(qn == 0, 1.0, qn)
+    qc = qx @ centers.T  # (nq, nlist): <q̂, centroid_l>
+    luts = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
+    qd2 = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probe_n = min(nprobe, nlist)
+    probe_idx = np.argsort(qd2, axis=1)[:, :probe_n]
+
+    probed = spark.createDataFrame(
+        [
+            (int(qi), int(qids[qi]), int(l))
+            for qi in range(len(qids))
+            for l in probe_idx[qi]
+        ],
+        "__qi int, query_id long, list_id int",
+    )
+
+    @pandas_udf("double")
+    def adc(codes: pd.Series, qi: pd.Series) -> pd.Series:
+        c = np.stack(codes.to_numpy())  # (n, m+1): [list_id, code_0..]
+        i = qi.to_numpy()
+        s = qc[i, c[:, 0]] + luts[i[:, None], np.arange(m)[None, :], c[:, 1:]].sum(
+            axis=1
+        )
+        return pd.Series(s)
+
+    coded = base.select(
+        "neighbor_id",
+        assign_encode(F.col("nv")).alias("codes"),
+    ).withColumn("list_id", F.element_at(F.col("codes"), 1))
+    cands = (
+        coded.join(F.broadcast(probed), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc(F.col("codes"), F.col("__qi")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    picked = (
+        cands.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        picked.join(base, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_outliers(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -132,6 +132,24 @@ def test_cosine_topk_exact(spark, embeddings):
         assert all(r["neighbor_id"] != qid for r in ranked)
 
 
+def test_ivfpq_topk_recall_against_bruteforce(spark, embeddings):
+    """IVFADC recall@5 with honest pruning dials (nprobe<nlist); seeded
+    fits make the number reproducible. Also pins that reported scores
+    come from the exact rescore: every returned cosine must equal the
+    exact pair cosine."""
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(embeddings, queries, k=5)
+    approx = similarity.ivfpq_topk(
+        embeddings, queries, k=5, nlist=16, nprobe=12, m=8, nbits=6, rerank=200
+    )
+    e = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx.collect()}
+    recall = len(set(e) & set(a)) / len(e)
+    assert recall >= 0.8, f"IVFPQ recall {recall} too low"
+    for pair in set(e) & set(a):
+        assert a[pair] == e[pair], f"ADC score leaked into output for {pair}"
+
+
 def test_cosine_topk_scan_equals_expression_path(spark, embeddings):
     """The distributed-base BLAS scan must be BIT-identical to the
     expression path — same ids, same rounded scores, same ranks (the
