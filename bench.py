@@ -269,6 +269,20 @@ def _bench_scale_ann(spark, sf_dir):
     return similarity.ivf_topk(base, q, k=5, nlist=64, nprobe=8)
 
 
+def _bench_scale_ivfpq(spark, sf_dir):
+    # IVFADC at the same tier/dials as scale_ann_200k's IVF-flat, so the
+    # two numbers isolate what PQ residual coding adds (encode pass) and
+    # saves (candidate rows ship m-byte codes, not 64 doubles)
+    from graphframes_rs_spark.pipeline import similarity
+
+    _prepare_scale_emb(spark)
+    base = spark.read.parquet(_scale_emb_path[0])
+    q = base.filter(F.col("vec_id") < SCALE_EMB["n_queries"])
+    return similarity.ivfpq_topk(
+        base, q, k=5, nlist=64, nprobe=8, m=8, nbits=6, rerank=100
+    )
+
+
 def _bench_scale_wcc(tier):
     def run(spark, sf_dir):
         g = _scale_graph(spark, tier)
@@ -533,6 +547,7 @@ BENCH_QUERIES = {
     # similarity scale proof: IVF over 100x the sf0.1 embeddings (8x
     # faster than exact at recall 0.93 — see SCALE_EMB)
     "scale_ann_200k": _bench_scale_ann,
+    "scale_ivfpq_200k": _bench_scale_ivfpq,
 }
 
 
