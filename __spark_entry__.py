@@ -2864,6 +2864,7 @@ def _q_densest_subgraph(spark, sf_dir):
 
 def _verification_order(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
+    artifact_dir: "str | None" = None,
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Reorder ``base`` so the driver's time-boxed CORRECTNESS window is
     never wasted re-proving green entries: scan the committed
@@ -2876,7 +2877,11 @@ def _verification_order(
     import glob as _glob
     import re as _re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = (
+        artifact_dir
+        if artifact_dir is not None
+        else os.path.dirname(os.path.abspath(__file__))
+    )
     status: dict[str, tuple[int, bool]] = {}
     for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)

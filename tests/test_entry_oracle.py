@@ -113,3 +113,34 @@ def test_oracle_output_types_driver_safe(duck, name):
         f"{name}: oracle emits HUGEINT columns {bad}; wrap the aggregate "
         "in CAST(... AS BIGINT) so the driver's pandas path keeps int64"
     )
+
+
+def test_verification_order_rotates_with_artifacts(tmp_path):
+    """The served queries() order must be driven by the committed
+    CORRECTNESS artifacts: never-checked entries first (declaration
+    order), then reds at their latest check, then greens least-recently-
+    verified first — so each driver round's 50-entry window always hits
+    the entries with the least evidence, and a green round ROTATES the
+    next round's front instead of re-proving the same prefix."""
+    import json as _json
+
+    base = {f"q{i}": (lambda s, d: None) for i in range(6)}
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    red = dict(green, hash_match=False)
+    no_oracle = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 1, "oracle_rows": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        _json.dumps({"q0": green, "q1": green, "q2": red}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        _json.dumps({"q1": green, "q3": no_oracle}))
+
+    order = list(entry._verification_order(base, str(tmp_path)))
+    # q4, q5 never checked (declaration order); q2 red@r1, q3 red@r2;
+    # greens stalest-first: q0 (r1) before q1 (r2)
+    assert order == ["q4", "q5", "q2", "q3", "q0", "q1"]
+
+    # a later green flip moves q2 behind the other greens
+    (tmp_path / "CORRECTNESS_r03.json").write_text(_json.dumps({"q2": green}))
+    assert list(entry._verification_order(base, str(tmp_path))) == [
+        "q4", "q5", "q3", "q0", "q1", "q2"]
