@@ -340,6 +340,12 @@ def node2vec_walks(
             .otherwise(F.col("path"))
             .alias("path"),
         )
+        # pin each step's state: the next step consumes `walks` TWICE
+        # (the state feeding the fan-out AND the final join-back), so an
+        # unmaterialized chain doubles per step — 2^(L-1) replays of the
+        # full fan-out by the last step (same recomputation class as the
+        # matching round-0 finding)
+        walks = walks.localCheckpoint(eager=False)
     return walks.select("walk_id", F.col("path")[0].alias("start"), "path")
 
 
