@@ -1848,6 +1848,15 @@ def _q_dedup_clusters(spark, sf_dir):
     )
 
 
+def _q_token_pmi(spark, sf_dir):
+    """Top-100 token collocations by document-level PMI (Church & Hanks
+    1990) over df>=5 tokens and pair-df>=3 — rank by rounded pmi then
+    lexicographic pair, fully deterministic. Oracle: identical
+    distinct-presence counts and ln ratio in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.token_pmi(docs, min_count=5, min_pair_count=3, topk=100)
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Near-dup clusters with the survivor chosen by QUALITY (argmax via
     one combine-enabled max_by aggregate, ties -> lowest doc_id) — the
@@ -3058,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
+        "token_pmi": _q_token_pmi,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -4471,6 +4481,29 @@ def oracle_sql() -> dict[str, str]:
             dedup_cluster_cte
             + " SELECT x AS doc_id, min(y) AS cluster, x = min(y) AS is_canonical "
             "FROM reach GROUP BY x"
+        ),
+        "token_pmi": (
+            "WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM ("
+            "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t "
+            "FROM documents) WHERE t <> ''), "
+            "d AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok "
+            "GROUP BY 1 HAVING count(*) >= 5), "
+            "tf AS (SELECT tok.doc_id, tok.token, d.n FROM tok "
+            "JOIN d USING (token)), "
+            "p AS (SELECT a.token AS token_a, b.token AS token_b, "
+            "a.n AS n_a, b.n AS n_b, CAST(count(*) AS BIGINT) AS n_ab "
+            "FROM tf a JOIN tf b ON a.doc_id = b.doc_id "
+            "AND a.token < b.token GROUP BY 1, 2, 3, 4 "
+            "HAVING count(*) >= 3), "
+            "nn AS (SELECT count(*) AS N FROM documents), "
+            "s AS (SELECT token_a, token_b, n_a, n_b, n_ab, "
+            "round(ln(CAST(n_ab AS DOUBLE) * N / "
+            "(CAST(n_a AS DOUBLE) * n_b)), 6) AS pmi "
+            "FROM p CROSS JOIN nn), "
+            "r AS (SELECT *, CAST(row_number() OVER ("
+            "ORDER BY pmi DESC, token_a, token_b) AS BIGINT) AS rank FROM s) "
+            "SELECT token_a, token_b, n_a, n_b, n_ab, pmi, rank "
+            "FROM r WHERE rank <= 100"
         ),
         "dedup_keep_best": (
             # same closure, survivor = argmax quality (ties -> lowest id)

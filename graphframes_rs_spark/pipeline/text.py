@@ -874,3 +874,79 @@ def bigram_lm_score(
             F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+def token_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    min_pair_count: int = 3,
+    topk: int = 100,
+) -> DataFrame:
+    """[token_a, token_b, n_a, n_b, n_ab, pmi, rank] — top-``topk``
+    token pairs by document-level pointwise mutual information
+    (Church & Hanks, CL 1990): pmi = ln(n_ab * N / (n_a * n_b)) over
+    per-document DISTINCT token presence. The standard collocation /
+    topic-seed / phrase-mining signal a corpus dashboard wants next to
+    TF-IDF.
+
+    Scale shape: the corpus explode + doc-frequency count is
+    combine-enabled and fully parallel; the pair stage self-joins each
+    document's token list ONLY over tokens that survived ``min_count``,
+    so per-doc work is |tokens ∩ vocab|² — bound ``min_count`` (or cap
+    the vocabulary) to keep the quadratic term on frequent tokens only,
+    the same df-cap discipline as the dedup shingle pipeline. Ordering
+    is fully deterministic: rank by ROUNDED pmi desc, then
+    (token_a, token_b) lexicographic."""
+    from pyspark.sql.window import Window
+
+    if topk < 1:
+        raise ValueError("topk must be >= 1")
+    tok = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(text_col))))
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    df_t = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    tokf = tok.join(F.broadcast(df_t), "token").select(
+        "doc_id", "token", "n"
+    )
+    a = tokf.select(
+        "doc_id", F.col("token").alias("token_a"), F.col("n").alias("n_a")
+    )
+    b = tokf.select(
+        "doc_id", F.col("token").alias("token_b"), F.col("n").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__N"))
+    scored = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "token_a",
+        "token_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(
+            F.log(
+                F.col("n_ab").cast("double")
+                * F.col("__N")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("token_a"), F.asc("token_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )
