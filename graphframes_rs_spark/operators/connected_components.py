@@ -67,16 +67,27 @@ DEFAULT_LOCAL_FINISH_EDGES = 500_000
 
 def _compute_reps(edges: DataFrame, seed: int) -> DataFrame:
     """[v, rep]: the min-hash vertex among {v} ∪ out-neighbours(v)
-    (mirrors compute_cc_reps, connected_components.rs:47-68)."""
+    (mirrors compute_cc_reps, connected_components.rs:47-68).
+
+    ``min_by(dst, h(dst))`` + ``min(h(dst))``, NOT ``min(struct(h, dst))``:
+    a struct-typed min buffer forces a SortAggregate — a per-partition
+    sort of the full edge set every contraction round — while min_by's
+    (long, long) buffer stays a codegen'd partial-combining HashAggregate
+    (the same planning cliff the matching operator documents). On a
+    64-bit hash tie between two distinct neighbours min_by picks either;
+    that changes nothing observable: any neighbour is a valid contraction
+    rep, and the final labels are min-member ids (the engine default
+    relabel), independent of intermediate rep choices."""
     h = lambda c: F.xxhash64(c, F.lit(seed))
     nbr = edges.groupBy(F.col(SRC).alias("v")).agg(
-        F.min(F.struct(h(F.col(DST)).alias("h"), F.col(DST).alias("u"))).alias("nbr")
+        F.min_by(F.col(DST), h(F.col(DST))).alias("u"),
+        F.min(h(F.col(DST))).alias("nh"),
     )
     return nbr.select(
         "v",
         F.when(
-            h(F.col("v")) < F.col("nbr.h"), F.col("v")
-        ).otherwise(F.col("nbr.u")).alias("rep"),
+            h(F.col("v")) < F.col("nh"), F.col("v")
+        ).otherwise(F.col("u")).alias("rep"),
     )
 
 
