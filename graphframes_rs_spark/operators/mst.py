@@ -67,6 +67,89 @@ LOCAL_FINISH_COMPONENTS = "spark.graphframes.mst.localFinishComponents"
 # bounded at ~8 MB for one task.
 DEFAULT_LOCAL_FINISH_COMPONENTS = 500_000
 
+# Below this many surviving EDGES the whole remaining contracted graph is
+# finished by one single-task numpy Borůvka (the WCC localFinishEdges
+# move applied to MST): the distributed loop's late rounds each pay the
+# full round machinery — chosen aggregate, hook, jumps, two relabel
+# joins, a checkpoint write — over a geometrically tiny frame, so ~5
+# tail rounds collapse into one task. The local pass replays the EXACT
+# distributed semantics (same (w, u, v, other) total order, same
+# mutual-pair rooting, same pointer jumping), so the picked edge set is
+# bit-identical — including under weight ties — to what the distributed
+# rounds would choose. 500k rows ≈ 20 MB for one task.
+LOCAL_FINISH_EDGES = "spark.graphframes.mst.localFinishEdges"
+DEFAULT_LOCAL_FINISH_EDGES = 500_000
+
+
+def _local_msf(edges: DataFrame) -> DataFrame:
+    """[u, v, w] — minimum spanning forest of a SMALL contracted edge
+    frame (columns u, v, w, cu, cv), computed in ONE task by replaying
+    the distributed Borůvka rounds in numpy: per-component lexicographic
+    min over (w, u, v, other), mutual-pair rooting at the smaller
+    endpoint, pointer jumping, relabel, repeat until no inter-component
+    edges remain. Identical output to the distributed rounds by
+    construction (same total order, same hooking rule)."""
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = {k: [] for k in ("u", "v", "w", "cu", "cv")}
+        for pdf in batches:
+            for k in cols:
+                cols[k].append(pdf[k].to_numpy())
+        if not cols["u"]:
+            return
+        u = np.concatenate(cols["u"])
+        v = np.concatenate(cols["v"])
+        w = np.concatenate(cols["w"])
+        cu = np.concatenate(cols["cu"])
+        cv = np.concatenate(cols["cv"])
+        picked = []
+        while len(u):
+            c = np.concatenate([cu, cv])
+            other = np.concatenate([cv, cu])
+            w2 = np.concatenate([w, w])
+            u2 = np.concatenate([u, u])
+            v2 = np.concatenate([v, v])
+            # first row per component in the (w, u, v, other) total order
+            # == min(struct(w, u, v, other)) of the distributed round
+            order = np.lexsort((other, v2, u2, w2, c))
+            oc = c[order]
+            first = np.ones(len(oc), dtype=bool)
+            first[1:] = oc[1:] != oc[:-1]
+            idx = order[first]
+            cc = c[idx]  # sorted ascending — searchsorted below is exact
+            co = other[idx]
+            picked.append((u2[idx], v2[idx], w2[idx]))
+            # hook: parent = chosen other; a mutual pair roots at its
+            # smaller endpoint (same rule as the distributed join)
+            pos_co = np.searchsorted(cc, co)
+            mutual = co[pos_co] == cc
+            parent = np.where(mutual & (cc < co), cc, co)
+            # pointer-jump the hook forest to roots
+            ptr = np.searchsorted(cc, parent)
+            while True:
+                nxt = ptr[ptr]
+                if np.array_equal(nxt, ptr):
+                    break
+                ptr = nxt
+            root = cc[ptr]
+            # relabel surviving edges into the contracted space
+            cu = root[np.searchsorted(cc, cu)]
+            cv = root[np.searchsorted(cc, cv)]
+            keep = cu != cv
+            u, v, w, cu, cv = u[keep], v[keep], w[keep], cu[keep], cv[keep]
+        if picked:
+            yield pd.DataFrame(
+                {
+                    "u": np.concatenate([p[0] for p in picked]),
+                    "v": np.concatenate([p[1] for p in picked]),
+                    "w": np.concatenate([p[2] for p in picked]),
+                }
+            )
+
+    return edges.coalesce(1).mapInPandas(solve, "u long, v long, w double")
+
 
 def _local_roots(parent: DataFrame) -> DataFrame:
     """[c, parent] with parent fully resolved to each tree's root — the
@@ -164,10 +247,21 @@ class MSTBuilder:
         n_edges = obs0.get["n"]
         picked_plans = []
 
+        local_edge_cut = int(
+            spark.conf.get(LOCAL_FINISH_EDGES, str(DEFAULT_LOCAL_FINISH_EDGES))
+        )
         for rnd in range(1, self.max_iter + 1):
             if n_edges == 0:
                 break
             self.iterations_ = rnd
+            if n_edges <= local_edge_cut:
+                # tail collapse: MSF of the whole remaining contracted
+                # graph in one task — replaces the last ~5 rounds of
+                # full round machinery over geometrically tiny frames
+                picked_plans.append(
+                    ckpt.push(_local_msf(edges), f"mst_local_{rnd}")
+                )
+                break
 
             # Min outgoing edge per component, total-ordered for the
             # 2-cycle guarantee.
@@ -250,8 +344,19 @@ class MSTBuilder:
                 if not (obs.get["changed"] or 0):
                     break
 
-            # Relabel surviving edges into the contracted component space
-            # and drop the now-intra-component ones.
+            # Relabel surviving edges into the contracted component space,
+            # drop the now-intra-component ones, and REDUCE each component
+            # pair to its single lightest edge. Without the reduction the
+            # frame keeps every parallel original edge between a pair —
+            # measured on the 6M-edge tier the late rounds carried 3.8M
+            # edges between 371 components (round 6) and 2.9M between 47
+            # (round 7), so every tail round paid full-size machinery.
+            # The per-pair min(struct(w, u, v)) is ASSOCIATIVE with the
+            # chosen-edge min — per-component argmin over pair minima ==
+            # argmin over all parallel edges — so the picked forest is
+            # bit-identical; the (cu, cv) groupBy is combine-enabled and
+            # its map-side reduction is exactly where the parallel-edge
+            # multiplicity lives.
             pmap_u = parent.select(
                 F.col("c").alias("cu"), F.col("parent").alias("ncu")
             )
@@ -268,6 +373,15 @@ class MSTBuilder:
                     F.coalesce("ncv", "cv").alias("cv"),
                 )
                 .filter(F.col("cu") != F.col("cv"))
+                .groupBy("cu", "cv")
+                .agg(F.min(F.struct("w", "u", "v")).alias("m"))
+                .select(
+                    F.col("m.u").alias("u"),
+                    F.col("m.v").alias("v"),
+                    F.col("m.w").alias("w"),
+                    "cu",
+                    "cv",
+                )
                 .observe(obsE, F.count(F.lit(1)).alias("n")),
                 f"mst_edges_{rnd}",
             )

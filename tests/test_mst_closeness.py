@@ -163,3 +163,36 @@ def test_eigenvector_dag_drain_raises(spark, ckpt_dir):
     b = g.eigenvector_centrality().max_iterations(3).set_checkpoint_dir(ckpt_dir)
     with pytest.raises(GraphFrameError, match="zero mass"):
         b.run()
+
+
+def test_mst_local_msf_finisher_agrees_with_distributed(spark, ckpt_dir):
+    """The whole-graph local Borůvka finisher (localFinishEdges) must pick
+    the bit-identical forest the distributed rounds pick — including
+    under heavy weight TIES, where only an exact replay of the
+    (w, u, v, other) total order and the mutual-pair rooting rule keeps
+    the two paths aligned."""
+    # small weight universe -> many ties; two components
+    edges = [
+        (a, b, float((a + b) % 4 + 1))
+        for a in range(14)
+        for b in range(a + 1, 14)
+        if (a * b) % 5 != 0
+    ] + [(20, 21, 1.0), (21, 22, 1.0), (20, 22, 1.0)]
+    g = _graph(spark, edges)
+
+    def run_with(conf_val):
+        prev = spark.conf.get("spark.graphframes.mst.localFinishEdges", None)
+        spark.conf.set("spark.graphframes.mst.localFinishEdges", conf_val)
+        try:
+            return _mst_edges(g, ckpt_dir + "_" + conf_val)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.graphframes.mst.localFinishEdges")
+            else:
+                spark.conf.set("spark.graphframes.mst.localFinishEdges", prev)
+
+    local = run_with("1000000")  # finisher from round 1
+    dist = run_with("0")         # pure distributed rounds
+    assert local == dist
+    # forest invariant: |edges| = |touched vertices| - |components| (2 here)
+    assert len(local) == len({u for u, v, w in local} | {v for u, v, w in local}) - 2
