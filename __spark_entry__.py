@@ -2832,6 +2832,32 @@ def _q_katz(spark, sf_dir):
     )
 
 
+def _q_vertex_cover(spark, sf_dir):
+    """2-approx vertex cover (both endpoints of a maximal matching)
+    invariant gate, mirroring matching_forest: every distinct hierarchy
+    edge must have >= 1 covered endpoint (follows from matching
+    maximality). The cover is seed-dependent, so the oracle asserts the
+    all-true per-edge invariant, not membership."""
+    from graphframes_rs_spark.operators.matching import vertex_cover_2approx
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    cover = vertex_cover_2approx(g, seed=7, checkpoint_dir=_ckpt())
+    e = g.edges.select("src", "dst").distinct()
+    cs = cover.select(F.col("id").alias("src"), F.lit(1).alias("__cs"))
+    cd = cover.select(F.col("id").alias("dst"), F.lit(1).alias("__cd"))
+    return (
+        e.join(cs, "src", "left")
+        .join(cd, "dst", "left")
+        .select(
+            "src",
+            "dst",
+            (F.col("__cs").isNotNull() | F.col("__cd").isNotNull()).alias(
+                "covered"
+            ),
+        )
+    )
+
+
 def _q_densest_subgraph(spark, sf_dir):
     """Densest subgraph by 2(1+eps) parallel peeling on a planted
     clique+path: K8 over the 8 rank-smallest customers plus a long path
@@ -3025,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector": _q_eigenvector,
         "katz": _q_katz,
         "matching_forest": _q_matching_forest,
+        "vertex_cover": _q_vertex_cover,
         "densest_subgraph": _q_densest_subgraph,
         "interval_join": _q_interval_join,
         "source_terms": _q_source_terms,
@@ -4142,6 +4169,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "matching_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
+        ),
+        "vertex_cover": (
+            f"SELECT DISTINCT src, dst, true AS covered FROM ({_EDGES_SMALL_SQL})"
         ),
         "coloring_forest": (
             f"SELECT id, true AS ok FROM ({_VERTS_SMALL_SQL})"
