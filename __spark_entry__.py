@@ -1221,6 +1221,19 @@ def _q_ngram_dup_coverage(spark, sf_dir):
     return dedup.duplicated_ngram_coverage(docs, n=3)
 
 
+def _q_dedup_strip_spans(spark, sf_dir):
+    """Exact-substring dedup REWRITE (Lee et al. 2022): every token
+    covered by a 3-gram that appears in >= 2 documents is removed and the
+    survivors re-joined in original order — the production cut that
+    ngram_dup_coverage only measures. Oracle: the identical positional-
+    gram pipeline + anti-join + ORDER BY-pos string_agg rebuild in SQL
+    over raw gram strings (Spark ships 64-bit xxhash grams instead; the
+    outputs agree unless the hash collides, which at this scale it does
+    not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.strip_duplicated_spans(docs, n=3)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return txt.tfidf_topk_terms(docs, k=5)
@@ -1317,6 +1330,17 @@ def _q_ann_lsh(spark, sf_dir):
         emb, queries, k=ANN_K, planes_per_table=LSH_PLANES, tables=LSH_TABLES
     )
     return _recall_gate(exact, approx)
+
+
+def _q_mixture_weights(spark, sf_dir):
+    """Temperature-mixing weight calculation (T5/UniMax rule): per-source
+    token mass, tau=0.5 flattened target shares, and the epoch factors a
+    100k-token budget implies. Oracle: the same pow/normalize/round
+    expressions over the same whitespace token counts in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.temperature_mixture_weights(
+        docs, strata_col="source", tau=0.5, token_budget=100_000
+    )
 
 
 def _q_mixture_sample(spark, sf_dir):
@@ -3006,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "bipartite_projection": _q_bipartite_projection,
         "ngram_dup_coverage": _q_ngram_dup_coverage,
+        "dedup_strip_spans": _q_dedup_strip_spans,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25,
         "curate_corpus": _q_curate_corpus,
@@ -3021,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "hypertable_rollup": _q_hypertable_rollup,
         "mixture_sample": _q_mixture_sample,
+        "mixture_weights": _q_mixture_weights,
         "corpus_shuffle": _q_corpus_shuffle,
         "sample_neighbors": _q_sample_neighbors,
         "event_transitions": _q_event_transitions,
@@ -4493,6 +4519,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN ag USING (doc_id) "
             "LEFT JOIN ad USING (doc_id) LEFT JOIN ac USING (doc_id)"
         ),
+        "dedup_strip_spans": (
+            # same positional-gram pipeline as ngram_dup_coverage, then:
+            # covered token positions -> anti-join against the per-token
+            # rows -> ORDER BY-pos string_agg rebuild. COALESCEs cover the
+            # all-covered doc (no kept rows) and the short doc (no grams).
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, "
+            "unnest(range(1, greatest(len(t) - 1, 1))) AS pos, "
+            "unnest(list_transform(range(1, greatest(len(t) - 1, 1)), "
+            "i -> array_to_string(t[i:i+2], ' '))) AS gram FROM toks), "
+            "dfq AS (SELECT gram FROM (SELECT gram, "
+            "count(DISTINCT doc_id) AS dfreq FROM g GROUP BY gram) "
+            "WHERE dfreq >= 2), "
+            "dup AS (SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram)), "
+            "cov AS (SELECT DISTINCT doc_id, pos + o AS tok_pos FROM dup "
+            "CROSS JOIN (VALUES (0), (1), (2)) AS v(o)), "
+            "tok AS (SELECT doc_id, unnest(t) AS tok, "
+            "unnest(range(1, len(t) + 1)) AS tok_pos FROM toks), "
+            "kept AS (SELECT tk.doc_id, tk.tok, tk.tok_pos FROM tok tk "
+            "LEFT JOIN cov c ON tk.doc_id = c.doc_id "
+            "AND tk.tok_pos = c.tok_pos WHERE c.doc_id IS NULL), "
+            "reb AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(tok, ' ' ORDER BY tok_pos) AS text_clean "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept, "
+            "COALESCE(text_clean, '') AS text_clean "
+            "FROM documents d LEFT JOIN reb USING (doc_id)"
+        ),
         "jaccard_pairs": (
             f"WITH sh AS ({_SHINGLES_SQL}), "
             "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1), "
@@ -4738,6 +4795,21 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ASOF_SQL,
         "hypertable_rollup": _ROLLUP_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "mixture_weights": (
+            # pow/normalize on the |sources|-row aggregate; epochs uses the
+            # UNROUNDED target share, mirroring the Spark expression order
+            "WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY source) "
+            "SELECT source, n_docs, n_tokens, "
+            "round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) "
+            "AS p_raw, "
+            "round(pow(CAST(n_tokens AS DOUBLE), 0.5) / "
+            "sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6) AS p_target, "
+            "round(100000.0 * (pow(CAST(n_tokens AS DOUBLE), 0.5) / "
+            "sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER ()) / n_tokens, 6) "
+            "AS epochs FROM per"
+        ),
         "corpus_shuffle": _SHUFFLE_SQL,
         "sample_neighbors": _SAMPLE_NBRS_SQL,
         "events_hourly": (

@@ -227,11 +227,24 @@ class MSTBuilder:
             F.greatest(SRC, DST).alias("v"),
             F.col(w).cast("double").alias("w"),
         ).filter(F.col("u") != F.col("v"))
+        # NO per-pair dedup here (round 7): the old
+        # ``groupBy(u, v).agg(min(w))`` pre-pass cost a full-size shuffle +
+        # combine aggregate before round 1, but buys nothing the loop
+        # doesn't already do — round 1's chosen-edge min ranges over ALL
+        # parallel edges with the same total order (same winner), and the
+        # round-1 relabel's per-pair ``min(struct(w, u, v))`` reduction
+        # collapses the multiplicity for every later round. Only round 1's
+        # ``sel`` frame carries parallels once, a narrow projection.
+        # Measured on the 6M-edge bench tier (near-parallel-free, the
+        # common case for hashed/graph inputs): the pre-pass was pure
+        # overhead; for high-multiplicity inputs its work hasn't vanished —
+        # it moved into the round-1 reduction where it runs ONCE instead
+        # of twice. The checkpoint write stays: round 1 scans this frame 3x
+        # (sel union reads it twice + the relabel join), so an arbitrary
+        # upstream plan must be pinned, just not shuffled.
         obs0 = Observation()
         edges = ckpt.push(
-            e.groupBy("u", "v")
-            .agg(F.min("w").alias("w"))
-            .select(
+            e.select(
                 "u", "v", "w",
                 F.col("u").alias("cu"), F.col("v").alias("cv"),
             )

@@ -19,6 +19,7 @@ from typing import Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from graphframes_rs_spark.pipeline.dedup import shingles
 from graphframes_rs_spark.pipeline.text import hash60
@@ -300,6 +301,55 @@ def mixture_sample(
             "epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
         )
         .drop("__n")
+    )
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    strata_col: str = "source",
+    tau: float = 0.5,
+    token_budget: int = 1_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """[source, n_docs, n_tokens, p_raw, p_target, epochs]: the
+    temperature-mixing calculation that PRODUCES the per-domain weights
+    :func:`mixture_sample` applies. ``p_target ∝ n_tokens^tau`` (tau=1 is
+    proportional sampling, tau→0 uniform across domains — the multilingual
+    / domain rebalancing rule from the T5 and UniMax papers), and
+    ``epochs = token_budget * p_target / n_tokens`` is the repeat factor
+    that realizes the target under the given budget (>1 means the domain
+    is upsampled past one pass — the overfitting signal UniMax caps).
+
+    Scale design: one map-side-combined groupBy over the corpus (token
+    counts are a JVM size(split()) expression, no Python), then all
+    normalization happens on the |domains|-row aggregate — a global
+    single-partition window over domain cardinality, never data rows.
+    Deterministic; fractions are rounded to 6dp for stable comparison."""
+    per = docs.groupBy(F.col(strata_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.partitionBy()
+    powed = F.pow(F.col("n_tokens").cast("double"), F.lit(float(tau)))
+    return (
+        per.withColumn("__pw", powed)
+        .withColumn("p_raw", F.col("n_tokens") / F.sum("n_tokens").over(w))
+        .withColumn("p_target", F.col("__pw") / F.sum("__pw").over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("p_raw", 6).alias("p_raw"),
+            F.round("p_target", 6).alias("p_target"),
+            F.round(
+                F.lit(float(token_budget))
+                * F.col("p_target")
+                / F.col("n_tokens"),
+                6,
+            ).alias("epochs"),
+        )
     )
 
 

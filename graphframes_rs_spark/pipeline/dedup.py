@@ -600,6 +600,95 @@ def duplicated_ngram_coverage(
     )
 
 
+def strip_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """[doc_id, n_tokens, n_kept, text_clean]: the REWRITE half of
+    exact-substring deduplication (Lee et al. 2022, arXiv:2107.06499):
+    every token covered by a word ``n``-gram that also occurs in at least
+    ``min_docs - 1`` OTHER documents is removed, and the survivors are
+    re-joined in original order. ``duplicated_ngram_coverage`` measures
+    the damage; this operator applies the cut — the pair every
+    training-data pipeline runs before tokenization (boilerplate,
+    licence headers and mirrored passages vanish corpus-wide without
+    dropping whole documents).
+
+    Scale design: identical shuffle profile to the coverage operator —
+    grams are 64-bit hashes (16 bytes/row max in flight), the dup-gram
+    set is derived by one map-side-combined doc-frequency aggregate and
+    one semi join, and covered positions explode at most ``n`` rows per
+    duplicated gram. Reassembly groups each document's surviving tokens
+    with ``sort_array(collect_list(struct(pos, tok)))`` — per-doc cost
+    bounded by document length (the same per-key bound the chunking and
+    packing operators document), never corpus-global. One extra shuffle
+    vs the coverage op (the per-doc rebuild), all JVM expressions.
+
+    Removal is POSITION-exact: a token is dropped only where it sits
+    inside a duplicated span, so a phrase surviving in one document may
+    be stripped from another (cross-doc frequency decides, per Lee's
+    dedup-once policy there is no "keep one canonical copy" carve-out —
+    compose with ``dedup_keep_best`` for survivor selection). Docs
+    shorter than ``n`` tokens pass through untouched."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select("doc_id", toks.alias("__t"))
+    positions = F.when(
+        F.size("__t") >= n, F.sequence(F.lit(1), F.size("__t") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__t", i, n))),
+            )
+        ).alias("__p0", "gram"),
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
+    doc_freq = (
+        grams.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__dfreq"))
+    )
+    dup = grams.join(
+        doc_freq.where(F.col("__dfreq") >= min_docs).select("gram"), "gram"
+    )
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tok_pos"),
+    ).distinct()
+
+    tok_rows = base.select(
+        "doc_id",
+        F.posexplode("__t").alias("__p0", "tok"),
+    ).select("doc_id", (F.col("__p0") + 1).alias("tok_pos"), "tok")
+    kept = tok_rows.join(cov, ["doc_id", "tok_pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("tok_pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    return (
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",

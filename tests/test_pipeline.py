@@ -6,7 +6,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from graphframes_rs_spark.pipeline import dedup, similarity, text
+from graphframes_rs_spark.pipeline import curation, dedup, similarity, text
 from graphframes_rs_spark.streaming import events as ev
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -804,3 +804,65 @@ def test_train_val_test_split_stable_and_proportional(spark):
     assert a == b
     with pytest.raises(ValueError):
         train_val_test_split(docs, (0.5, 0.5))
+
+
+def test_strip_duplicated_spans_hand_computed(spark):
+    """Rewrite half of exact-substring dedup: duplicated-span tokens are
+    removed position-exactly, survivors keep original order, fully-covered
+    docs come back empty, short docs pass through untouched."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # "a b c" dup with doc 2 -> keep "d e"
+            (2, "x a b c y"),   # dup span in the middle -> keep "x y"
+            (3, "p q r s"),     # exact dup of doc 4: everything covered
+            (4, "p q r s"),
+            (5, "u v"),         # shorter than n: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.strip_duplicated_spans(docs, n=3).collect()
+    }
+    assert out[1]["text_clean"] == "d e" and out[1]["n_kept"] == 2
+    assert out[2]["text_clean"] == "x y" and out[2]["n_kept"] == 2
+    for d in (3, 4):
+        assert out[d]["text_clean"] == "" and out[d]["n_kept"] == 0
+    assert out[5]["text_clean"] == "u v" and out[5]["n_kept"] == 2
+    assert out[5]["n_tokens"] == 2
+
+
+def test_temperature_mixture_weights_hand_computed(spark):
+    """tau=0.5 square-root flattening: a 4x token imbalance becomes a 2x
+    target share ratio; epochs realize the budget exactly."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big", " ".join(["t"] * 16)),
+            (2, "small", " ".join(["t"] * 4)),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in curation.temperature_mixture_weights(
+            docs, tau=0.5, token_budget=100
+        ).collect()
+    }
+    assert out["big"]["n_tokens"] == 16 and out["small"]["n_tokens"] == 4
+    assert abs(out["big"]["p_raw"] - 0.8) < 1e-6
+    # sqrt weights: 4 vs 2 -> shares 2/3 vs 1/3
+    assert abs(out["big"]["p_target"] - round(2 / 3, 6)) < 1e-6
+    assert abs(out["small"]["p_target"] - round(1 / 3, 6)) < 1e-6
+    # epochs = budget * share / tokens: small domain upsampled past 8 passes
+    assert abs(out["big"]["epochs"] - round(100 * (2 / 3) / 16, 6)) < 1e-6
+    assert abs(out["small"]["epochs"] - round(100 * (1 / 3) / 4, 6)) < 1e-6
+    # tau=1 degenerates to proportional sampling: p_target == p_raw
+    prop = {
+        r["source"]: r
+        for r in curation.temperature_mixture_weights(
+            docs, tau=1.0, token_budget=100
+        ).collect()
+    }
+    assert abs(prop["big"]["p_target"] - prop["big"]["p_raw"]) < 1e-6
