@@ -1881,6 +1881,43 @@ def _q_token_pmi(spark, sf_dir):
     return txt.token_pmi(docs, min_count=5, min_pair_count=3, topk=100)
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """Quote / excerpt detection: pairs with word-3-gram CONTAINMENT
+    |A∩B|/min(|A|,|B|) >= 0.5 — catches a short doc pasted inside a long
+    one that Jaccard's union term dilutes below threshold. Same inverted
+    index as jaccard_pairs (exact here: max_doc_freq=None to match the
+    exact oracle; the df cap stays ON for production callers). Oracle:
+    identical shingle pipeline + least() denominator in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, threshold=0.5, max_doc_freq=None
+    )
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Top-100 adjacent character-pair counts weighted by word frequency
+    — the merge-selection statistic of a BPE tokenizer trainer (Sennrich
+    et al. 2016). Corpus collapses to the distinct-word frame first so
+    pair work is vocabulary-bounded, not corpus-bounded. Oracle: same
+    distinct-word freq + substr pair explode + rank in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.bpe_merge_stats(docs, topk=100, min_count=2)
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al., NeurIPS 2023): per-doc
+    hashed-n-gram log-likelihood ratio of a target slice (sources
+    src13/src8) vs the raw corpus, for importance resampling toward the
+    target distribution. Bucket log-ratios are quantized to integer
+    micro-units before the per-doc dot product so the score is exact-sum
+    reproducible. Oracle: identical md5-hash60 buckets, Laplace
+    smoothing, and integer dot product in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        docs, ["src13", "src8"], n_buckets=256, smoothing=1.0
+    )
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     """Near-dup clusters with the survivor chosen by QUALITY (argmax via
     one combine-enabled max_by aggregate, ties -> lowest doc_id) — the
@@ -3121,6 +3158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "token_pmi": _q_token_pmi,
+        "ngram_containment": _q_ngram_containment,
+        "bpe_merges": _q_bpe_merges,
+        "dsir_weights": _q_dsir_weights,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -4568,6 +4608,67 @@ def oracle_sql() -> dict[str, str]:
             dedup_cluster_cte
             + " SELECT x AS doc_id, min(y) AS cluster, x = min(y) AS is_canonical "
             "FROM reach GROUP BY x"
+        ),
+        "ngram_containment": (
+            f"WITH sh AS ({_SHINGLES_SQL}), "
+            "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM sh GROUP BY 1), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(count(*) AS BIGINT) AS c FROM sh a "
+            "JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, cm AS containment FROM ("
+            "SELECT doc_a, doc_b, "
+            "round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS cm "
+            "FROM common JOIN sizes sa ON doc_a = sa.doc_id "
+            "JOIN sizes sb ON doc_b = sb.doc_id) WHERE cm >= 0.5"
+        ),
+        "bpe_merges": (
+            "WITH words AS (SELECT w AS word, "
+            "CAST(count(*) AS BIGINT) AS freq FROM ("
+            "SELECT unnest(string_split(lower(text), ' ')) AS w "
+            "FROM documents) WHERE w <> '' GROUP BY 1), "
+            "pairs AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, freq "
+            "FROM words, unnest(range(1, len(word))) AS t(i) "
+            "WHERE len(word) >= 2), "
+            "counted AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n "
+            "FROM pairs GROUP BY 1 HAVING sum(freq) >= 2), "
+            "r AS (SELECT pair, substr(pair, 1, 1) AS left_c, "
+            "substr(pair, 2, 1) AS right_c, n, "
+            "CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) "
+            "AS rank FROM counted) "
+            'SELECT pair, left_c AS "left", right_c AS "right", n, rank '
+            "FROM r WHERE rank <= 100"
+        ),
+        "dsir_weights": (
+            # identical md5-hash60 buckets + integer micro-unit dot product
+            "WITH toks AS (SELECT doc_id, source, "
+            "list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts "
+            "FROM documents), "
+            "grams AS ("
+            "SELECT doc_id, source, unnest(ts) AS gram FROM toks "
+            "UNION ALL "
+            "SELECT doc_id, source, "
+            "ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] AS gram "
+            "FROM toks, unnest(range(1, len(ts))) AS t(i) "
+            "WHERE len(ts) >= 2), "
+            "bkt AS (SELECT doc_id, source, "
+            + _HASH60.format(x="gram")
+            + " % 256 AS bucket FROM grams), "
+            "tallies AS (SELECT bucket, "
+            "sum(CASE WHEN source IN ('src13','src8') THEN 1 ELSE 0 END) "
+            "AS cnt_t, count(*) AS cnt_r FROM bkt GROUP BY 1), "
+            "tot AS (SELECT sum(cnt_t) AS tot_t, sum(cnt_r) AS tot_r "
+            "FROM tallies), "
+            "ratio AS (SELECT bucket, "
+            "CAST(round((ln((cnt_t + 1.0) / (tot_t + 1.0*256)) - "
+            "ln((cnt_r + 1.0) / (tot_r + 1.0*256))) * 1000000, 0) AS BIGINT) "
+            "AS lr_u FROM tallies CROSS JOIN tot), "
+            "pb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM bkt GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, "
+            "round(sum(cnt * lr_u) / 1e6, 6) AS logratio "
+            "FROM pb JOIN ratio USING (bucket) GROUP BY 1"
         ),
         "token_pmi": (
             "WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM ("

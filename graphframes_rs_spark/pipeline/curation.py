@@ -521,3 +521,96 @@ def weighted_sample_topk(
         )
     )
     return ranked.filter(F.col("sample_rank") <= k).drop("__es")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_sources: Sequence[str],
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """[doc_id, n_grams, logratio] — per-document importance weight for
+    Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    hashed-n-gram bag-of-words log-likelihood ratio between a TARGET
+    slice of the corpus (the high-quality domain you want more of) and
+    the RAW corpus.  ``logratio = Σ_g ln p_target(bucket(g)) −
+    ln p_raw(bucket(g))`` over every unigram and bigram occurrence ``g``;
+    resample the corpus proportional to ``exp(logratio)`` (or take the
+    top fraction) to shift the mixture toward the target distribution.
+
+    Hashing uses the cross-engine ``hash60`` (md5-prefix) so an external
+    SQL engine replays the identical bucket assignment. Probabilities
+    are Laplace-smoothed per bucket; the per-bucket log-ratio is
+    quantized to INTEGER micro-units (round(lr·10⁶) as BIGINT) before
+    the per-doc dot product, so the doc score is an exact integer sum —
+    bit-identical regardless of float summation order — and only divided
+    back to a double at the end.
+
+    Scale shape: the gram explode is narrow (no shuffle); bucket tallies
+    are ONE combine-enabled groupBy onto ``n_buckets`` keys (a tiny
+    frame, broadcast back); per-doc scoring is one combine-enabled
+    groupBy on (doc_id, bucket) then doc_id — no join larger than
+    |docs| × avg distinct buckets. Nothing here scans the corpus more
+    than twice and no stage depends on |target|×|raw|.
+    """
+    if not target_sources:
+        raise ValueError("target_sources must be non-empty")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id",
+        F.col(source_col).alias("__src"),
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    ).select(
+        "doc_id",
+        "__src",
+        F.pmod(hash60(F.col("gram")), F.lit(n_buckets)).alias("bucket"),
+    )
+    is_target = F.col("__src").isin(*[str(s) for s in target_sources])
+    tallies = grams.groupBy("bucket").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("cnt_t"),
+        F.count(F.lit(1)).alias("cnt_r"),
+    )
+    totals = tallies.agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    s = float(smoothing)
+    ratio = (
+        tallies.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("cnt_t") + s) / (F.col("tot_t") + s * n_buckets))
+                    - F.log((F.col("cnt_r") + s) / (F.col("tot_r") + s * n_buckets))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("lr_u"),
+        )
+    )
+    per_bucket = grams.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_bucket.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("cnt") * F.col("lr_u")) / 1e6, 6).alias("logratio"),
+        )
+    )

@@ -233,6 +233,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """[doc_a, doc_b, containment]: pairs whose word-n-gram CONTAINMENT
+    ``|A ∩ B| / min(|A|, |B|)`` >= threshold — the quote / excerpt /
+    subset-duplication detector. Jaccard misses a short document pasted
+    verbatim inside a long one (the union term swamps the overlap);
+    containment normalizes by the SMALLER shingle set, so a full quote
+    scores 1.0 regardless of the host document's length. Same inverted
+    index + posting-list pair generation as :func:`ngram_jaccard_pairs`
+    (one shingle scan, never |docs|²), same ``max_doc_freq`` stop-shingle
+    cap — only the final similarity expression differs, so the 100 TB
+    story is identical: pair work is Σ_shingles df(s)² bounded by the cap.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    ).filter(F.size("ds") > 1)
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("ds") <= max_doc_freq)
+    common = (
+        postings.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
+        .select(
+            "doc_a",
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """[doc_id, simhash]: bitwise-majority signature over per-token 60-bit
     hashes. Tokens vote +1/-1 per bit position; the signature sets bit j

@@ -950,3 +950,69 @@ def token_pmi(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def bpe_merge_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    topk: int = 100,
+    min_count: int = 2,
+) -> DataFrame:
+    """[pair, left, right, n, rank] — the top-``topk`` adjacent
+    character-pair counts over the corpus, weighted by word frequency:
+    the statistic a byte-pair-encoding tokenizer trainer (Sennrich et
+    al., ACL 2016) computes to pick its next merge. ``pair`` is the
+    two-character window, ``left``/``right`` its halves, ``n`` the
+    corpus-wide occurrence count (Σ over distinct words of
+    in-word occurrences × word frequency).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD frame first
+    (one combine-enabled groupBy — vocabulary-sized, millions of rows at
+    100 TB, not trillions), and the quadratic-free pair explode runs per
+    distinct word, so total pair rows are Σ_vocab (len(w)-1) — bounded by
+    vocabulary mass, independent of corpus duplication. Everything is
+    JVM expressions (split/sequence/transform/substring); rank ordering
+    is fully deterministic (count desc, pair asc).
+    """
+    from pyspark.sql.window import Window
+
+    if topk < 1:
+        raise ValueError("topk must be >= 1")
+    words = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # sequence(1, len-1) enumerates pair start positions; guard len < 2
+    # (Spark's sequence(1, 0) counts DOWN, it is not empty).
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "freq",
+    )
+    counted = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.select(
+            "pair",
+            F.substring("pair", 1, 1).alias("left"),
+            F.substring("pair", 2, 1).alias("right"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+    )

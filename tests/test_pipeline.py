@@ -866,3 +866,73 @@ def test_temperature_mixture_weights_hand_computed(spark):
         ).collect()
     }
     assert abs(prop["big"]["p_target"] - prop["big"]["p_raw"]) < 1e-6
+
+
+def test_ngram_containment_quote_detection(spark):
+    # doc 2 is a verbatim excerpt of doc 1: containment must hit 1.0
+    # even though Jaccard stays low (union dominated by doc 1's size).
+    long = "a b c d e f g h i j k l m n o p"
+    quote = "d e f g h"
+    rows = [(1, long), (2, quote), (3, "z z z z z")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(
+            docs, threshold=0.5, max_doc_freq=None
+        ).collect()
+    }
+    # doc2 has 3 distinct 3-gram shingles, all present in doc1
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_doc_freq=None
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # the pair Jaccard would have missed
+
+
+def test_bpe_merge_stats_hand_computed(spark):
+    # words: "abab" x3, "ab" x2, "ba" x1, "x" x1 (no pairs from "x")
+    docs = spark.createDataFrame(
+        [
+            (1, "abab abab ab"),
+            (2, "abab ab ba x"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["pair"]: r for r in text.bpe_merge_stats(docs, topk=10, min_count=1).collect()}
+    # "abab": pairs ab, ba, ab -> 2*ab + 1*ba per occurrence, freq 3
+    # "ab": pair ab, freq 2;  "ba": pair ba, freq 1
+    assert out["ab"]["n"] == 2 * 3 + 2
+    assert out["ba"]["n"] == 1 * 3 + 1
+    assert out["ab"]["rank"] == 1 and out["ba"]["rank"] == 2
+    assert out["ab"]["left"] == "a" and out["ab"]["right"] == "b"
+    assert set(out) == {"ab", "ba"}
+
+
+def test_dsir_weights_directionality(spark):
+    # target docs use token "good", raw-only docs use "bad": the weight
+    # of a target-like doc must exceed a raw-like doc's.
+    rows = [
+        (i, "good good good signal", "tgt") for i in range(5)
+    ] + [
+        (i + 5, "bad bad bad noise", "other") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in curation.dsir_weights(
+            docs, ["tgt"], n_buckets=64, smoothing=1.0
+        ).collect()
+    }
+    assert len(out) == 10
+    # every doc has 4 unigrams + 3 bigrams = 7 grams
+    assert all(r["n_grams"] == 7 for r in out.values())
+    tgt_score = out[0]["logratio"]
+    raw_score = out[5]["logratio"]
+    assert tgt_score > 0 > raw_score
+    # identical docs get identical weights (determinism)
+    assert all(out[i]["logratio"] == tgt_score for i in range(5))
+    assert all(out[i + 5]["logratio"] == raw_score for i in range(5))
