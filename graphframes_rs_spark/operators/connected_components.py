@@ -64,6 +64,25 @@ LOCAL_FINISH_EDGES = "spark.graphframes.wcc.localFinishEdges"
 # the long constant-work contraction tail, small enough to never straggle.
 DEFAULT_LOCAL_FINISH_EDGES = 500_000
 
+REP_DOUBLING = "spark.graphframes.wcc.repDoubling"
+# Pointer-double the per-round rep map k times (rep <- rep∘rep, VERTEX-
+# scale left joins) before the EDGE-scale relabel: the rep forest of a
+# round has chains (v -> min-hash neighbour -> its min-hash neighbour...),
+# so one relabel under the raw map wastes most of the round's contraction
+# potential — doubling contracts up to 2^k hops per edge-scale round.
+# Measured (tools/exp_wcc_doubling.py, local[32]): 18M-edge tier 4 rounds
+# instead of ~7, warm 28-40s vs 38-48s (16-25% faster, both orders);
+# 6M tier parity at full JVM steady state, ~15% faster in the bench's
+# fresh-session regime. Correctness is unconditional: each doubled map
+# still sends every vertex into its own component (composition of
+# component-preserving maps), back-propagation composes whatever maps
+# were stored, and the final labels are min-member ids regardless of
+# intermediate rep choice. min_by hash ties can form 2-cycles; a FIXED
+# k is cycle-safe (rep^2k of a 2-cycle is the identity — no progress on
+# that pair this round, resolved by the next round's reseeded hash).
+# 0 disables (the reference's one-hop round, connected_components.rs:107).
+DEFAULT_REP_DOUBLING = 2
+
 
 def _compute_reps(edges: DataFrame, seed: int) -> DataFrame:
     """[v, rep]: the min-hash vertex among {v} ∪ out-neighbours(v)
@@ -212,6 +231,9 @@ class ConnectedComponentsBuilder:
         local_cut = int(
             spark.conf.get(LOCAL_FINISH_EDGES, str(DEFAULT_LOCAL_FINISH_EDGES))
         )
+        doublings = int(
+            spark.conf.get(REP_DOUBLING, str(DEFAULT_REP_DOUBLING))
+        )
         reps_frames = []
         iteration = 0
         while True:
@@ -226,8 +248,18 @@ class ConnectedComponentsBuilder:
                 iteration += 1
                 break
             seed = self.random_seed + iteration
+            reps = _compute_reps(edges, seed)
+            for _ in range(doublings):
+                r2 = reps.select(
+                    F.col("v").alias("__d_v"), F.col("rep").alias("__d_rep")
+                )
+                reps = reps.join(
+                    r2, reps["rep"] == F.col("__d_v"), "left"
+                ).select(
+                    "v", F.coalesce("__d_rep", "rep").alias("rep")
+                )
             reps = reps_ckpt.push_partitioned(
-                _compute_reps(edges, seed), "rep", shuffle_n, f"reps_{iteration}"
+                reps, "rep", shuffle_n, f"reps_{iteration}"
             )
             reps_frames.append(reps)
             obs = Observation()

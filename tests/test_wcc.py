@@ -135,3 +135,48 @@ def test_update_components_equals_full_recompute(spark, ckpt_dir, tmp_path):
         .run()
     )
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_rep_doubling_equivalence_and_round_reduction(spark, ckpt_dir):
+    """Pointer-doubled rounds produce identical labels to the one-hop
+    reference form (doubling=0) on a multi-round graph, and never MORE
+    distributed rounds. Long chains are the doubling-sensitive shape:
+    rep forests there are chains, where one-hop relabels waste the
+    round's contraction depth."""
+    import random
+
+    from graphframes_rs_spark.operators.connected_components import (
+        LOCAL_FINISH_EDGES,
+        REP_DOUBLING,
+    )
+
+    rng = random.Random(5)
+    edges = [(i, i + 1) for i in range(0, 60)]  # one long chain
+    edges += [(100 + rng.randrange(30), 100 + rng.randrange(30)) for _ in range(40)]
+    vertices = sorted({u for e in edges for u in e})
+
+    def run(doubling, tag):
+        from graphframes_rs_spark import GraphFrame
+
+        v = spark.createDataFrame([(i,) for i in vertices], "id long")
+        e = spark.createDataFrame(edges, "src long, dst long")
+        spark.conf.set(LOCAL_FINISH_EDGES, "0")
+        spark.conf.set(REP_DOUBLING, str(doubling))
+        try:
+            b = (
+                GraphFrame(v, e)
+                .connected_components()
+                .set_checkpoint_dir(ckpt_dir + tag)
+            )
+            out = {r["id"]: r["component"] for r in b.run().collect()}
+            return out, b.iterations_
+        finally:
+            spark.conf.unset(LOCAL_FINISH_EDGES)
+            spark.conf.unset(REP_DOUBLING)
+
+    base, base_rounds = run(0, "base")
+    doubled, doubled_rounds = run(2, "dbl")
+    assert base == doubled
+    assert doubled_rounds <= base_rounds
+    # chain labels are the min member
+    assert all(doubled[i] == 0 for i in range(0, 61))
