@@ -1278,6 +1278,21 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+def _q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector
+    (vec_id < 10), the top-5 most-similar embeddings with a DIFFERENT
+    label — the informative negatives. Base stays distributed, queries
+    broadcast, rank-truncating window. Oracle: the same label-pruned
+    cross score + row_number in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(emb, queries, k=ANN_K)
+
+
 def _q_ann_topk_scan(spark, sf_dir):
     """Exact top-k with the base DISTRIBUTED and the query set broadcast —
     the dual of cosine_topk_blas for the serving-shaped case (huge base,
@@ -3161,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
+        "hard_negatives": _q_hard_negatives,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -4841,6 +4857,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM s WHERE cosine >= {NEARDUP_COS_T}"
         ),
         "ann_topk": ann_topk_sql,
+        "hard_negatives": (
+            "WITH q AS (SELECT vec_id AS query_id, label AS query_label, "
+            "embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10), "
+            "b AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, "
+            "embedding::DOUBLE[] AS nv FROM embeddings), "
+            f"s AS (SELECT query_id, neighbor_id, "
+            "CAST(query_label AS BIGINT) AS query_label, "
+            "CAST(neighbor_label AS BIGINT) AS neighbor_label, "
+            f"round({cos_qn}, 6) AS cosine "
+            "FROM b CROSS JOIN q WHERE query_label <> neighbor_label), "
+            "r AS (SELECT *, CAST(row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) "
+            "AS BIGINT) AS rank FROM s) "
+            "SELECT query_id, neighbor_id, query_label, neighbor_label, "
+            f"cosine, rank FROM r WHERE rank <= {ANN_K}"
+        ),
         # bit-identical semantics by construction (exact-fold rescore of
         # the BLAS-scanned candidates) -> the same oracle
         "ann_topk_scan": ann_topk_sql,

@@ -994,3 +994,54 @@ def rrf_fuse(
         "n_lists",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """[query_id, neighbor_id, query_label, neighbor_label, cosine, rank]
+    — per query, the top-``k`` most-similar vectors with a DIFFERENT
+    label: hard-negative mining for contrastive / embedding training
+    (the negatives closest to the anchor are the informative ones;
+    random negatives are trivially separable). Self-matches and
+    same-label vectors are excluded.
+
+    Scale shape: identical to :func:`cosine_topk_scan`'s contract — the
+    BASE stays distributed, the query set broadcasts, and the per-query
+    top-k runs as a rank-truncating window (WindowGroupLimit pushes the
+    limit into the partial sort). The label filter prunes BEFORE
+    scoring, so same-label pairs never reach the dot product. Use the
+    IVF/LSH-bucketed variants upstream when the base no longer scans."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("nv"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "query_label",
+            "neighbor_label",
+            F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -936,3 +936,23 @@ def test_dsir_weights_directionality(spark):
     # identical docs get identical weights (determinism)
     assert all(out[i]["logratio"] == tgt_score for i in range(5))
     assert all(out[i + 5]["logratio"] == raw_score for i in range(5))
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.14], 0),   # same label as 1: excluded for query 1
+        (3, [0.9, 0.44], 1),    # closest cross-label to 1
+        (4, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 1), k=2
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(3, 1), (4, 2)]
+    assert all(r["query_label"] != r["neighbor_label"] for r in out)
+    assert all(r["query_id"] == 1 for r in out)
