@@ -1293,6 +1293,28 @@ def _q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, queries, k=ANN_K)
 
 
+def _q_inverted_postings(spark, sf_dir):
+    """Inverted-index build: per term its document frequency, corpus
+    frequency, and the first-50 ascending-doc_id posting list as a
+    comma-joined string (scalar export form; the cap keeps stop-word
+    rows bounded while df/cf still count everything). Oracle: the same
+    per-(term, doc) tf aggregate + list_sort slice in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.inverted_postings(docs, min_df=2, max_postings=50)
+
+
+def _q_fastrp(spark, sf_dir):
+    """FastRP node embeddings (Chen et al. 2019) over the customer->
+    nation->region hierarchy graph: ±1 hash-parity projection, 2 hops of
+    neighbour-sum, hop-mixed by integer addition — exact integers end to
+    end, so the SQL oracle replays it bit-for-bit. Output is the
+    exploded scalar form [id, dim, emb]."""
+    from graphframes_rs_spark.operators.fastrp import fastrp_embedding
+
+    g = customer_hierarchy_graph(spark, sf_dir)
+    return fastrp_embedding(g.edges, dims=4, hops=2, seed=42)
+
+
 def _q_ann_topk_scan(spark, sf_dir):
     """Exact top-k with the base DISTRIBUTED and the query set broadcast —
     the dual of cosine_topk_blas for the serving-shaped case (huge base,
@@ -3177,6 +3199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
         "hard_negatives": _q_hard_negatives,
+        "fastrp_embedding": _q_fastrp,
+        "inverted_postings": _q_inverted_postings,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -3438,6 +3462,33 @@ def oracle_sql() -> dict[str, str]:
         "out_degrees": (
             f"SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree "
             f"FROM ({_EDGES_BIG_SQL}) GROUP BY src"
+        ),
+        "inverted_postings": (
+            "WITH td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf "
+            "FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term "
+            "FROM documents) WHERE term <> '' GROUP BY 1, 2) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "CAST(sum(tf) AS BIGINT) AS cf, "
+            "array_to_string(list_sort(list(doc_id))[1:50], ',') AS postings "
+            "FROM td GROUP BY term HAVING count(*) >= 2"
+        ),
+        "fastrp_embedding": (
+            f"WITH e0 AS ({_EDGES_SMALL_SQL}), "
+            "sym AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)), "
+            "verts AS (SELECT DISTINCT src AS id FROM sym), "
+            "ds AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS dim), "
+            "r AS (SELECT id, dim, CASE WHEN "
+            + _HASH60.format(x="id::VARCHAR || ':' || dim::VARCHAR || ':42'")
+            + " % 2 = 0 THEN 1 ELSE -1 END AS val "
+            "FROM verts CROSS JOIN ds), "
+            "h1 AS (SELECT s.src AS id, r.dim, sum(r.val) AS val "
+            "FROM sym s JOIN r ON s.dst = r.id GROUP BY 1, 2), "
+            "h2 AS (SELECT s.src AS id, h1.dim, sum(h1.val) AS val "
+            "FROM sym s JOIN h1 ON s.dst = h1.id GROUP BY 1, 2) "
+            "SELECT h1.id, h1.dim, CAST(h1.val + h2.val AS BIGINT) AS emb "
+            "FROM h1 JOIN h2 ON h1.id = h2.id AND h1.dim = h2.dim"
         ),
         "degrees": (
             f"SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ("

@@ -1016,3 +1016,50 @@ def bpe_merge_stats(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
     )
+
+
+def inverted_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_postings: int = 50,
+) -> DataFrame:
+    """[term, df, cf, postings] — the inverted-index build: per term its
+    document frequency, corpus frequency (total occurrences), and the
+    posting list as a comma-joined string of the first ``max_postings``
+    ascending doc_ids (the scalar-typed export form; the unbounded array
+    form is one ``collect_list`` away for engines that want it).
+
+    Scale shape: one corpus explode + two combine-enabled aggregates
+    (per (term, doc) then per term). The posting string is the ONLY
+    bounded-size-per-term artifact (``max_postings`` caps it), so a
+    stop-word's row stays small even when its true posting list is the
+    whole corpus — df/cf still count everything. Ordering inside the
+    list is ascending doc_id: deterministic and the order a posting-list
+    intersector wants."""
+    td = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")),
+                    1,
+                    max_postings,
+                ).cast("array<string>"),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select("term", F.col("df").cast("long").alias("df"), "cf", "postings")
+    )

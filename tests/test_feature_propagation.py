@@ -68,3 +68,33 @@ def test_edge_cases(spark):
         g.feature_propagation(feats, rounds=0)
     with pytest.raises(ValueError):
         g.feature_propagation(feats, alpha=0.0)
+
+
+def test_fastrp_embedding_hand_computed(spark):
+    """2-vertex path a-b: h1(a,d) = R(b,d); h2(a,d) = h1(b,d) = R(a,d);
+    emb(a,d) = R(b,d) + R(a,d) — symmetric, so emb(a) == emb(b)."""
+    from graphframes_rs_spark.operators.fastrp import fastrp_embedding
+    from graphframes_rs_spark.pipeline.text import hash60
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = fastrp_embedding(e, dims=3, hops=2, seed=7)
+    rows = {(r["id"], r["dim"]): r["emb"] for r in out.collect()}
+    assert len(rows) == 6
+    # replicate the sign rule for the expected values
+    signs = {
+        (i, d): r["s"]
+        for i in (1, 2)
+        for d, r in [
+            (d, spark.range(1).select(
+                F.when(
+                    F.pmod(hash60(F.lit(f"{i}:{d}:7")), F.lit(2)) == 0, 1
+                ).otherwise(-1).alias("s")
+            ).collect()[0])
+            for d in (0, 1, 2)
+        ]
+    }
+    for d in (0, 1, 2):
+        expected = signs[(1, d)] + signs[(2, d)]
+        assert rows[(1, d)] == expected
+        assert rows[(2, d)] == expected

@@ -956,3 +956,17 @@ def test_hard_negatives_excludes_same_label(spark):
     assert got == [(3, 1), (4, 2)]
     assert all(r["query_label"] != r["neighbor_label"] for r in out)
     assert all(r["query_id"] == 1 for r in out)
+
+
+def test_inverted_postings_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(3, "b a b"), (1, "a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    out = {r["term"]: r for r in text.inverted_postings(
+        docs, min_df=2, max_postings=2
+    ).collect()}
+    assert set(out) == {"a", "b"}  # c has df=1
+    assert out["a"]["df"] == 3 and out["a"]["cf"] == 3
+    assert out["a"]["postings"] == "1,2"  # capped at 2, ascending
+    assert out["b"]["df"] == 2 and out["b"]["cf"] == 3
+    assert out["b"]["postings"] == "1,3"
