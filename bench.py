@@ -773,6 +773,25 @@ def main():
     # measured-healthy iso2 configuration did.
     REPREP_AT = {"scale_wcc_6m"}
 
+    def _sweep_query_scratch(keep: set) -> None:
+        """Delete per-query scratch (iteration checkpoints etc.) from the
+        tmpfs tempdir after each measurement. Checkpoint dirs used to
+        accumulate for the WHOLE run (tmpfs leaks are RAM leaks): by the
+        late blocks tens of GiB of dead checkpoints squeezed the page
+        cache and JVM, measured as multi-second gc_ms spikes and 1.5-3x
+        slowdowns on the tail of each shared-session block (round 8:
+        scale_node2vec_6m 49.6s with gc 10264ms vs 15.2s isolated).
+        Tier inputs (gf_scale_*) persist across queries and are kept;
+        Spark's own spark.local.dir subtrees (blockmgr-*, spark-*) are
+        session-managed and left alone."""
+        if _RAM_TMP_BASE is None:
+            return
+        for entry in os.listdir(_RAM_TMP_BASE):
+            p = os.path.join(_RAM_TMP_BASE, entry)
+            if p in keep or entry.startswith(("gf_scale_", "blockmgr", "spark")):
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+
     timings = {}
     gc_deltas = {}
     for name, fn in bench_queries.items():
@@ -808,6 +827,9 @@ def main():
                 gc_best = _gc_ms(spark) - g0
         timings[name] = best
         gc_deltas[name] = gc_best
+        _sweep_query_scratch(
+            {os.path.dirname(v) for v, _e in _scale_paths.values()}
+        )
         print(
             f"# {name}: {timings[name]}s ({n} rows, gc {gc_best}ms)",
             file=sys.stderr,
