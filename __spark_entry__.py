@@ -1293,6 +1293,16 @@ def _q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, queries, k=ANN_K)
 
 
+def _q_ab_test_welch(spark, sf_dir):
+    """Per-event-type Welch's t-test between two deterministic arms
+    (user_id parity) over the event value metric — the experimentation
+    readout. Variances from (Σx, Σx², n) so the oracle evaluates the
+    identical closed form; one combine-enabled groupBy is the only
+    full-data pass. Oracle: the same sums + Welch expressions in SQL."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.ab_test_welch(events)
+
+
 def _q_inverted_postings(spark, sf_dir):
     """Inverted-index build: per term its document frequency, corpus
     frequency, and the first-50 ascending-doc_id posting list as a
@@ -3201,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _q_hard_negatives,
         "fastrp_embedding": _q_fastrp,
         "inverted_postings": _q_inverted_postings,
+        "ab_test_welch": _q_ab_test_welch,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -3462,6 +3473,31 @@ def oracle_sql() -> dict[str, str]:
         "out_degrees": (
             f"SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree "
             f"FROM ({_EDGES_BIG_SQL}) GROUP BY src"
+        ),
+        "ab_test_welch": (
+            "WITH g AS (SELECT event_type AS segment, "
+            "user_id % 2 = 0 AS arm_a, CAST(count(*) AS BIGINT) AS n, "
+            "sum(value) AS s1, sum(value * value) AS s2 "
+            "FROM events GROUP BY 1, 2), "
+            "a AS (SELECT segment, n AS n_a, s1 AS s1_a, s2 AS s2_a "
+            "FROM g WHERE arm_a), "
+            "b AS (SELECT segment, n AS n_b, s1 AS s1_b, s2 AS s2_b "
+            "FROM g WHERE NOT arm_a), "
+            "j AS (SELECT * FROM a JOIN b USING (segment) "
+            "WHERE n_a >= 2 AND n_b >= 2), "
+            "e AS (SELECT segment, n_a, n_b, "
+            "s1_a / n_a AS mean_a, s1_b / n_b AS mean_b, "
+            "(s2_a - s1_a * s1_a / n_a) / (n_a - 1) AS var_a, "
+            "(s2_b - s1_b * s1_b / n_b) / (n_b - 1) AS var_b FROM j) "
+            "SELECT segment, n_a, n_b, "
+            "round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b, "
+            "round(var_a, 6) AS var_a, round(var_b, 6) AS var_b, "
+            "round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) "
+            "AS t_stat, "
+            "round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) "
+            "/ ((var_a / n_a) * (var_a / n_a) / (n_a - 1) "
+            "+ (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS dof "
+            "FROM e"
         ),
         "inverted_postings": (
             "WITH td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf "

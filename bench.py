@@ -650,6 +650,23 @@ def _gc_ms(spark):
     return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
 
 
+def _steal_ms():
+    """Cumulative hypervisor CPU-steal milliseconds across all vCPUs
+    (/proc/stat field 8, USER_HZ=100). This VM measurably loses CPU to
+    neighbors in BURSTS — sampled 6.6% average steal during one round-8
+    bench block and 0.03% twenty minutes later on identical code; the
+    same query moved 38s -> 71s -> 45s across three back-to-back runs
+    with gc_ms flat. Recording the per-query steal delta turns that
+    from an unexplained regression into attributable environment noise:
+    compare steal_ms before attributing a BENCH_DETAIL delta to code."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) * 10  # USER_HZ ticks -> ms
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -794,6 +811,7 @@ def main():
 
     timings = {}
     gc_deltas = {}
+    steal_deltas = {}
     for name, fn in bench_queries.items():
         if name in RESTART_BEFORE:
             spark.stop()
@@ -815,9 +833,10 @@ def main():
             runs = 2
         else:
             runs = 1
-        best, n, gc_best = None, 0, None
+        best, n, gc_best, steal_best = None, 0, None, None
         for _ in range(runs):
             g0 = _gc_ms(spark)
+            s0 = _steal_ms()
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             n = df.count()  # force full execution
@@ -825,13 +844,16 @@ def main():
             if best is None or elapsed < best:
                 best = elapsed
                 gc_best = _gc_ms(spark) - g0
+                steal_best = _steal_ms() - s0
         timings[name] = best
         gc_deltas[name] = gc_best
+        steal_deltas[name] = steal_best
         _sweep_query_scratch(
             {os.path.dirname(v) for v, _e in _scale_paths.values()}
         )
         print(
-            f"# {name}: {timings[name]}s ({n} rows, gc {gc_best}ms)",
+            f"# {name}: {timings[name]}s ({n} rows, gc {gc_best}ms, "
+            f"steal {steal_best}ms)",
             file=sys.stderr,
         )
 
@@ -864,6 +886,9 @@ def main():
         # session-state noise (a query whose time moves while its gc_ms
         # doesn't is not a GC problem)
         "gc_ms": gc_deltas,
+        # hypervisor CPU-steal ms during each query's best run (summed
+        # over all vCPUs): the burst-noise evidence column — see _steal_ms
+        "steal_ms": steal_deltas,
         # fixed-work machine-speed probe (see _calibrate): compare across
         # rounds before attributing a BENCH_DETAIL delta to code
         "calib": calib,

@@ -893,3 +893,81 @@ def ewma_counts(
         F.col("__z.__s.n_events").alias("n_events"),
         F.round(F.col("__z.__e"), 6).alias("ewma"),
     )
+
+
+def ab_test_welch(
+    events: DataFrame,
+    metric_col: str = "value",
+    unit_col: str = "user_id",
+    segment_col: str = "event_type",
+) -> DataFrame:
+    """[segment, n_a, n_b, mean_a, mean_b, var_a, var_b, t_stat, dof] —
+    per-segment Welch's unequal-variance t-test between two experiment
+    arms, the experimentation-platform readout. Arm assignment is the
+    standard deterministic unit hash (here: ``unit_col % 2`` — swap in
+    ``hash60`` bucketing for salted production assignment); segments with
+    fewer than 2 observations per arm are dropped (variance undefined).
+
+    t = (mean_a − mean_b) / sqrt(var_a/n_a + var_b/n_b); dof via
+    Welch–Satterthwaite. Variances are SAMPLE variances computed from
+    (Σx, Σx², n) so both engines evaluate the same closed form; all
+    floats are rounded to 6 places in the output.
+
+    Scale shape: ONE combine-enabled groupBy(segment, arm) over the raw
+    events (sums, never a per-unit materialization), then the per-segment
+    pivot is a |segments|-row self-join — nothing downstream of the first
+    aggregate scales with |events|. This is the textbook map-side-partial
+    pattern: at 100 TB the only full-data pass is the partial-aggregated
+    scan."""
+    arm = (F.col(unit_col) % 2 == 0).alias("__arm_a")
+    agg = (
+        events.select(
+            F.col(segment_col).alias("segment"),
+            arm,
+            F.col(metric_col).cast("double").alias("__x"),
+        )
+        .groupBy("segment", "__arm_a")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("s1"),
+            F.sum(F.col("__x") * F.col("__x")).alias("s2"),
+        )
+    )
+    a = agg.filter(F.col("__arm_a")).select(
+        "segment",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = agg.filter(~F.col("__arm_a")).select(
+        "segment",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.join(b, "segment").filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    mean_a = F.col("s1_a") / F.col("n_a")
+    mean_b = F.col("s1_b") / F.col("n_b")
+    var_a = (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    t_stat = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    dof = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "segment",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )

@@ -222,3 +222,36 @@ def test_gapfill_trailing_gap_falls_back_to_locf(spark):
     out = time_bucket_gapfill(events, 3600, method="linear").collect()
     # both rows land in one bucket: avg = 2.0, single-row grid, no gaps
     assert [(r["value"], r["is_gap"]) for r in out] == [(2.0, False)]
+
+
+def test_ab_test_welch_hand_computed(spark):
+    """Arm A = even user_id {2: values 1,2,3}, arm B = odd {1: 5,7}.
+    mean_a=2, var_a=1, mean_b=6, var_b=2; t = -4/sqrt(1/3 + 1) ≈ -3.464102;
+    dof = (4/3)^2 / ((1/9)/2 + 1) = 32/19 ≈ 1.684211."""
+    import datetime
+
+    from graphframes_rs_spark.streaming import events as ev
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 2, "click", 1.0, "{}"),
+        (2, ts, 2, "click", 2.0, "{}"),
+        (3, ts, 2, "click", 3.0, "{}"),
+        (4, ts, 1, "click", 5.0, "{}"),
+        (5, ts, 1, "click", 7.0, "{}"),
+        (6, ts, 4, "view", 1.0, "{}"),  # view: only one arm -> dropped
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = ev.ab_test_welch(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["segment"] == "click"
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 6.0)
+    assert (r["var_a"], r["var_b"]) == (1.0, 2.0)
+    assert abs(r["t_stat"] - (-3.464102)) < 1e-6
+    assert abs(r["dof"] - 32.0 / 19.0) < 1e-6
