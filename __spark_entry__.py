@@ -1293,6 +1293,16 @@ def _q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, queries, k=ANN_K)
 
 
+def _q_rfm_features(spark, sf_dir):
+    """RFM (recency/frequency/monetary) user-feature block with ntile
+    quantile scores — deterministic (recency vs the corpus max timestamp,
+    tie-broken window orders). One combine-enabled groupBy over events is
+    the only full-data pass; windows run on the per-user frame. Oracle:
+    identical date_diff + ntile orders in SQL."""
+    events = load_table(spark, sf_dir, "events")
+    return ev.rfm_features(events, n_bins=5)
+
+
 def _q_ab_test_welch(spark, sf_dir):
     """Per-event-type Welch's t-test between two deterministic arms
     (user_id parity) over the event value metric — the experimentation
@@ -3212,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_embedding": _q_fastrp,
         "inverted_postings": _q_inverted_postings,
         "ab_test_welch": _q_ab_test_welch,
+        "rfm_features": _q_rfm_features,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -3473,6 +3484,23 @@ def oracle_sql() -> dict[str, str]:
         "out_degrees": (
             f"SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree "
             f"FROM ({_EDGES_BIG_SQL}) GROUP BY src"
+        ),
+        "rfm_features": (
+            "WITH pu AS (SELECT user_id, max(ts) AS last_ts, "
+            "CAST(count(*) AS BIGINT) AS frequency, "
+            "round(sum(value), 6) AS monetary FROM events GROUP BY 1), "
+            "cm AS (SELECT max(ts) AS cmax FROM events), "
+            "f AS (SELECT user_id, "
+            "CAST(date_diff('day', CAST(last_ts AS DATE), "
+            "CAST(cmax AS DATE)) AS BIGINT) AS recency_days, "
+            "frequency, monetary FROM pu CROSS JOIN cm) "
+            "SELECT user_id, recency_days, frequency, monetary, "
+            "CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) "
+            "AS r_score, "
+            "CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) "
+            "AS f_score, "
+            "CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) "
+            "AS m_score FROM f"
         ),
         "ab_test_welch": (
             "WITH g AS (SELECT event_type AS segment, "

@@ -971,3 +971,53 @@ def ab_test_welch(
         F.round(t_stat, 6).alias("t_stat"),
         F.round(dof, 6).alias("dof"),
     )
+
+
+def rfm_features(
+    events: DataFrame,
+    ts_col: str = "ts",
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    n_bins: int = 5,
+) -> DataFrame:
+    """[user_id, recency_days, frequency, monetary, r_score, f_score,
+    m_score] — the classic RFM feature block (recency / frequency /
+    monetary) every churn / LTV / segmentation model starts from.
+    Recency is whole days from the user's last event to the corpus max
+    timestamp (deterministic — no wall clock); scores are ``ntile``
+    quantile bins (1..n_bins; r_score bins recency ASCENDING so 1 = most
+    recent, f/m bin descending so 1 = most active / highest spend —
+    ntile ties resolve by the deterministic (metric, user_id) order).
+
+    Scale shape: one combine-enabled groupBy(user) over raw events, a
+    broadcast 1-row corpus-max join, then three ntile windows over the
+    |users| frame. Unpartitioned ntile is a single-task sort of |users|
+    rows — the per-user frame is orders of magnitude smaller than the
+    event log (the thing that actually scales); shard the window by a
+    coarse segment column if |users| alone outgrows one task."""
+    per_user = events.groupBy(F.col(unit_col).alias("user_id")).agg(
+        F.max(F.col(ts_col)).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col(value_col)), 6).alias("monetary"),
+    )
+    corpus_max = events.agg(F.max(F.col(ts_col)).alias("__cmax"))
+    feats = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user_id",
+        F.datediff(F.col("__cmax"), F.col("__last"))
+        .cast("long")
+        .alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return feats.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_bins).over(w_r).cast("long").alias("r_score"),
+        F.ntile(n_bins).over(w_f).cast("long").alias("f_score"),
+        F.ntile(n_bins).over(w_m).cast("long").alias("m_score"),
+    )

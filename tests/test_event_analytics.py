@@ -255,3 +255,32 @@ def test_ab_test_welch_hand_computed(spark):
     assert (r["var_a"], r["var_b"]) == (1.0, 2.0)
     assert abs(r["t_stat"] - (-3.464102)) < 1e-6
     assert abs(r["dof"] - 32.0 / 19.0) < 1e-6
+
+
+def test_rfm_features_hand_computed(spark):
+    """u1: events on day 1 and day 3 (values 10, 20); u2: one event day 4.
+    Corpus max = day 4 -> recency u1 = 1 day, u2 = 0; freq 2 vs 1;
+    monetary 30 vs 5. With n_bins=2: r_score u2=1 (most recent),
+    f/m score u1=1 (most active / highest spend)."""
+    import datetime
+
+    from graphframes_rs_spark.streaming import events as ev
+
+    d = lambda day: datetime.datetime(2024, 1, day)
+    rows = [
+        (1, d(1), 1, "buy", 10.0, "{}"),
+        (2, d(3), 1, "buy", 20.0, "{}"),
+        (3, d(4), 2, "buy", 5.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r for r in ev.rfm_features(events, n_bins=2).collect()}
+    assert out[1]["recency_days"] == 1 and out[2]["recency_days"] == 0
+    assert out[1]["frequency"] == 2 and out[2]["frequency"] == 1
+    assert out[1]["monetary"] == 30.0 and out[2]["monetary"] == 5.0
+    assert out[2]["r_score"] == 1 and out[1]["r_score"] == 2
+    assert out[1]["f_score"] == 1 and out[2]["f_score"] == 2
+    assert out[1]["m_score"] == 1 and out[2]["m_score"] == 2
