@@ -550,10 +550,10 @@ def dsir_weights(
 
     Scale shape: the gram explode is narrow (no shuffle); bucket tallies
     are ONE combine-enabled groupBy onto ``n_buckets`` keys (a tiny
-    frame, broadcast back); per-doc scoring is one combine-enabled
-    groupBy on (doc_id, bucket) then doc_id — no join larger than
-    |docs| × avg distinct buckets. Nothing here scans the corpus more
-    than twice and no stage depends on |target|×|raw|.
+    frame, broadcast back); per-doc scoring is ONE combine-enabled
+    groupBy(doc_id) over the broadcast-joined gram stream. Nothing here
+    scans the corpus more than twice (once to build the ratio table,
+    once to score) and no stage depends on |target|×|raw|.
     """
     if not target_sources:
         raise ValueError("target_sources must be non-empty")
@@ -603,14 +603,15 @@ def dsir_weights(
             .alias("lr_u"),
         )
     )
-    per_bucket = grams.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # scoring: broadcast the tiny ratio table onto the gram stream and sum
+    # integer micro-units straight to the doc — Σ_occurrences lr_u is the
+    # same exact integer as the (doc, bucket)-counted dot product, one
+    # combine-enabled exchange instead of two
     return (
-        per_bucket.join(F.broadcast(ratio), "bucket")
+        grams.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("long").alias("n_grams"),
-            F.round(F.sum(F.col("cnt") * F.col("lr_u")) / 1e6, 6).alias("logratio"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("lr_u") / 1e6, 6).alias("logratio"),
         )
     )
