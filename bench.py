@@ -232,6 +232,25 @@ def _bench_scale_dedup(spark, sf_dir):
     )
 
 
+def _bench_scale_dsir(spark, sf_dir):
+    # DSIR importance weights over the 200k synthetic corpus (50-word
+    # docs -> ~20M gram occurrences). The corpus has no source column;
+    # derive a deterministic 20-way split and target two of them — the
+    # op's cost profile (explode + two combine-enabled aggregates +
+    # broadcast scoring join) is independent of source realism.
+    from graphframes_rs_spark.pipeline import curation
+
+    _prepare_scale_docs(spark)
+    docs = spark.read.parquet(_scale_docs_path[0]).select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias(
+            "source"
+        ),
+    )
+    return curation.dsir_weights(docs, ["src0", "src1"], n_buckets=1024)
+
+
 # Similarity scale tier: 200k deterministic 16-dim embeddings (100x the
 # sf0.1 embeddings table), 1000 queries through IVF (nlist=64, nprobe=8).
 # Measured once against brute force at this exact configuration: exact
@@ -545,6 +564,7 @@ BENCH_QUERIES = {
     # (minhash -> LSH -> exact rescore -> WCC clusters; recovers the
     # planted 20k near-dup triples exactly — see SCALE_DOCS)
     "scale_dedup_200k": _bench_scale_dedup,
+    "scale_dsir_200k": _bench_scale_dsir,
     # similarity scale proof: IVF over 100x the sf0.1 embeddings (8x
     # faster than exact at recall 0.93 — see SCALE_EMB)
     "scale_ann_200k": _bench_scale_ann,
