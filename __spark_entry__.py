@@ -1293,6 +1293,15 @@ def _q_hard_negatives(spark, sf_dir):
     return similarity.hard_negatives(emb, queries, k=ANN_K)
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(k) of the big bipartite graph at degree
+    thresholds 1/2/4/8/16 — hubs-linking-hubs structure. One edge pass
+    evaluates every threshold as conditional sums (never a scan per k).
+    Oracle: identical symmetrize + threshold counts in SQL."""
+    g = lineitem_graph(spark, sf_dir)
+    return g.rich_club(ks=(1, 2, 4, 8, 16))
+
+
 def _q_rfm_features(spark, sf_dir):
     """RFM (recency/frequency/monetary) user-feature block with ntile
     quantile scores — deterministic (recency vs the corpus max timestamp,
@@ -3223,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": _q_inverted_postings,
         "ab_test_welch": _q_ab_test_welch,
         "rfm_features": _q_rfm_features,
+        "rich_club": _q_rich_club,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
@@ -3484,6 +3494,27 @@ def oracle_sql() -> dict[str, str]:
         "out_degrees": (
             f"SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree "
             f"FROM ({_EDGES_BIG_SQL}) GROUP BY src"
+        ),
+        "rich_club": (
+            f"WITH e0 AS ({_EDGES_BIG_SQL}), "
+            "sym AS (SELECT DISTINCT src, dst FROM ("
+            "SELECT src, dst FROM e0 WHERE src <> dst "
+            "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)), "
+            "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d "
+            "FROM sym GROUP BY 1), "
+            "pe AS (SELECT a.d AS ds, b.d AS dd FROM sym s "
+            "JOIN deg a ON s.src = a.id JOIN deg b ON s.dst = b.id "
+            "WHERE s.src < s.dst), "
+            "ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k), "
+            "en AS (SELECT k, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > k) "
+            "AS n_nodes, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM pe "
+            "WHERE ds > k AND dd > k) AS n_edges FROM ks) "
+            "SELECT k, n_nodes, n_edges, "
+            "round(CASE WHEN n_nodes >= 2 THEN "
+            "2.0 * n_edges / (n_nodes * (n_nodes - 1.0)) END, 6) AS phi "
+            "FROM en"
         ),
         "rfm_features": (
             "WITH pu AS (SELECT user_id, max(ts) AS last_ts, "

@@ -431,6 +431,77 @@ class GraphFrame:
             ).alias("density"),
         )
 
+    def rich_club(self, ks: Sequence[int] = (1, 2, 4, 8, 16)) -> DataFrame:
+        """[k, n_nodes, n_edges, phi] — rich-club coefficient (Zhou &
+        Mondragón 2004) at each degree threshold: among vertices with
+        degree > k, ``phi = 2·E_k / (N_k·(N_k−1))`` is the realized
+        fraction of possible edges. Rising phi(k) means hubs
+        preferentially interconnect — the structural signal behind
+        transit backbones and elite cores; NULL when fewer than two
+        vertices clear the threshold.
+
+        Scale shape: ONE pass for every k — degrees ride each undirected
+        edge via two joins (the same frame assortativity builds), then a
+        single aggregate evaluates all thresholds as conditional sums
+        (never one scan per k), and the vertex-side counts come from one
+        aggregate over the degree frame. Output is |ks| rows."""
+        und = symmetrize_edges(self.edges.select(SRC, DST), deduplicate=True)
+        deg = und.groupBy(F.col(SRC).alias(ID)).agg(
+            F.count(F.lit(1)).alias("__deg")
+        )
+        paired = und.filter(F.col(SRC) < F.col(DST)).join(
+            deg.select(F.col(ID).alias(SRC), F.col("__deg").alias("__ds")),
+            SRC,
+        ).join(
+            deg.select(F.col(ID).alias(DST), F.col("__deg").alias("__dd")),
+            DST,
+        )
+        ks = sorted({int(k) for k in ks})
+        edge_aggs = [
+            F.sum(
+                F.when(
+                    (F.col("__ds") > k) & (F.col("__dd") > k), 1
+                ).otherwise(0)
+            ).alias(f"__e{k}")
+            for k in ks
+        ]
+        node_aggs = [
+            F.sum(F.when(F.col("__deg") > k, 1).otherwise(0)).alias(f"__n{k}")
+            for k in ks
+        ]
+        e_row = paired.agg(*edge_aggs)
+        n_row = deg.agg(*node_aggs)
+        both = e_row.crossJoin(n_row)
+        per_k = [
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.coalesce(F.col(f"__n{k}"), F.lit(0))
+                .cast("long")
+                .alias("n_nodes"),
+                F.coalesce(F.col(f"__e{k}"), F.lit(0))
+                .cast("long")
+                .alias("n_edges"),
+            )
+            for k in ks
+        ]
+        rows = both.select(F.explode(F.array(*per_k)).alias("__r")).select(
+            "__r.k", "__r.n_nodes", "__r.n_edges"
+        )
+        return rows.select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.round(
+                F.when(
+                    F.col("n_nodes") >= 2,
+                    2.0
+                    * F.col("n_edges")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                ),
+                6,
+            ).alias("phi"),
+        )
+
     def hits(self) -> "HITSBuilder":
         from graphframes_rs_spark.operators.hits import HITSBuilder
 

@@ -191,3 +191,23 @@ def test_degree_assortativity_closed_forms(spark):
     assert r([(1, i) for i in range(2, 6)], 5) == -1.0
     assert abs(r([(1, 2), (2, 3), (3, 4)], 4) - (-0.5)) < 1e-9
     assert r([(1, 2), (2, 3), (3, 1)], 3) is None
+
+
+def test_rich_club_hand_computed(spark):
+    """K4 on {1,2,3,4} (degree 3 each) + pendant 5-1 (deg(1)=4, deg(5)=1).
+    k=1: N={1,2,3,4} (deg>1), all 6 K4 edges qualify -> phi=1.0.
+    k=3: N={1} (only deg>3) -> fewer than 2 nodes -> phi NULL.
+    k=0: N=all 5, qualifying edges=7, phi=2*7/(5*4)=0.7."""
+    from graphframes_rs_spark import GraphFrame
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)]
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: r for r in GraphFrame(v, e).rich_club(ks=(0, 1, 3)).collect()}
+    assert out[0]["n_nodes"] == 5 and out[0]["n_edges"] == 7
+    assert abs(out[0]["phi"] - 0.7) < 1e-9
+    assert out[1]["n_nodes"] == 4 and out[1]["n_edges"] == 6
+    assert out[1]["phi"] == 1.0
+    assert out[3]["n_nodes"] == 1 and out[3]["n_edges"] == 0
+    assert out[3]["phi"] is None
