@@ -303,10 +303,27 @@ def _bench_scale_ivfpq(spark, sf_dir):
     )
 
 
-def _bench_scale_wcc(tier):
+def _bench_scale_wcc(tier, doublings=None):
+    # doublings=0 is the opt-in A/B arm: the reference's one-hop
+    # contraction round (pointer doubling off) for comparison against
+    # the default (doubling=2: 18m tier 42.0s -> 26.8s round 8)
     def run(spark, sf_dir):
+        from graphframes_rs_spark.operators.connected_components import (
+            REP_DOUBLING,
+        )
+
         g = _scale_graph(spark, tier)
-        return g.connected_components().set_checkpoint_dir(tempfile.mkdtemp()).run()
+        if doublings is not None:
+            spark.conf.set(REP_DOUBLING, str(doublings))
+        try:
+            return (
+                g.connected_components()
+                .set_checkpoint_dir(tempfile.mkdtemp())
+                .run()
+            )
+        finally:
+            if doublings is not None:
+                spark.conf.unset(REP_DOUBLING)
 
     return run
 
@@ -706,6 +723,9 @@ def main():
         all_queries["scale_kcore_skew18m_pregel"] = _bench_scale_kcore(
             "skew18m", pregel=True
         )
+        all_queries["scale_wcc_18m_onehop"] = _bench_scale_wcc(
+            "18m", doublings=0
+        )
     bench_queries = (
         {k: v for k, v in all_queries.items() if k in only}
         if only
@@ -749,7 +769,7 @@ def main():
     # measures steady-state like every other scale tier. The A/B arm stays
     # single-shot: it exists for the ratio, and doubling a ~75s query
     # isn't worth de-noising an already-settled comparison.)
-    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m_pregel"}
+    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m_pregel", "scale_wcc_18m_onehop"}
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
     # enough that best-of-3 would dominate wall-clock; best-of-2.
     # knn_components added after r6 recorded 7.6s vs r5's 4.4s with NO
