@@ -3551,11 +3551,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT segment, n_a, n_b, "
             "round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b, "
             "round(var_a, 6) AS var_a, round(var_b, 6) AS var_b, "
-            "round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) "
+            "round(CASE WHEN var_a / n_a + var_b / n_b > 0 THEN "
+            "(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) END, 6) "
             "AS t_stat, "
-            "round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) "
+            "round(CASE WHEN var_a / n_a + var_b / n_b > 0 THEN "
+            "(var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) "
             "/ ((var_a / n_a) * (var_a / n_a) / (n_a - 1) "
-            "+ (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS dof "
+            "+ (var_b / n_b) * (var_b / n_b) / (n_b - 1)) END, 6) AS dof "
             "FROM e"
         ),
         "inverted_postings": (

@@ -142,6 +142,12 @@ SCALE_TIERS = {
     "6m": {"edges": 6_000_000, "vertices": 2_000_000},
     "18m": {"edges": 18_000_000, "vertices": 6_000_000},
     "skew18m": {"edges": 18_000_000, "vertices": 6_000_000, "skew": 4.0},
+    # 100x round-count proof tier (3x the 18m tier, WCC only): together the
+    # 6m/18m/54m rows show the contraction round count growing O(log n) —
+    # the reference's one scale claim (connected_components.rs:705-714) —
+    # while wall grows sub-linearly in edges. Rounds ride the detail JSON
+    # as "wcc_rounds".
+    "54m": {"edges": 54_000_000, "vertices": 18_000_000},
 }
 _scale_paths = {}
 
@@ -303,10 +309,18 @@ def _bench_scale_ivfpq(spark, sf_dir):
     )
 
 
+# distributed contraction rounds per WCC bench row (builder.iterations_ of
+# the run that produced the row's kept timing) — the O(log n) evidence the
+# 6m/18m/54m tiers exist to show; exported in the detail JSON.
+_wcc_rounds = {}
+
+
 def _bench_scale_wcc(tier, doublings=None):
-    # doublings=0 is the opt-in A/B arm: the reference's one-hop
-    # contraction round (pointer doubling off) for comparison against
-    # the default (doubling=2: 18m tier 42.0s -> 26.8s round 8)
+    # doublings=0 is the A/B arm (default-on for the 18m tier since r9):
+    # the reference's one-hop contraction round (pointer doubling off) for
+    # comparison against the default (doubling=2, with the one-hop rep map
+    # materialized before the doubling joins since r9 — see
+    # connected_components.py REP_DOUBLING notes)
     def run(spark, sf_dir):
         from graphframes_rs_spark.operators.connected_components import (
             REP_DOUBLING,
@@ -316,11 +330,11 @@ def _bench_scale_wcc(tier, doublings=None):
         if doublings is not None:
             spark.conf.set(REP_DOUBLING, str(doublings))
         try:
-            return (
-                g.connected_components()
-                .set_checkpoint_dir(tempfile.mkdtemp())
-                .run()
-            )
+            b = g.connected_components().set_checkpoint_dir(tempfile.mkdtemp())
+            out = b.run()
+            key = tier if doublings is None else f"{tier}_onehop"
+            _wcc_rounds[key] = b.iterations_
+            return out
         finally:
             if doublings is not None:
                 spark.conf.unset(REP_DOUBLING)
@@ -546,6 +560,13 @@ BENCH_QUERIES = {
     "scale_pagerank_6m": _bench_scale_pagerank("6m"),
     "scale_kcore_6m": _bench_scale_kcore("6m"),
     "scale_wcc_18m": _bench_scale_wcc("18m"),
+    # default-on A/B arm (r9): same tier with pointer doubling OFF — the
+    # reference's one-hop round — so the doubling's value is re-proven in
+    # every artifact next to the number it explains (r8's 61.7s driver
+    # measurement vs 26.8s builder run made the default's effect disputable)
+    "scale_wcc_18m_onehop": _bench_scale_wcc("18m", doublings=0),
+    # 100x story: 3x the 18m tier, WCC only (rounds in detail "wcc_rounds")
+    "scale_wcc_54m": _bench_scale_wcc("54m"),
     "scale_pagerank_18m": _bench_scale_pagerank("18m"),
     "scale_kcore_18m": _bench_scale_kcore("18m"),
     # power-law tier: same 18M-edge size, hub in-degree ~364k — measures
@@ -723,9 +744,6 @@ def main():
         all_queries["scale_kcore_skew18m_pregel"] = _bench_scale_kcore(
             "skew18m", pregel=True
         )
-        all_queries["scale_wcc_18m_onehop"] = _bench_scale_wcc(
-            "18m", doublings=0
-        )
     bench_queries = (
         {k: v for k, v in all_queries.items() if k in only}
         if only
@@ -769,7 +787,11 @@ def main():
     # measures steady-state like every other scale tier. The A/B arm stays
     # single-shot: it exists for the ratio, and doubling a ~75s query
     # isn't worth de-noising an already-settled comparison.)
-    SINGLE_SHOT_SCALE = {"scale_kcore_skew18m_pregel", "scale_wcc_18m_onehop"}
+    # scale_wcc_54m exists for its ROUND COUNT (deterministic) and a wall
+    # ballpark; best-of-2 would add ~1.5 min of bench for no extra signal.
+    SINGLE_SHOT_SCALE = {
+        "scale_kcore_skew18m_pregel", "scale_wcc_18m_onehop", "scale_wcc_54m",
+    }
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
     # enough that best-of-3 would dominate wall-clock; best-of-2.
     # knn_components added after r6 recorded 7.6s vs r5's 4.4s with NO
@@ -852,6 +874,7 @@ def main():
     timings = {}
     gc_deltas = {}
     steal_deltas = {}
+    steal_reruns = {}
     for name, fn in bench_queries.items():
         if name in RESTART_BEFORE:
             spark.stop()
@@ -873,18 +896,42 @@ def main():
             runs = 2
         else:
             runs = 1
-        best, n, gc_best, steal_best = None, 0, None, None
-        for _ in range(runs):
+        def _one_run():
+            nonlocal n
             g0 = _gc_ms(spark)
             s0 = _steal_ms()
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             n = df.count()  # force full execution
             elapsed = round(time.monotonic() - t0, 3)
+            return elapsed, _gc_ms(spark) - g0, _steal_ms() - s0
+
+        best, n, gc_best, steal_best = None, 0, None, None
+        for _ in range(runs):
+            elapsed, gc_d, steal_d = _one_run()
             if best is None or elapsed < best:
-                best = elapsed
-                gc_best = _gc_ms(spark) - g0
-                steal_best = _steal_ms() - s0
+                best, gc_best, steal_best = elapsed, gc_d, steal_d
+        # Steal-integrity rule (r9): a sample taken while the hypervisor
+        # stole >10% of its wall is noise, not a measurement (r8 recorded
+        # scale_kcore_18m at 39.3s with 24.2s of steal inside it). Re-run
+        # once after a cooldown and keep the LOWER-STEAL sample; both
+        # samples ride the detail JSON under "steal_reruns" so the artifact
+        # shows its own evidence trail. Headline queries only — the rule
+        # exists so no headline row is a steal artifact.
+        if (
+            name.startswith("scale_")
+            and steal_best is not None
+            and steal_best > 0.10 * best * 1000.0
+        ):
+            time.sleep(5.0)
+            re_elapsed, re_gc, re_steal = _one_run()
+            steal_reruns[name] = {
+                "kept_first": re_steal >= steal_best,
+                "first": {"s": best, "steal_ms": steal_best},
+                "rerun": {"s": re_elapsed, "steal_ms": re_steal},
+            }
+            if re_steal < steal_best:
+                best, gc_best, steal_best = re_elapsed, re_gc, re_steal
         timings[name] = best
         gc_deltas[name] = gc_best
         steal_deltas[name] = steal_best
@@ -929,6 +976,12 @@ def main():
         # hypervisor CPU-steal ms during each query's best run (summed
         # over all vCPUs): the burst-noise evidence column — see _steal_ms
         "steal_ms": steal_deltas,
+        # queries whose first sample breached the 10%-steal integrity rule:
+        # both samples, and which one the headline kept (lower steal wins)
+        "steal_reruns": steal_reruns,
+        # distributed contraction rounds per WCC tier of the kept run —
+        # the O(log n) scale story (6m/18m/54m + the one-hop A/B arm)
+        "wcc_rounds": _wcc_rounds,
         # fixed-work machine-speed probe (see _calibrate): compare across
         # rounds before attributing a BENCH_DETAIL delta to code
         "calib": calib,

@@ -249,6 +249,20 @@ class ConnectedComponentsBuilder:
                 break
             seed = self.random_seed + iteration
             reps = _compute_reps(edges, seed)
+            if doublings > 0:
+                # Materialize the ONE-HOP map before the doubling self-joins:
+                # unmaterialized, each doubling squares the plan, embedding
+                # 2^k copies of the EDGE-scale min_by aggregate (the join
+                # branches exchange on different keys — rep vs v — so
+                # exchange reuse is only partial and the edge frame is
+                # re-aggregated several times per round). Materialized, the
+                # doublings compose 2^k VERTEX-scale parquet scans instead.
+                # Pushed into the edges pool (not reps_ckpt) so the loop's
+                # evict_all_but_latest(1) reclaims it right after the doubled
+                # map — the only frame back-propagation needs — is written.
+                reps = ckpt.push_partitioned(
+                    reps, "rep", shuffle_n, f"hop_{iteration}"
+                )
             for _ in range(doublings):
                 r2 = reps.select(
                     F.col("v").alias("__d_v"), F.col("rep").alias("__d_rep")

@@ -530,6 +530,8 @@ def dsir_weights(
     source_col: str = "source",
     n_buckets: int = 1024,
     smoothing: float = 1.0,
+    checkpoint_dir: Optional[str] = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """[doc_id, n_grams, logratio] — per-document importance weight for
     Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
@@ -584,11 +586,28 @@ def dsir_weights(
     )
     # one hashing pass: collapse the gram stream to the per-(doc, bucket)
     # histogram and pin it — both the ratio build and the scoring read
-    # this compact frame instead of re-exploding the corpus
+    # this compact frame instead of re-exploding the corpus.
+    # Materialization contract (three modes, cluster-caller's choice):
+    #   checkpoint_dir set -> RELIABLE parquet checkpoint (survives
+    #     executor loss — the right mode on a real cluster);
+    #   materialize=True (default) -> eager localCheckpoint: fastest on a
+    #     healthy cluster / local mode, but executor-storage-only (lost
+    #     blocks are unrecoverable) and it runs a job at plan-construction
+    #     time even if the caller never executes the result;
+    #   materialize=False -> no pinning: pure lazy plan, the corpus scan
+    #     is re-executed by each downstream branch (2 passes) — for
+    #     callers who only explain() or who checkpoint downstream.
     per_db = grams.groupBy("doc_id", "__src", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    per_db = per_db.localCheckpoint()
+    if checkpoint_dir is not None:
+        from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
+
+        per_db = ParquetCheckpointer(docs.sparkSession, checkpoint_dir).push(
+            per_db, "dsir_per_db"
+        )
+    elif materialize:
+        per_db = per_db.localCheckpoint()
     is_target = F.col("__src").isin(*[str(s) for s in target_sources])
     tallies = per_db.groupBy("bucket").agg(
         F.sum(F.when(is_target, F.col("cnt")).otherwise(0)).alias("cnt_t"),

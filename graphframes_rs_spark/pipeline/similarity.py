@@ -807,7 +807,29 @@ def cosine_topk_blas(
     is huge and the QUERY set is the small side, use
     :func:`cosine_topk_scan` — the exact dual (queries broadcast, base
     stays distributed) — or :func:`ivf_topk` / :func:`lsh_topk` to bound
-    what each query scans approximately."""
+    what each query scans approximately. The contract is ENFORCED: the
+    base collect is guarded by ``spark.graphframes.ann.maxBlasBaseCells``
+    (rows x dim, default 64M cells = 512 MB of doubles) and raises
+    pointing at the scale duals rather than silently OOMing the driver."""
+    first = embeddings.select(
+        F.col(vec_col).cast("array<double>").alias("nv")
+    ).first()
+    dim = len(first["nv"]) if first is not None else 0
+    n_base = embeddings.count()
+    max_cells = int(
+        embeddings.sparkSession.conf.get(
+            "spark.graphframes.ann.maxBlasBaseCells", str(64 * 1024 * 1024)
+        )
+    )
+    if n_base * max(dim, 1) > max_cells:
+        raise ValueError(
+            f"cosine_topk_blas collects the BASE to the driver: "
+            f"{n_base} rows x {dim} dims = {n_base * dim} cells exceeds "
+            f"spark.graphframes.ann.maxBlasBaseCells ({max_cells}). For a "
+            f"large base use cosine_topk_scan (distributed base, broadcast "
+            f"queries) or ivf_topk/lsh_topk (bounded approximate scans), "
+            f"or raise the conf if the driver really has the memory."
+        )
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),

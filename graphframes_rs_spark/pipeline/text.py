@@ -1030,13 +1030,19 @@ def inverted_postings(
     ascending doc_ids (the scalar-typed export form; the unbounded array
     form is one ``collect_list`` away for engines that want it).
 
-    Scale shape: one corpus explode + two combine-enabled aggregates
-    (per (term, doc) then per term). The posting string is the ONLY
-    bounded-size-per-term artifact (``max_postings`` caps it), so a
-    stop-word's row stays small even when its true posting list is the
-    whole corpus — df/cf still count everything. Ordering inside the
-    list is ascending doc_id: deterministic and the order a posting-list
-    intersector wants."""
+    Scale shape: one corpus explode + a combine-enabled (term, doc)
+    aggregate, then TWO term-keyed passes that reuse its hash
+    partitioning: an unbounded count/sum aggregate (fixed-size buffer
+    per term) for df/cf, and a row_number window filtered to
+    ``max_postings`` BEFORE the collect_list — so the list-typed
+    aggregation buffer is bounded for every term. A stop word whose
+    true posting list is the whole corpus (multi-GB of doc_ids at
+    100 TB) never materializes it anywhere: not in the output AND not
+    in an aggregate state; df/cf still count everything. Ordering
+    inside the list is ascending doc_id: deterministic and the order a
+    posting-list intersector wants."""
+    from pyspark.sql import Window
+
     td = (
         docs.select(
             "doc_id",
@@ -1046,20 +1052,27 @@ def inverted_postings(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return (
+    stats = (
         td.groupBy("term")
         .agg(
-            F.count(F.lit(1)).alias("df"),
+            F.count(F.lit(1)).cast("long").alias("df"),
             F.sum("tf").cast("long").alias("cf"),
-            F.concat_ws(
-                ",",
-                F.slice(
-                    F.sort_array(F.collect_list("doc_id")),
-                    1,
-                    max_postings,
-                ).cast("array<string>"),
-            ).alias("postings"),
         )
         .filter(F.col("df") >= min_df)
-        .select("term", F.col("df").cast("long").alias("df"), "cf", "postings")
     )
+    # (term, doc_id) is unique after the aggregate, so row_number over
+    # doc_id is deterministic; the filter caps the rows FEEDING the
+    # collect_list, keeping its buffer <= max_postings entries per term
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    postings = (
+        td.withColumn("__rn", rn)
+        .filter(F.col("__rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+            ).alias("postings")
+        )
+    )
+    return stats.join(postings, "term").select("term", "df", "cf", "postings")

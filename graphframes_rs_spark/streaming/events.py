@@ -956,9 +956,17 @@ def ab_test_welch(
     )
     se2_a = var_a / F.col("n_a")
     se2_b = var_b / F.col("n_b")
-    t_stat = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
-    dof = (se2_a + se2_b) * (se2_a + se2_b) / (
-        se2_a * se2_a / (F.col("n_a") - 1) + se2_b * se2_b / (F.col("n_b") - 1)
+    # degenerate segment: both arms all-constant -> se2 sum is 0 and the
+    # Welch statistic is undefined (double semantics would emit Inf/NaN,
+    # which engines disagree on); null the statistic, keep the row
+    defined = (se2_a + se2_b) > 0
+    t_stat = F.when(defined, (mean_a - mean_b) / F.sqrt(se2_a + se2_b))
+    dof = F.when(
+        defined,
+        (se2_a + se2_b) * (se2_a + se2_b) / (
+            se2_a * se2_a / (F.col("n_a") - 1)
+            + se2_b * se2_b / (F.col("n_b") - 1)
+        ),
     )
     return j.select(
         "segment",

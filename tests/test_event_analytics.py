@@ -257,6 +257,35 @@ def test_ab_test_welch_hand_computed(spark):
     assert abs(r["dof"] - 32.0 / 19.0) < 1e-6
 
 
+def test_ab_test_welch_zero_variance_segment_nulled(spark):
+    """Both arms all-constant: the Welch statistic is undefined (0/0).
+    The row survives with t_stat/dof NULL instead of Inf/NaN — keeping
+    engine-agnostic (and DuckDB-oracle-stable) semantics."""
+    import datetime
+
+    from graphframes_rs_spark.streaming import events as ev
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 2, "flat", 3.0, "{}"),
+        (2, ts, 4, "flat", 3.0, "{}"),
+        (3, ts, 1, "flat", 3.0, "{}"),
+        (4, ts, 3, "flat", 3.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = ev.ab_test_welch(events).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["mean_a"], r["mean_b"]) == (3.0, 3.0)
+    assert (r["var_a"], r["var_b"]) == (0.0, 0.0)
+    assert r["t_stat"] is None and r["dof"] is None
+
+
 def test_rfm_features_hand_computed(spark):
     """u1: events on day 1 and day 3 (values 10, 20); u2: one event day 4.
     Corpus max = day 4 -> recency u1 = 1 day, u2 = 0; freq 2 vs 1;

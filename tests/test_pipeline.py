@@ -171,6 +171,22 @@ def test_cosine_topk_scan_equals_expression_path(spark, embeddings):
     assert got == expect
 
 
+def test_cosine_topk_blas_guards_oversized_base(spark, embeddings):
+    """cosine_topk_blas collects the base to the driver; with the
+    maxBlasBaseCells conf below the base size it must raise (pointing at
+    the scale duals) instead of collecting, and still work when raised."""
+    import pytest
+
+    queries = embeddings.filter(F.col("vec_id") < 2)
+    spark.conf.set("spark.graphframes.ann.maxBlasBaseCells", "10")
+    try:
+        with pytest.raises(ValueError, match="cosine_topk_scan"):
+            similarity.cosine_topk_blas(embeddings, queries, k=3)
+    finally:
+        spark.conf.unset("spark.graphframes.ann.maxBlasBaseCells")
+    assert similarity.cosine_topk_blas(embeddings, queries, k=3).count() > 0
+
+
 def test_lsh_topk_recall_against_bruteforce(spark, embeddings):
     queries = embeddings.filter(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(embeddings, queries, k=5)
@@ -936,6 +952,27 @@ def test_dsir_weights_directionality(spark):
     # identical docs get identical weights (determinism)
     assert all(out[i]["logratio"] == tgt_score for i in range(5))
     assert all(out[i + 5]["logratio"] == raw_score for i in range(5))
+
+
+def test_dsir_weights_materialization_modes_agree(spark, tmp_path):
+    """The three per_db materialization modes (localCheckpoint default,
+    reliable parquet checkpoint, pure-lazy) are execution strategies, not
+    semantics: identical integer-exact scores from all three."""
+    rows = [(i, f"tok{i % 3} common tok{i % 5}", "tgt" if i % 2 else "raw")
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def run(**kw):
+        return sorted(
+            (r["doc_id"], r["n_grams"], r["logratio"])
+            for r in curation.dsir_weights(
+                docs, ["tgt"], n_buckets=32, **kw
+            ).collect()
+        )
+
+    default = run()
+    assert run(checkpoint_dir=str(tmp_path / "dsir_ckpt")) == default
+    assert run(materialize=False) == default
 
 
 def test_hard_negatives_excludes_same_label(spark):

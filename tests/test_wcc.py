@@ -180,3 +180,53 @@ def test_rep_doubling_equivalence_and_round_reduction(spark, ckpt_dir):
     assert doubled_rounds <= base_rounds
     # chain labels are the min member
     assert all(doubled[i] == 0 for i in range(0, 61))
+
+
+def test_update_components_equals_full_under_rep_doubling(spark, ckpt_dir, tmp_path):
+    """Incremental maintenance must compose through the doubled rep maps
+    exactly as through one-hop maps: incremental == full recompute with
+    repDoubling 0 AND 2 (VERDICT r8 item 7 — update_components only sees
+    the doubling via the full builder it invokes on the contracted graph)."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from graphframes_rs_spark.operators.connected_components import (
+        LOCAL_FINISH_EDGES,
+        REP_DOUBLING,
+        ConnectedComponentsBuilder,
+        update_components,
+    )
+
+    edges = [(i, (i * 11 + 5) % 50) for i in range(50) if i != (i * 11 + 5) % 50]
+    edges += [(i, i + 1) for i in range(60, 90)]  # a chain: doubling-sensitive
+    first, second = edges[::2], edges[1::2]
+    vertices = sorted({u for e in edges for u in e})
+    v = spark.createDataFrame([(i,) for i in vertices], "id long")
+
+    for doubling in (0, 2):
+        spark.conf.set(LOCAL_FINISH_EDGES, "0")  # force distributed rounds
+        spark.conf.set(REP_DOUBLING, str(doubling))
+        try:
+            base = (
+                ConnectedComponentsBuilder(
+                    GraphFrame(v, spark.createDataFrame(first, "src long, dst long"))
+                )
+                .set_checkpoint_dir(str(tmp_path / f"a{doubling}"))
+                .run()
+            )
+            inc = update_components(
+                base,
+                spark.createDataFrame(second, "src long, dst long"),
+                checkpoint_dir=str(tmp_path / f"b{doubling}"),
+            )
+            full = (
+                ConnectedComponentsBuilder(
+                    GraphFrame(v, spark.createDataFrame(edges, "src long, dst long"))
+                )
+                .set_checkpoint_dir(str(tmp_path / f"c{doubling}"))
+                .run()
+            )
+            assert sorted(map(tuple, inc.collect())) == sorted(
+                map(tuple, full.collect())
+            ), f"repDoubling={doubling}"
+        finally:
+            spark.conf.unset(LOCAL_FINISH_EDGES)
+            spark.conf.unset(REP_DOUBLING)
