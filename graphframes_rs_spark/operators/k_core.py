@@ -148,7 +148,12 @@ class KCoreBuilder:
         self._incremental = False
         self._count_compression = False
         self._fused_seed_rounds = 2
+        self._change_tolerance = 0
         self.iterations_ = 0
+        # per-refinement changed-estimate counts of the last run
+        # (specialized loop only) — the convergence-trajectory evidence
+        # the adaptive stop reads
+        self.round_changes_ = []
 
     def max_iterations(self, n: int) -> "KCoreBuilder":
         self.max_iter = n
@@ -190,6 +195,27 @@ class KCoreBuilder:
         if n < 0:
             raise ValueError("fused seed rounds must be >= 0")
         self._fused_seed_rounds = n
+        return self
+
+    def with_change_tolerance(self, n: int) -> "KCoreBuilder":
+        """Adaptive early stop (specialized loop only): end the refinement
+        once a round changes <= ``n`` estimates, instead of running to the
+        exact fixpoint (or a fixed budget). Default 0 = exact.
+
+        Semantics of a truncated run: H-index refinement from the degree
+        seed is MONOTONE NON-INCREASING per vertex, so the returned
+        estimates are pointwise UPPER BOUNDS on true coreness, and at most
+        the last round's changed-count of vertices (<= n) were still
+        moving when the loop stopped — everything else is already at a
+        value the remaining rounds would not have touched that round.
+        The convergence tail is where this pays: on the bench's 18M-edge
+        uniform tier the trajectory (``round_changes_``) collapses
+        geometrically after the bulk rounds while each round still costs
+        one FULL-size exchange — the classic long-constant-work tail.
+        Composes with ``max_iterations`` (whichever stops first)."""
+        if n < 0:
+            raise ValueError("change tolerance must be >= 0")
+        self._change_tolerance = n
         return self
 
     def with_incremental_messages(self, flag: bool) -> "KCoreBuilder":
@@ -323,6 +349,7 @@ class KCoreBuilder:
             self._fused_seed_rounds + self.max_iter if self.max_iter > 0 else 10_000
         )
         rnd = 0
+        self.round_changes_ = []
         while rnd < total_rounds:
             rnd += 1
             pairs = (
@@ -366,7 +393,8 @@ class KCoreBuilder:
             )
             changed = obs.get["n"]
             rotating.evict_all_but_latest(1)
-            if changed == 0 or changed is None:
+            self.round_changes_.append(0 if changed is None else int(changed))
+            if changed is None or changed <= self._change_tolerance:
                 break
         self.iterations_ = max(0, rnd - self._fused_seed_rounds)
 

@@ -134,3 +134,42 @@ def test_incremental_equals_full_rebroadcast(spark, tmp_path):
     a = {(r["id"], r["kcore"]) for r in inc.collect()}
     b = {(r["id"], r["kcore"]) for r in full.collect()}
     assert a == b
+
+
+def test_change_tolerance_upper_bound_and_exact_default(spark, tmp_path):
+    """with_change_tolerance: tolerance 0 (default) reaches the exact
+    fixpoint; a huge tolerance stops after the FIRST refinement and every
+    estimate is a pointwise upper bound on true coreness (H-index
+    refinement from degree seeds is monotone non-increasing). A long
+    chain off a clique forces a multi-round trajectory."""
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(i, i + 1) for i in range(10, 30)]
+    edges = k5 + [(4, 10)] + chain
+    vertices = sorted({u for e in edges for u in e})
+    v = spark.createDataFrame([(i,) for i in vertices], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    def build(tol, seed_rounds):
+        return (
+            GraphFrame(v, e)
+            .k_core()
+            .with_fused_seed_rounds(seed_rounds)
+            .with_change_tolerance(tol)
+            .set_checkpoint_dir(str(tmp_path / f"t{tol}_{seed_rounds}"))
+        )
+
+    exact_b = build(0, 0)
+    exact = {r["id"]: r["kcore"] for r in exact_b.run().collect()}
+    assert len(exact_b.round_changes_) >= 3  # multi-round trajectory
+    assert exact_b.round_changes_[-1] == 0
+    assert exact[0] == 4 and exact[15] == 1  # clique 4-core, chain 1-core
+
+    trunc_b = build(10**9, 0)
+    trunc = {r["id"]: r["kcore"] for r in trunc_b.run().collect()}
+    assert len(trunc_b.round_changes_) == 1  # stopped after round 1
+    assert all(trunc[i] >= exact[i] for i in vertices)  # upper bounds
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build(-1, 0)
