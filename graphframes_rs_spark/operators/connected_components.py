@@ -41,6 +41,7 @@ round does, and back-propagation composes it the same way.
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -186,6 +187,11 @@ class ConnectedComponentsBuilder:
         self.random_seed = 42
         self._checkpoint_dir = None
         self.iterations_ = 0
+        # wall-clock evidence of the last run, no extra jobs: [(phase,
+        # edges_in, seconds)] where phase is "prep", "round", "local",
+        # "backprop+final". Each row times the eager checkpoint write(s)
+        # that phase already performs.
+        self.phase_stats_ = []
 
     def with_use_labels_as_components(self, flag: bool) -> "ConnectedComponentsBuilder":
         self.use_labels_as_components = flag
@@ -215,12 +221,15 @@ class ConnectedComponentsBuilder:
         # prepare: drop self-loops, symmetrize, dedup (cc.rs "prepare" step).
         # Edge counts ride the checkpoint writes as observe() metrics — loop
         # control never pays a separate count job over the edge set.
+        self.phase_stats_ = []
+        t0 = time.monotonic()
         obs = Observation()
         edges = symmetrize_edges(
             self.graph.edges.select(SRC, DST), deduplicate=True
         ).observe(obs, F.count(F.lit(1)).alias("n"))
         edges = ckpt.push_partitioned(edges, SRC, shuffle_n, "edges")
         n_edges = obs.get["n"]
+        self.phase_stats_.append(("prep", n_edges, round(time.monotonic() - t0, 2)))
 
         # ---- forward contraction ----
         # Per round only the (geometrically shrinking) reps frame is stored;
@@ -237,6 +246,7 @@ class ConnectedComponentsBuilder:
         reps_frames = []
         iteration = 0
         while True:
+            t0 = time.monotonic()
             if n_edges == 0:
                 break
             if n_edges <= local_cut:
@@ -246,6 +256,9 @@ class ConnectedComponentsBuilder:
                 )
                 reps_frames.append(reps)
                 iteration += 1
+                self.phase_stats_.append(
+                    ("local", n_edges, round(time.monotonic() - t0, 2))
+                )
                 break
             seed = self.random_seed + iteration
             reps = _compute_reps(edges, seed)
@@ -285,10 +298,14 @@ class ConnectedComponentsBuilder:
             )
             ckpt.evict_all_but_latest(1)
             edges = new_edges
-            n_edges = obs.get["n"]
+            prev_edges, n_edges = n_edges, obs.get["n"]
             iteration += 1
+            self.phase_stats_.append(
+                ("round", prev_edges, round(time.monotonic() - t0, 2))
+            )
 
         self.iterations_ = iteration
+        t0 = time.monotonic()
 
         # ---- back propagation: compose reps newest -> oldest ----
         final = None
@@ -308,6 +325,9 @@ class ConnectedComponentsBuilder:
         if final is not None:
             final = ckpt.push_partitioned(final, "v", shuffle_n, "final")
             reps_ckpt.purge()  # final is materialized; reps no longer needed
+        self.phase_stats_.append(
+            ("backprop+final", None, round(time.monotonic() - t0, 2))
+        )
 
         # every vertex: its representative, or itself if never contracted
         if final is None:
