@@ -82,6 +82,12 @@ REP_DOUBLING = "spark.graphframes.wcc.repDoubling"
 # k is cycle-safe (rep^2k of a 2-cycle is the identity — no progress on
 # that pair this round, resolved by the next round's reseeded hash).
 # 0 disables (the reference's one-hop round, connected_components.rs:107).
+# Depth sweep (round 9, 18m tier, one warm session, orders alternated):
+# d=2 30.0-32.6s, d=3 35.0-39.7s, d=4 39.4s — deeper doubling does NOT
+# shrink the edge trajectory (round-2 input 26.0M at every depth: the
+# slow early shrink is DISTINCT supernode-pair edges, which no amount of
+# forest compression reduces), while each extra doubling adds one
+# vertex-scale join per round. 2 is the measured optimum, not a guess.
 DEFAULT_REP_DOUBLING = 2
 
 
