@@ -143,10 +143,11 @@ SCALE_TIERS = {
     "18m": {"edges": 18_000_000, "vertices": 6_000_000},
     "skew18m": {"edges": 18_000_000, "vertices": 6_000_000, "skew": 4.0},
     # 100x round-count proof tier (3x the 18m tier, WCC only): together the
-    # 6m/18m/54m rows show the contraction round count growing O(log n) —
-    # the reference's one scale claim (connected_components.rs:705-714) —
-    # while wall grows sub-linearly in edges. Rounds ride the detail JSON
-    # as "wcc_rounds".
+    # 6m/18m/54m rows show the contraction round count staying BOUNDED as
+    # edges grow 9x — O(log n) worst case (the reference's one scale claim,
+    # connected_components.rs:705-714), measured FLAT at 4/4/4 with the
+    # default pointer doubling (the one-hop arm shows 6 at 18m). Rounds
+    # ride the detail JSON as "wcc_rounds".
     "54m": {"edges": 54_000_000, "vertices": 18_000_000},
 }
 _scale_paths = {}
@@ -757,9 +758,15 @@ def main():
     warm.count()
     calib = _calibrate(spark, sf_dir)
     print(f"# calib: {calib}", file=sys.stderr)
-    if any(n.startswith("scale_") for n in bench_queries):
-        for tier in SCALE_TIERS:  # untimed: input generation is not the query
-            _prepare_scale_graph(spark, tier)
+    # Prepare only the tiers the selected queries actually reference (a
+    # BENCH_ONLY smoke of one 6m query must not generate the 54M-edge
+    # tier's RAM-disk parquet); full runs still prep everything up front.
+    needed_tiers = [
+        t for t in SCALE_TIERS if any(t in n for n in bench_queries)
+    ]
+    for tier in needed_tiers:  # untimed: input generation is not the query
+        _prepare_scale_graph(spark, tier)
+    if any(n.endswith("_200k") for n in bench_queries):
         _prepare_scale_docs(spark)  # untimed, same reason
         _prepare_scale_emb(spark)
 
@@ -884,7 +891,7 @@ def main():
                 for v_path, _e in _scale_paths.values():
                     shutil.rmtree(os.path.dirname(v_path), ignore_errors=True)
                 _scale_paths.clear()
-                for tier in SCALE_TIERS:  # untimed input refresh, see above
+                for tier in needed_tiers:  # untimed input refresh, see above
                     _prepare_scale_graph(spark, tier)
         if name.startswith("scale_") or name in BEST_OF_2:
             _gc_barrier()

@@ -255,6 +255,14 @@ class KCoreBuilder:
             and not self._count_compression
         ):
             return self._run_specialized()
+        if self._change_tolerance > 0:
+            # the Pregel forms stop on exact voting only — silently running
+            # ~2x longer than the caller asked for is worse than refusing
+            raise ValueError(
+                "with_change_tolerance is only supported by the specialized "
+                "loop; unset incremental/count-compression modes and keep "
+                "spark.graphframes.kcore.specializedLoop=true (default)"
+            )
         return self._run_pregel()
 
     def _run_specialized(self) -> DataFrame:

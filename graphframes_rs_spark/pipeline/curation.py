@@ -601,11 +601,20 @@ def dsir_weights(
         F.count(F.lit(1)).alias("cnt")
     )
     if checkpoint_dir is not None:
+        import os as _os
+        import uuid as _uuid
+
         from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
 
-        per_db = ParquetCheckpointer(docs.sparkSession, checkpoint_dir).push(
-            per_db, "dsir_per_db"
-        )
+        # unique subdir per call: two calls sharing a checkpoint_dir must
+        # not overwrite each other's still-referenced files (the first
+        # result would silently read the second call's histogram). The
+        # caller owns cleanup of checkpoint_dir, as with any reliable
+        # checkpoint location.
+        per_db = ParquetCheckpointer(
+            docs.sparkSession,
+            _os.path.join(checkpoint_dir, f"dsir_{_uuid.uuid4().hex[:10]}"),
+        ).push(per_db, "dsir_per_db")
     elif materialize:
         per_db = per_db.localCheckpoint()
     is_target = F.col("__src").isin(*[str(s) for s in target_sources])

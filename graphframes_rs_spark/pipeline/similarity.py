@@ -811,11 +811,15 @@ def cosine_topk_blas(
     base collect is guarded by ``spark.graphframes.ann.maxBlasBaseCells``
     (rows x dim, default 64M cells = 512 MB of doubles) and raises
     pointing at the scale duals rather than silently OOMing the driver."""
-    first = embeddings.select(
-        F.col(vec_col).cast("array<double>").alias("nv")
+    # ONE pre-flight job for both guard inputs (not first()+count(), which
+    # would execute an uncached upstream plan twice before the collect);
+    # max() ignores NULL vectors, so a leading NULL can't break the guard
+    sizes = embeddings.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size(F.col(vec_col))).alias("d"),
     ).first()
-    dim = len(first["nv"]) if first is not None else 0
-    n_base = embeddings.count()
+    n_base = sizes["n"] or 0
+    dim = sizes["d"] or 0
     max_cells = int(
         embeddings.sparkSession.conf.get(
             "spark.graphframes.ann.maxBlasBaseCells", str(64 * 1024 * 1024)

@@ -1062,10 +1062,15 @@ def inverted_postings(
     )
     # (term, doc_id) is unique after the aggregate, so row_number over
     # doc_id is deterministic; the filter caps the rows FEEDING the
-    # collect_list, keeping its buffer <= max_postings entries per term
+    # collect_list, keeping its buffer <= max_postings entries per term.
+    # NULL doc_ids are excluded BEFORE ranking (they'd sort first and eat
+    # max_postings slots that collect_list then drops) — matching the
+    # pre-r9 behavior where collect_list itself skipped them; df/cf above
+    # still count the NULL group, as before.
     rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
     postings = (
-        td.withColumn("__rn", rn)
+        td.filter(F.col("doc_id").isNotNull())
+        .withColumn("__rn", rn)
         .filter(F.col("__rn") <= max_postings)
         .groupBy("term")
         .agg(
@@ -1075,4 +1080,9 @@ def inverted_postings(
             ).alias("postings")
         )
     )
-    return stats.join(postings, "term").select("term", "df", "cf", "postings")
+    # left join + '' default: a term whose only occurrences carry NULL
+    # doc_ids keeps its (df, cf) row with an empty posting string — the
+    # same row the pre-r9 single-aggregate form produced
+    return stats.join(postings, "term", "left").select(
+        "term", "df", "cf", F.coalesce("postings", F.lit("")).alias("postings")
+    )

@@ -173,3 +173,22 @@ def test_change_tolerance_upper_bound_and_exact_default(spark, tmp_path):
 
     with pytest.raises(ValueError):
         build(-1, 0)
+
+
+def test_change_tolerance_rejected_on_pregel_path(spark, tmp_path):
+    """with_change_tolerance only exists on the specialized loop; routing
+    to the Pregel form with a tolerance set must refuse loudly instead of
+    silently running to the exact fixpoint."""
+    import pytest
+
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    b = (
+        GraphFrame(v, e)
+        .k_core()
+        .with_incremental_messages(True)
+        .with_change_tolerance(5)
+        .set_checkpoint_dir(str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="specialized"):
+        b.run()

@@ -1007,3 +1007,39 @@ def test_inverted_postings_hand_computed(spark):
     assert out["a"]["postings"] == "1,2"  # capped at 2, ascending
     assert out["b"]["df"] == 2 and out["b"]["cf"] == 3
     assert out["b"]["postings"] == "1,3"
+
+
+def test_inverted_postings_null_doc_ids(spark):
+    """NULL doc_ids must not eat max_postings slots (they'd rank first and
+    then be dropped by collect_list): df/cf count the NULL group as before,
+    posting strings carry only real ids, and a term seen only under NULL
+    doc_ids keeps its row with an empty posting string."""
+    rows = [(None, "common alpha"), (1, "common alpha"), (2, "common beta"),
+            (None, "ghost ghost"), (None, "ghost common")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in text.inverted_postings(
+        docs, min_df=1, max_postings=1).collect()}
+    assert out["common"]["postings"] == "1"   # NULL didn't consume the slot
+    assert out["alpha"]["postings"] == "1"
+    # the NULL doc_ids form one (term, NULL) group: df counts it as before
+    assert out["common"]["df"] == 3
+    assert out["ghost"]["df"] == 1 and out["ghost"]["postings"] == ""
+
+
+def test_dsir_weights_checkpoint_dir_reusable_across_calls(spark, tmp_path):
+    """Two dsir_weights calls sharing one checkpoint_dir must not clobber
+    each other's still-referenced checkpoints (lazy results from call 1
+    stay correct after call 2 runs)."""
+    docs_a = spark.createDataFrame(
+        [(i, "good signal", "tgt" if i % 2 else "raw") for i in range(8)],
+        ["doc_id", "text", "source"])
+    docs_b = spark.createDataFrame(
+        [(i, "bad noise here", "tgt" if i % 3 else "raw") for i in range(9)],
+        ["doc_id", "text", "source"])
+    d = str(tmp_path / "shared")
+    res_a = curation.dsir_weights(docs_a, ["tgt"], n_buckets=32, checkpoint_dir=d)
+    expect_a = sorted((r["doc_id"], r["logratio"]) for r in res_a.collect())
+    res_b = curation.dsir_weights(docs_b, ["tgt"], n_buckets=32, checkpoint_dir=d)
+    res_b.collect()
+    # re-execute call 1's result AFTER call 2 wrote into the same dir
+    assert sorted((r["doc_id"], r["logratio"]) for r in res_a.collect()) == expect_a
