@@ -924,9 +924,11 @@ def main():
         # once after a cooldown and keep the LOWER-STEAL sample; both
         # samples ride the detail JSON under "steal_reruns" so the artifact
         # shows its own evidence trail. Headline queries only — the rule
-        # exists so no headline row is a steal artifact.
+        # exists so no headline row is a steal artifact. (Extended to the
+        # repeated big-graph/round-5 queries in r9 after kmeans_big shipped
+        # a 26%-steal sample the scale-only rule ignored.)
         if (
-            name.startswith("scale_")
+            (name.startswith("scale_") or name in REPEATED or name in BEST_OF_2)
             and steal_best is not None
             and steal_best > 0.10 * best * 1000.0
         ):
