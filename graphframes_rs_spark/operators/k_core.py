@@ -150,10 +150,12 @@ class KCoreBuilder:
         self._fused_seed_rounds = 2
         self._change_tolerance = 0
         self.iterations_ = 0
-        # per-refinement changed-estimate counts of the last run
-        # (specialized loop only) — the convergence-trajectory evidence
-        # the adaptive stop reads
+        # per-refinement changed-estimate counts / wall seconds of the
+        # last run (specialized loop only) — the convergence-trajectory
+        # evidence the adaptive stop reads; timing mirrors WCC's
+        # phase_stats_ (timestamps around writes the loop already does)
         self.round_changes_ = []
+        self.round_seconds_ = []
 
     def max_iterations(self, n: int) -> "KCoreBuilder":
         self.max_iter = n
@@ -353,13 +355,17 @@ class KCoreBuilder:
             F.count(F.lit(1)).alias(KCORE)
         )
 
+        import time as _time
+
         total_rounds = (
             self._fused_seed_rounds + self.max_iter if self.max_iter > 0 else 10_000
         )
         rnd = 0
         self.round_changes_ = []
+        self.round_seconds_ = []
         while rnd < total_rounds:
             rnd += 1
+            _t0 = _time.monotonic()
             pairs = (
                 edges.join(
                     est.select(
@@ -402,6 +408,7 @@ class KCoreBuilder:
             changed = obs.get["n"]
             rotating.evict_all_but_latest(1)
             self.round_changes_.append(0 if changed is None else int(changed))
+            self.round_seconds_.append(round(_time.monotonic() - _t0, 2))
             if changed is None or changed <= self._change_tolerance:
                 break
         self.iterations_ = max(0, rnd - self._fused_seed_rounds)
