@@ -2003,6 +2003,16 @@ def _q_decontaminate(spark, sf_dir):
     return curation.decontamination_report(docs)
 
 
+def _q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination: max cosine of every train vector
+    (vec_id % 50 != 0) against the deterministic eval split, flagged at
+    0.8 (graphframes_rs_spark/pipeline/curation.py semantic_decontamination)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return curation.semantic_decontamination(emb, threshold=0.8)
+
+
 def _q_curate_corpus(spark, sf_dir):
     """End-to-end curation verdict: one keep/drop decision per document
     with the first failing stage as reason (eval holdout -> exact dup ->
@@ -3234,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_features": _q_rfm_features,
         "rich_club": _q_rich_club,
         "decontaminate": _q_decontaminate,
+        "decontaminate_semantic": _q_decontaminate_semantic,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
@@ -4882,6 +4893,17 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(h.n_collisions, 0) AS n_collisions, "
             "COALESCE(h.n_collisions, 0) > 0 AS contaminated "
             "FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id"
+        ),
+        "decontaminate_semantic": (
+            "WITH tr AS (SELECT vec_id, embedding::DOUBLE[] AS tv "
+            "FROM embeddings WHERE vec_id % 50 <> 0), "
+            "ev AS (SELECT embedding::DOUBLE[] AS nv FROM embeddings "
+            "WHERE vec_id % 50 = 0), "
+            "mx AS (SELECT vec_id, "
+            f"round(max({_cosine_sql('tr.tv', 'ev.nv')}), 6) AS max_eval_cosine "
+            "FROM tr CROSS JOIN ev GROUP BY vec_id) "
+            "SELECT vec_id, max_eval_cosine, "
+            "max_eval_cosine >= 0.8 AS contaminated FROM mx"
         ),
         "source_stats": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "

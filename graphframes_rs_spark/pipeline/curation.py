@@ -138,6 +138,62 @@ def decontamination_report(
     )
 
 
+def semantic_decontamination(
+    emb: DataFrame,
+    eval_emb: Optional[DataFrame] = None,
+    threshold: float = 0.95,
+    eval_mod: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """[vec_id, max_eval_cosine, contaminated] — embedding-space twin of
+    :func:`decontamination_report`: flag training vectors whose cosine
+    against ANY held-out eval/benchmark vector reaches ``threshold``.
+    N-gram decontamination misses paraphrases; this catches semantic
+    leakage (a reworded benchmark question embeds next to the original
+    even with zero shingle overlap).
+
+    ``eval_emb`` supplies the benchmark set explicitly (same schema); by
+    default the split is carved deterministically from the corpus itself
+    (``vec_id % eval_mod == 0``) so the operator is self-contained and
+    oracle-checkable. Every train row is returned with its max eval
+    cosine (rounded to 6), so thresholding can be re-run without another
+    scan.
+
+    Scale shape: the eval side is benchmarks — thousands of vectors, not
+    billions — so it broadcasts; the corpus side stays distributed and is
+    scanned ONCE (cross join against the broadcast + a combine-enabled
+    max aggregate, the same plan family as ``cosine_topk``'s scan dual).
+    For eval sets too big to broadcast, bucket them through
+    :func:`~graphframes_rs_spark.pipeline.similarity.ivf_topk` instead.
+    """
+    from graphframes_rs_spark.pipeline.similarity import cosine_expr
+
+    if eval_emb is not None:
+        train = emb
+        eval_side = eval_emb
+    else:
+        is_eval = (F.col(id_col) % eval_mod) == 0
+        train = emb.filter(~is_eval)
+        eval_side = emb.filter(is_eval)
+    t = train.select(F.col(id_col), F.col(vec_col).alias("__tv"))
+    e = eval_side.select(F.col(vec_col).alias("__ev"))
+    return (
+        t.crossJoin(F.broadcast(e))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max(cosine_expr(F.col("__tv"), F.col("__ev"))), 6
+            ).alias("max_eval_cosine")
+        )
+        .select(
+            id_col,
+            "max_eval_cosine",
+            (F.col("max_eval_cosine") >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",

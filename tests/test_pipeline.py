@@ -1043,3 +1043,29 @@ def test_dsir_weights_checkpoint_dir_reusable_across_calls(spark, tmp_path):
     res_b.collect()
     # re-execute call 1's result AFTER call 2 wrote into the same dir
     assert sorted((r["doc_id"], r["logratio"]) for r in res_a.collect()) == expect_a
+
+
+def test_semantic_decontamination_planted(spark):
+    """A train vector nearly parallel to an eval vector is flagged; an
+    orthogonal one is not; max_eval_cosine is the true max over the eval
+    split (vec_id % eval_mod == 0)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # eval (id % 2 == 0 with eval_mod=2)
+        (2, [0.0, 1.0, 0.0]),      # eval
+        (1, [0.999, 0.0447, 0.0]), # train: ~parallel to eval 0 -> flagged
+        (3, [0.0, 0.0, 1.0]),      # train: orthogonal to both -> clean
+        (5, [0.6, 0.8, 0.0]),      # train: cos 0.8 vs eval 2 -> boundary
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in curation.semantic_decontamination(
+        emb, threshold=0.8, eval_mod=2).collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1]["contaminated"] and out[1]["max_eval_cosine"] > 0.99
+    assert not out[3]["contaminated"] and out[3]["max_eval_cosine"] == 0.0
+    assert out[5]["contaminated"] and abs(out[5]["max_eval_cosine"] - 0.8) < 1e-9
+    # explicit eval frame: same answer as the carved split
+    ev = emb.filter(F.col("vec_id") % 2 == 0)
+    tr = emb.filter(F.col("vec_id") % 2 != 0)
+    out2 = {r["vec_id"]: r["max_eval_cosine"] for r in
+            curation.semantic_decontamination(tr, eval_emb=ev, threshold=0.8).collect()}
+    assert out2 == {k: v["max_eval_cosine"] for k, v in out.items()}
