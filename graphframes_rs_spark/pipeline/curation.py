@@ -166,6 +166,10 @@ def semantic_decontamination(
     max aggregate, the same plan family as ``cosine_topk``'s scan dual).
     For eval sets too big to broadcast, bucket them through
     :func:`~graphframes_rs_spark.pipeline.similarity.ivf_topk` instead.
+
+    An EMPTY eval side yields an empty result (there is nothing to
+    compare against, so no max is defined) — callers wanting pass-through
+    semantics should skip the call when the benchmark frame is empty.
     """
     from graphframes_rs_spark.pipeline.similarity import cosine_expr
 

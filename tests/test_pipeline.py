@@ -1069,3 +1069,13 @@ def test_semantic_decontamination_planted(spark):
     out2 = {r["vec_id"]: r["max_eval_cosine"] for r in
             curation.semantic_decontamination(tr, eval_emb=ev, threshold=0.8).collect()}
     assert out2 == {k: v["max_eval_cosine"] for k, v in out.items()}
+
+
+def test_semantic_decontamination_empty_eval_contract(spark):
+    """Documented contract: an empty eval side yields an EMPTY result
+    (no max is defined), not a pass-through."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty_eval = emb.filter(F.lit(False))
+    assert curation.semantic_decontamination(emb, eval_emb=empty_eval).count() == 0
