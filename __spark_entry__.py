@@ -1267,6 +1267,35 @@ def _q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_near_duplicates(emb, threshold=NEARDUP_COS_T)
 
 
+def _q_embedding_neardup_ivf(spark, sf_dir):
+    """[id_a, id_b, recall_ok] — the IVF-cell-bounded near-dup candidate
+    path (similarity.ivf_cosine_candidates) gated against the exact pair
+    set: rows are the exact pairs, recall_ok is the corpus-level recall
+    >= 0.8 gate (measured 1.0 at nlist=8/nprobe=4 on the sf fixtures; the
+    seeded KMeans quantizer makes the candidate set deterministic). The
+    sub-quadratic 100 TB path for embedding dedup — total gram FLOPs
+    ~ nprobe*n^2/nlist vs the exact generator's n^2/1."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = dedup.embedding_near_duplicates(emb, threshold=NEARDUP_COS_T).select(
+        "id_a", "id_b"
+    )
+    approx = dedup.embedding_near_duplicates(
+        emb, threshold=NEARDUP_COS_T, method="ivf", nlist=8, nprobe=4
+    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    joined = exact.join(approx, ["id_a", "id_b"], "left")
+    gate = joined.agg(
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            >= F.count(F.lit(1)) * F.lit(0.8)
+        ).alias("recall_ok")
+    )
+    # 1-row broadcast cross join: the same scalar-broadcast pattern the
+    # PageRank normalizers use — no collect, no driver round-trip
+    return exact.crossJoin(F.broadcast(gate))
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -3247,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": _q_decontaminate_semantic,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_ivf": _q_embedding_neardup_ivf,
         "ann_topk": _q_ann_topk,
         "ann_topk_scan": _q_ann_topk_scan,
         "ann_lsh": _q_ann_lsh,
@@ -5025,6 +5055,16 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine "
             "FROM e a JOIN e b ON a.id < b.id) "
             f"SELECT * FROM s WHERE cosine >= {NEARDUP_COS_T}"
+        ),
+        "embedding_neardup_ivf": (
+            # exact pair set + the recall gate pinned true: the Spark side
+            # flips recall_ok to false if the IVF candidate path drops
+            # below 0.8 recall of these exact pairs
+            "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine "
+            "FROM e a JOIN e b ON a.id < b.id) "
+            "SELECT id_a, id_b, true AS recall_ok FROM s "
+            f"WHERE cosine >= {NEARDUP_COS_T}"
         ),
         "ann_topk": ann_topk_sql,
         "hard_negatives": (

@@ -378,25 +378,59 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_blocks: int = 16,
+    method: str = "blocked",
+    nlist: int = 64,
+    nprobe: int = 4,
+    seed: int = 42,
+    fit_points: int = 100,
+    phase_stats: list | None = None,
 ) -> DataFrame:
     """[id_a, id_b, cosine]: pairs above a cosine threshold.
 
-    Two stages: (1) blocked numpy/BLAS gram matrices generate candidates
-    with cosine >= threshold - 1e-9 (O(n^2/B) work per task, B = replication
-    dial — see similarity.blocked_cosine_candidates); (2) candidates are
-    re-scored with the exact sequential-fold SQL cosine and re-thresholded,
-    so results are bit-identical to a brute-force cross join (and to the
-    DuckDB oracle) while never materializing the n^2 pair set.
+    Two stages: (1) candidate generation; (2) candidates are re-scored
+    with the exact sequential-fold SQL cosine and re-thresholded, so
+    reported scores are bit-identical to a brute-force cross join (and to
+    the DuckDB oracle) while never materializing the n^2 pair set.
+
+    ``method`` selects the candidate generator:
+
+    * ``"blocked"`` (default) — blocked numpy/BLAS gram matrices, EXACT
+      candidate set (O(n^2/B) work per task, B = replication dial — see
+      similarity.blocked_cosine_candidates). Total FLOPs are quadratic in
+      corpus size: the right default up to ~10M vectors.
+    * ``"ivf"`` — IVF-cell-bounded candidates (see
+      similarity.ivf_cosine_candidates): gram matrices only within a
+      vector's home/probed KMeans cells, total FLOPs ~ nprobe·n²/nlist,
+      LINEAR in corpus size when nlist scales with n. Approximate: a
+      pair whose probe sets are disjoint is missed (recall measured
+      >= 0.8 on the fixtures via the `embedding_neardup_ivf` gate; raise
+      nprobe for tighter recall). The 100 TB path.
     """
     from graphframes_rs_spark.pipeline.similarity import (
         blocked_cosine_candidates,
         cosine_expr,
+        ivf_cosine_candidates,
     )
 
     norm = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cand = blocked_cosine_candidates(
-        embeddings, threshold, vec_col=vec_col, id_col=id_col, n_blocks=n_blocks
-    )
+    if method == "ivf":
+        cand = ivf_cosine_candidates(
+            embeddings,
+            threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            nlist=nlist,
+            nprobe=nprobe,
+            seed=seed,
+            fit_points=fit_points,
+            phase_stats=phase_stats,
+        )
+    elif method == "blocked":
+        cand = blocked_cosine_candidates(
+            embeddings, threshold, vec_col=vec_col, id_col=id_col, n_blocks=n_blocks
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}: use 'blocked' or 'ivf'")
     va = norm.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     vb = norm.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     return (

@@ -78,10 +78,54 @@ def _fake_decode_features(payload: bytes) -> np.ndarray:
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
+def pil_decode_features(payload: bytes) -> np.ndarray:
+    """Real raster decode via Pillow (optional dependency): decodes any
+    PIL-readable payload (PNG/JPEG/PPM/...) and extracts a deterministic
+    FEATURE_DIM vector — [log1p(w), log1p(h), per-channel RGB mean (3),
+    per-channel RGB std (3), 8-bin grayscale histogram] = 16 dims. Pure
+    numpy after the decode; no RNG, so identical payloads always map to
+    identical features (the contract the dedup/similarity operators
+    downstream rely on). Raises ImportError when Pillow is absent —
+    callers that want graceful fallback use :func:`real_decoder`."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    px = np.asarray(img, dtype=np.float64)  # (h, w, 3) in [0, 255]
+    h, w = px.shape[0], px.shape[1]
+    flat = px.reshape(-1, 3) / 255.0
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    hist = hist / max(gray.size, 1)
+    feat = np.concatenate(
+        [
+            [np.log1p(w), np.log1p(h)],
+            flat.mean(axis=0),
+            flat.std(axis=0),
+            hist,
+        ]
+    )
+    return feat.astype(np.float32)
+
+
+def real_decoder():
+    """The best available REAL decoder, or ``None``: Pillow-backed when
+    importable (:func:`pil_decode_features`), nothing otherwise. The
+    pure-python P6-PPM/PCM-WAV codecs and header parsers in this module
+    stay the dependency-free baseline either way."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return None
+    return pil_decode_features
+
+
 def _strict_decode(payload: bytes) -> np.ndarray:
     raise NotImplementedError(
         "real media decoding requires codec libraries not present in this "
-        "environment; plug a decoder into extract_features(decode=...)"
+        "environment (pip install Pillow, or plug a decoder into "
+        "extract_features(decode=...))"
     )
 
 
@@ -91,8 +135,19 @@ def extract_features(
     """Arrow-batched feature extraction over a media table.
 
     [media_id, media_type, n_bytes, feature: array<float>]
+
+    ``decode`` plugs any payload->feature codec in. ``strict=True`` means
+    "real features or fail": it uses the Pillow-backed decoder when
+    Pillow is importable (:func:`real_decoder`) and raises the documented
+    ``NotImplementedError`` otherwise — never the deterministic fake,
+    which remains the default for plumbing tests and fixtures.
     """
-    decode_fn = decode or (_strict_decode if strict else _fake_decode_features)
+    if decode is not None:
+        decode_fn = decode
+    elif strict:
+        decode_fn = real_decoder() or _strict_decode
+    else:
+        decode_fn = _fake_decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

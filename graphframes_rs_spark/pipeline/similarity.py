@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import random
+import time
 from typing import Iterable, List, Tuple
 
 import numpy as np
@@ -179,6 +180,66 @@ def lsh_bucket_expr(vec: Column, planes: List[List[float]]) -> Column:
     return bucket
 
 
+def _ivf_fit_centers(
+    base: DataFrame,
+    id_field: str,
+    vec_field: str,
+    nlist: int,
+    seed: int,
+    fit_points: int = 100,
+) -> np.ndarray:
+    """Fit ``nlist`` coarse-quantizer centroids; returns an (nlist, dim)
+    numpy array. Shared by :func:`ivf_topk` and
+    :func:`ivf_cosine_candidates`.
+
+    KMeans iterates over the training frame; cache it for the fit and
+    release immediately (MLlib itself warns on uncached input). The fit is
+    sample-bounded: centroid quality needs ~100·nlist points, not the full
+    corpus. The sample is drawn in ONE pass with no count-star action:
+    order by a seeded hash of the id and take the first ``fit_sample``
+    rows — Spark plans TakeOrderedAndProject (per-partition top-k, then a
+    k·p merge), so at 100 TB this is one scan shipping ~fit_sample rows
+    per partition, versus count + Bernoulli-sample's two scans. The hash
+    order makes the sample uniform regardless of storage order and
+    deterministic for a given seed. Caveat: Spark only plans the top-k
+    operator when the limit is at or below
+    spark.sql.execution.topKSortFallbackThreshold (default 10000 —
+    crossed here once nlist > 100), falling back to a full global sort
+    otherwise. The threshold is session-global, so it is bumped ONLY
+    when fit_sample actually exceeds the effective value (at default
+    dials, nlist<=100 => fit_sample<=10000 and no conf is touched), and
+    restored in a finally. During that short fit window a concurrent
+    query on the same session would see the raised value — single-writer
+    expectation, acceptable because the raised threshold only changes a
+    sort's physical strategy, never results."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_sample = max(fit_points * nlist, 1)
+    train = (
+        base.orderBy(F.xxhash64(F.col(id_field), F.lit(seed)))
+        .limit(fit_sample)
+        .select(array_to_vector(vec_field).alias("features"))
+        .cache()
+    )
+    spark = base.sparkSession
+    topk_key = "spark.sql.execution.topKSortFallbackThreshold"
+    try:
+        cur_topk = int(spark.conf.get(topk_key))
+    except Exception:
+        cur_topk = 10000
+    bumped = fit_sample >= cur_topk
+    try:
+        if bumped:
+            spark.conf.set(topk_key, str(fit_sample + 1))
+        model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
+    finally:
+        train.unpersist()
+        if bumped:
+            spark.conf.set(topk_key, str(cur_topk))
+    return np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -188,6 +249,7 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    phase_stats: list | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -200,9 +262,18 @@ def ivf_topk(
     matching is ONE equi-join on the list id. Versus LSH (``lsh_topk``):
     data-adaptive partitions, better recall on clustered corpora, and the
     nlist/nprobe dials map directly to scan fraction.
+
+    ``phase_stats``: pass a list to receive ``(phase, rows, seconds)``
+    tuples — the same evidence format the WCC/k-core builders record
+    (``phase_stats_``). Phases: ``fit`` (the eager driver-side KMeans fit,
+    timed at zero extra cost) and ``assign`` (the base-vector list
+    assignment, which instrumentation persists + counts so its wall is
+    separable from the probe join; the persist means the benched plan
+    computes the assignment exactly once, same as production where it is
+    consumed once). ``None`` (default) leaves the plan fully lazy and
+    untouched — the probe-join/score phase is then the caller's total
+    minus these two.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
     base = embeddings.select(
@@ -213,45 +284,24 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
 
-    # KMeans iterates over the training frame; cache it for the fit and
-    # release immediately (MLlib itself warns on uncached input). The fit is
-    # sample-bounded: centroid quality needs ~100·nlist points, not the full
-    # corpus. The sample is drawn in ONE pass with no count-star action:
-    # order by a seeded hash of the id and take the first ``fit_sample``
-    # rows — Spark plans TakeOrderedAndProject (per-partition top-k, then a
-    # k·p merge), so at 100 TB this is one scan shipping ~fit_sample rows
-    # per partition, versus count + Bernoulli-sample's two scans. The hash
-    # order makes the sample uniform regardless of storage order and
-    # deterministic for a given seed. Caveat: Spark only plans the top-k
-    # operator when the limit is at or below
-    # spark.sql.execution.topKSortFallbackThreshold (default 10000 —
-    # crossed here once nlist > 100), falling back to a full global sort
-    # otherwise; bump the threshold for the fit job and restore it after.
-    fit_sample = max(100 * nlist, 1)
-    train = (
-        base.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
-        .limit(fit_sample)
-    )
-    train = train.select(array_to_vector("nv").alias("features")).cache()
-    spark = base.sparkSession
-    topk_key = "spark.sql.execution.topKSortFallbackThreshold"
-    prev_topk = spark.conf.get(topk_key, None)
-    try:
-        if prev_topk is None or fit_sample >= int(prev_topk):
-            spark.conf.set(topk_key, str(fit_sample + 1))
-        model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
-    finally:
-        train.unpersist()
-        if prev_topk is None:
-            spark.conf.unset(topk_key)
-        else:
-            spark.conf.set(topk_key, prev_topk)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])  # (nlist, d)
+    t0 = time.monotonic()
+    centers = _ivf_fit_centers(base, "neighbor_id", "nv", nlist, seed)
+    if phase_stats is not None:
+        phase_stats.append(
+            ("fit", max(100 * nlist, 1), round(time.monotonic() - t0, 2))
+        )
+
+    # BLAS-form nearest-centroid: argmin/argsort of ||c||^2 - 2<x,c>
+    # (the ||x||^2 term is constant per row and cannot change the order)
+    # — one (batch x nlist) matmul per Arrow batch instead of a
+    # (batch x nlist x dim) difference tensor; same argmin, ~5x less
+    # memory traffic at nlist=64
+    _center_sq = (centers * centers).sum(axis=1)[None, :]
 
     @pandas_udf("int")
     def nearest_center(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy())
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = _center_sq - 2.0 * (x @ centers.T)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
     probe_n = min(nprobe, nlist)
@@ -259,11 +309,18 @@ def ivf_topk(
     @pandas_udf("array<int>")
     def probe_centers(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy())
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = _center_sq - 2.0 * (x @ centers.T)
         idx = np.argsort(d2, axis=1)[:, :probe_n].astype("int32")
         return pd.Series(list(idx))
 
     listed = base.withColumn("list_id", nearest_center(F.col("nv")))
+    if phase_stats is not None:
+        listed = listed.persist()
+        t0 = time.monotonic()
+        n_assigned = listed.count()
+        phase_stats.append(
+            ("assign", n_assigned, round(time.monotonic() - t0, 2))
+        )
     probed = q.select(
         "query_id", "qv", F.explode(probe_centers(F.col("qv"))).alias("list_id")
     )
@@ -277,6 +334,174 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cosine_candidates(
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 64,
+    nprobe: int = 4,
+    seed: int = 42,
+    sub_blocks: int = 1,
+    slack: float = 1e-9,
+    fit_points: int = 100,
+    phase_stats: list | None = None,
+) -> DataFrame:
+    """[id_a, id_b] (id_a < id_b) candidate pairs with BLAS cosine >=
+    threshold - slack, generated only inside IVF cells — the sub-quadratic
+    candidate path for embedding near-dup at corpus scale.
+
+    :func:`blocked_cosine_candidates` is per-task bounded but its TOTAL
+    work is O(n²·d) FLOPs no matter the block count — fine to ~10M
+    vectors, not 100 TB. Here ``nlist`` seeded-KMeans cells (shared
+    quantizer fit with :func:`ivf_topk`, sample-bounded, no count-star)
+    partition the corpus; each vector lands in its home cell and
+    additionally PROBES its ``nprobe`` nearest cells, and gram matrices
+    are computed per cell between home rows and all posted rows. A pair
+    is a candidate iff one side's home cell is in the other side's probe
+    set — near-dup pairs (cosine >= 0.9+) are angularly tiny, so they
+    share a nearest centroid or miss it only into an adjacent probed
+    cell. Cost has two terms: assignment n·nlist·d (every vector scores
+    every centroid, one BLAS matmul per Arrow batch) and in-cell grams
+    nprobe·n²·d/nlist; nlist ∝ sqrt(n) balances them at O(n^1.5·d)
+    total — genuinely sub-quadratic (the measured scale arm: bench
+    `scale_neardup_ivf_*` tiers run nlist = sqrt(n) at 200k→400k;
+    doubling n costs ~2.8x, where the exact blocked generator pays 4x).
+    ``fit_points`` = KMeans sample rows per centroid (default 100, the
+    :func:`ivf_topk` discipline); candidate generation only needs cells
+    that PARTITION space, not cells that rank neighbours, so the scale
+    arm runs 30/centroid to keep the fit linear-ish as nlist grows.
+
+    Approximate-by-construction (a pair whose members' probe sets are
+    disjoint is missed): callers gate recall against the exact pair set
+    — `embedding_neardup_ivf` measures >= 0.8 on the sf fixtures — and
+    MUST re-score the survivors with the exact sequential-fold cosine,
+    same contract as every ANN operator here (``slack`` absorbs BLAS
+    pairwise-summation float drift, re-scoring removes it).
+
+    ``sub_blocks`` (default 1 = off) re-applies the blocked-gram trick
+    WITHIN a cell for skew protection: rows hash into ``sub_blocks``
+    blocks and each (cell, b_lo, b_hi) group grams one block pair, so a
+    hot cell on clustered data never concentrates (cell_size)² floats in
+    one task; replication multiplies to nprobe·sub_blocks.
+
+    ``phase_stats``: same (phase, rows, seconds) evidence contract as
+    :func:`ivf_topk` — ``fit`` is eager/free; ``assign`` persists+counts
+    the posted frame (instrumentation-only; default plan stays lazy).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    t0 = time.monotonic()
+    centers = _ivf_fit_centers(base, "id", "nv", nlist, seed, fit_points)
+    _center_sq = (centers * centers).sum(axis=1)[None, :]  # (1, nlist)
+    if phase_stats is not None:
+        phase_stats.append(
+            ("fit", max(fit_points * nlist, 1), round(time.monotonic() - t0, 2))
+        )
+
+    probe_n = min(nprobe, nlist)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        # element 0 = home cell (nearest centroid); 1..probe_n-1 = the
+        # next-nearest probed cells. BLAS form: argsort of
+        # ||c||^2 - 2<x,c> (the ||x||^2 term is constant per row and
+        # cannot change the order) — one (batch x nlist) matmul instead
+        # of materializing a (batch x nlist x dim) difference tensor
+        x = np.stack(v.to_numpy())
+        d2 = _center_sq - 2.0 * (x @ centers.T)
+        idx = np.argsort(d2, axis=1)[:, :probe_n].astype("int32")
+        return pd.Series(list(idx))
+
+    nb = max(int(sub_blocks), 1)
+    posted = (
+        base.withColumn("cells", probe_cells(F.col("nv")))
+        .select(
+            "id",
+            "nv",
+            F.element_at(F.col("cells"), 1).alias("home"),
+            F.explode("cells").alias("cell"),
+        )
+        .withColumn("is_home", F.col("cell") == F.col("home"))
+        .withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+        )
+        .select(
+            "id",
+            "nv",
+            "cell",
+            "is_home",
+            "blk",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("other"),
+        )
+        .select(
+            "id",
+            "nv",
+            "cell",
+            "is_home",
+            "blk",
+            F.least("blk", "other").alias("b_lo"),
+            F.greatest("blk", "other").alias("b_hi"),
+        )
+    )
+    if phase_stats is not None:
+        posted = posted.persist()
+        t0 = time.monotonic()
+        n_posted = posted.count()
+        phase_stats.append(
+            ("assign", n_posted, round(time.monotonic() - t0, 2))
+        )
+    cut = float(threshold) - slack
+
+    empty = pd.DataFrame(
+        {"id_a": pd.array([], dtype="int64"), "id_b": pd.array([], dtype="int64")}
+    )
+
+    def gram(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _cell, b_lo, b_hi = key
+        left = pdf[pdf["blk"] == b_lo]
+        right = pdf[pdf["blk"] == b_hi] if b_hi != b_lo else left
+        if left.empty or right.empty:
+            return empty
+        la = np.stack(left["nv"].to_numpy())
+        ra = np.stack(right["nv"].to_numpy())
+        ln = np.linalg.norm(la, axis=1, keepdims=True)
+        rn = np.linalg.norm(ra, axis=1, keepdims=True)
+        la = la / np.where(ln == 0, 1.0, ln)
+        ra = ra / np.where(rn == 0, 1.0, rn)
+        hit = la @ ra.T >= cut
+        # candidate iff at least one side is HOME in this cell (the other
+        # side may be a probe visitor) — pairs where both are visitors are
+        # someone else's cell's responsibility, dropping them here keeps
+        # the emitted set == the declared candidate semantics
+        hl = left["is_home"].to_numpy()
+        hr = right["is_home"].to_numpy()
+        hit &= hl[:, None] | hr[None, :]
+        ii, jj = np.nonzero(hit)
+        if ii.size == 0:
+            return empty
+        id_a = left["id"].to_numpy()[ii]
+        id_b = right["id"].to_numpy()[jj]
+        if b_lo == b_hi:
+            keep = id_a < id_b
+            id_a, id_b = id_a[keep], id_b[keep]
+        else:
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    pairs = posted.groupBy("cell", "b_lo", "b_hi").applyInPandas(
+        gram, "id_a long, id_b long"
+    )
+    # a pair can surface from several probed cells (and from both
+    # orientations' home cells) — distinct() is on the candidate set,
+    # which is tiny relative to the corpus (only near-threshold pairs)
+    return pairs.distinct()
 
 
 def _all_bucket_udf(planes_by_table: List[List[List[float]]]):
@@ -522,6 +747,7 @@ def ivfpq_topk(
     nbits: int = 4,
     rerank: int = 100,
     seed: int = 42,
+    phase_stats: list | None = None,
 ) -> DataFrame:
     """IVFADC — the :func:`ivf_topk` x :func:`pq_topk` composition
     production ANN systems deploy at 1e9+ vectors (Jégou, Douze & Schmid,
@@ -564,6 +790,7 @@ def ivfpq_topk(
     spark = base.sparkSession
 
     # one sample feeds BOTH fits (coarse centroids + residual codebooks)
+    t0 = time.monotonic()  # fit-phase clock (see phase_stats)
     fit_sample = max(100 * max(nlist, ncodes), 256)
     train_pd = (
         base.orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
@@ -584,17 +811,19 @@ def ivfpq_topk(
         [(list(map(float, r)),) for r in sample], "nv array<double>"
     ).select(array_to_vector("nv").alias("features")).cache()
     topk_key = "spark.sql.execution.topKSortFallbackThreshold"
-    prev_topk = spark.conf.get(topk_key, None)
     try:
-        if prev_topk is None or fit_sample >= int(prev_topk):
+        cur_topk = int(spark.conf.get(topk_key))
+    except Exception:
+        cur_topk = 10000
+    bumped = fit_sample >= cur_topk
+    try:
+        if bumped:
             spark.conf.set(topk_key, str(fit_sample + 1))
         model = KMeans(k=nlist, seed=seed, maxIter=5).fit(train)
     finally:
         train.unpersist()
-        if prev_topk is None:
-            spark.conf.unset(topk_key)
-        else:
-            spark.conf.set(topk_key, prev_topk)
+        if bumped:
+            spark.conf.set(topk_key, str(cur_topk))
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
     # residual codebooks: PQ fit on (sample - assigned centroid)
@@ -602,6 +831,8 @@ def ivfpq_topk(
     resid = sample - centers[d2s.argmin(axis=1)]
     books = _pq_fit(resid, m, ncodes, seed)
     sub = dim // m
+    if phase_stats is not None:
+        phase_stats.append(("fit", fit_sample, round(time.monotonic() - t0, 2)))
 
     @pandas_udf("array<int>")
     def assign_encode(v: pd.Series) -> pd.Series:
@@ -657,6 +888,14 @@ def ivfpq_topk(
         "neighbor_id",
         assign_encode(F.col("nv")).alias("codes"),
     ).withColumn("list_id", F.element_at(F.col("codes"), 1))
+    if phase_stats is not None:
+        # same instrumentation contract as ivf_topk: persist + count makes
+        # the encode pass's wall separable from the ADC probe join; the
+        # production (phase_stats=None) plan stays fully lazy.
+        coded = coded.persist()
+        t0 = time.monotonic()
+        n_coded = coded.count()
+        phase_stats.append(("encode", n_coded, round(time.monotonic() - t0, 2)))
     cands = (
         coded.join(F.broadcast(probed), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -1068,8 +1068,18 @@ def inverted_postings(
     # pre-r9 behavior where collect_list itself skipped them; df/cf above
     # still count the NULL group, as before.
     rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    # semi-join prune: terms below min_df are dropped by the final stats
+    # join anyway, so ranking/collecting their postings is pure waste —
+    # on a large low-df vocabulary (the common long tail) this removes
+    # most of the window's input before it sorts. Skipped at min_df<=1
+    # where it could prune nothing.
+    posting_src = td.filter(F.col("doc_id").isNotNull())
+    if min_df > 1:
+        posting_src = posting_src.join(
+            stats.select("term"), "term", "left_semi"
+        )
     postings = (
-        td.filter(F.col("doc_id").isNotNull())
+        posting_src
         .withColumn("__rn", rn)
         .filter(F.col("__rn") <= max_postings)
         .groupBy("term")

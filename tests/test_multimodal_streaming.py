@@ -24,11 +24,60 @@ def test_extract_features_deterministic(spark):
     assert again == first
 
 
+def _pil_available():
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+@pytest.mark.skipif(
+    _pil_available(), reason="with Pillow installed, strict mode decodes for real"
+)
 def test_extract_features_strict_raises(spark):
     media = multimodal.synthetic_media(spark, n=3)
     out = multimodal.extract_features(media, strict=True)
     with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
         out.collect()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_extract_features_strict_uses_pil_when_available(spark):
+    """With Pillow importable, strict mode decodes for real: PPM payloads
+    (PIL reads netpbm natively) produce content-derived features — the
+    RGB means of a solid-colour image are its colour, not md5 noise."""
+    import numpy as np
+
+    red = multimodal.encode_ppm(4, 4, np.full((4, 4, 3), [255, 0, 0], dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, "image/ppm", bytearray(red), None)], multimodal.MEDIA_SCHEMA
+    )
+    out = multimodal.extract_features(media, strict=True).collect()
+    feat = out[0]["feature"]
+    assert len(feat) == multimodal.FEATURE_DIM
+    assert abs(feat[2] - 1.0) < 1e-6  # mean R
+    assert abs(feat[3]) < 1e-6 and abs(feat[4]) < 1e-6  # mean G, B
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_pil_decode_features_deterministic():
+    import numpy as np
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = multimodal.encode_ppm(4, 4, px)
+    a = multimodal.pil_decode_features(payload)
+    b = multimodal.pil_decode_features(payload)
+    assert np.array_equal(a, b)
+    assert a.shape == (multimodal.FEATURE_DIM,)
+
+
+def test_real_decoder_matches_pil_availability():
+    dec = multimodal.real_decoder()
+    if _pil_available():
+        assert dec is multimodal.pil_decode_features
+    else:
+        assert dec is None
 
 
 def test_frame_sample_plan(spark):

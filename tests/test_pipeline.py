@@ -117,6 +117,58 @@ def test_embedding_near_duplicates_planted(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_near_duplicates_ivf_planted(spark):
+    """The IVF-cell-bounded candidate path finds planted near-dups: a
+    near-dup pair is angularly tiny, so both members share (or probe into)
+    the same KMeans cell. Planted pairs sit in two well-separated
+    directions; recall must be 1.0 on them and precision exact (the
+    survivors are re-scored with the exact fold)."""
+    rows = []
+    for i in range(20):
+        rows.append((2 * i, [1.0, 0.001 * i, 0.0, 0.0]))
+        rows.append((2 * i + 1, [1.0, 0.001 * i + 1e-4, 0.0, 0.0]))
+    for i in range(20):
+        rows.append((100 + 2 * i, [0.0, 0.0, 1.0, 0.001 * i]))
+        rows.append((101 + 2 * i, [0.0, 0.0, 1.0, 0.001 * i + 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = dedup.embedding_near_duplicates(df, threshold=0.999)
+    ivf = dedup.embedding_near_duplicates(
+        df, threshold=0.999, method="ivf", nlist=4, nprobe=2
+    )
+    ep = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    ip = {(r["id_a"], r["id_b"]) for r in ivf.collect()}
+    assert ep, "fixture must plant at least one near-dup pair"
+    assert ip <= ep  # exact rescoring: no false positives, ever
+    assert len(ip & ep) >= 0.8 * len(ep)  # the recall gate
+    # the planted nearest-neighbour pairs themselves must all be found
+    planted = {p for p in ep if p[1] == p[0] + 1}
+    assert planted <= ip
+
+
+def test_ivf_cosine_candidates_sub_blocks_equivalent(spark):
+    """sub_blocks only re-partitions a cell's gram work — the candidate
+    SET is invariant (same cells, same threshold, same pairs)."""
+    from graphframes_rs_spark.pipeline.similarity import ivf_cosine_candidates
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = ivf_cosine_candidates(df, 0.4, nlist=8, nprobe=4, sub_blocks=1)
+    b = ivf_cosine_candidates(df, 0.4, nlist=8, nprobe=4, sub_blocks=3)
+    pa = {(r["id_a"], r["id_b"]) for r in a.collect()}
+    pb = {(r["id_a"], r["id_b"]) for r in b.collect()}
+    assert pa == pb
+    assert pa  # non-trivial on the sf fixture (59 exact pairs at 0.4)
+
+
+def test_embedding_near_duplicates_bad_method(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup.embedding_near_duplicates(df, method="lsh")
+
+
 def test_cosine_topk_exact(spark, embeddings):
     queries = embeddings.filter(F.col("vec_id") < 3)
     out = similarity.cosine_topk(embeddings, queries, k=5)
