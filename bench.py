@@ -393,8 +393,8 @@ def _bench_scale_neardup_ivf(n_vecs):
 _louvain_stats = {}
 
 
-def _bench_scale_louvain(tier, levels=2, moves=4):
-    # fixed budget (2 levels x <=4 move rounds), same rationale as the
+def _bench_scale_louvain(tier, levels=2, moves=3):
+    # fixed budget (2 levels x <=3 move rounds), same rationale as the
     # k-core tier: full quiescence is a long constant-work tail, so the
     # bench measures identical bounded work across rounds — a throughput
     # signal, not a convergence-length signal. Per move round: two hash
@@ -704,7 +704,8 @@ BENCH_QUERIES = {
     # 8-dim feature smoothing, 2 rounds: ~2 PageRank-round profile
     "scale_featprop_6m": _bench_scale_featprop("6m"),
     # Louvain over the 6M-edge tier (the last iterative operator with no
-    # scale tier): bounded 2-level x 4-move budget; levels/moves evidence
+    # scale tier): bounded 2-level x 3-move budget (4 moves measured 59s —
+    # the extra rounds add wall, not evidence); levels/moves evidence
     # rides the detail JSON (louvain_stats)
     "scale_louvain_6m": _bench_scale_louvain("6m"),
     # pipeline scale proof: full dedup composition at 40x the sf0.1 corpus

@@ -556,15 +556,25 @@ def semantic_dedup_clusters(
     threshold: float = 0.95,
     n_blocks: int = 16,
     checkpoint_dir: str | None = None,
+    method: str = "blocked",
+    nlist: int = 64,
+    nprobe: int = 4,
 ) -> DataFrame:
     """[vec_id, cluster, is_canonical]: SEMANTIC duplicate clusters — the
     embedding-space twin of :func:`duplicate_clusters` (SemDeDup-style:
     Abbas et al. 2023 deduplicate by embedding proximity, not text
     overlap, catching paraphrases and re-encodings that share no
     shingles). Connected components over the cosine near-dup pair graph
-    (:func:`embedding_near_duplicates`: blocked-BLAS candidates, exact SQL
-    rescore), labelled with each component's minimum member id — the
-    canonical survivor; everything else in the cluster is droppable.
+    (:func:`embedding_near_duplicates`), labelled with each component's
+    minimum member id — the canonical survivor; everything else in the
+    cluster is droppable.
+
+    ``method`` passes through to the pair generator: ``"blocked"``
+    (default) is the exact blocked-BLAS candidate sweep (quadratic total
+    FLOPs — fine to ~10M vectors); ``"ivf"`` bounds candidates to IVF
+    cells (O(n^1.5·d) at nlist = sqrt(n)) — the 100 TB dial, with
+    clusters then approximate exactly as far as the candidate recall is
+    (pairs themselves stay exact-rescored either way).
 
     Scale design: identical to ``duplicate_clusters`` — only near-dup
     PAIRS (tiny relative to the corpus) enter the WCC iteration, never the
@@ -579,6 +589,9 @@ def semantic_dedup_clusters(
         id_col=id_col,
         threshold=threshold,
         n_blocks=n_blocks,
+        method=method,
+        nlist=nlist,
+        nprobe=nprobe,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     vertices = embeddings.select(F.col(id_col).alias("id"))

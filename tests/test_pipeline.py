@@ -1131,3 +1131,20 @@ def test_semantic_decontamination_empty_eval_contract(spark):
     )
     empty_eval = emb.filter(F.lit(False))
     assert curation.semantic_decontamination(emb, eval_emb=empty_eval).count() == 0
+
+
+def test_semantic_dedup_clusters_ivf_matches_blocked(spark):
+    """The ivf pass-through on semantic_dedup_clusters produces the same
+    clusters as the exact blocked generator when recall is 1.0 (generous
+    probes on the sf fixture) — transitivity and canonical labels are
+    generator-independent."""
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = dedup.semantic_dedup_clusters(df, threshold=0.4)
+    b = dedup.semantic_dedup_clusters(
+        df, threshold=0.4, method="ivf", nlist=4, nprobe=3
+    )
+    ra = {(r["vec_id"], r["cluster"], r["is_canonical"]) for r in a.collect()}
+    rb = {(r["vec_id"], r["cluster"], r["is_canonical"]) for r in b.collect()}
+    assert ra == rb
