@@ -408,7 +408,11 @@ def _bench_scale_louvain(tier, levels=2, moves=3):
             .set_checkpoint_dir(tempfile.mkdtemp())
         )
         out = b.run()
-        _louvain_stats[tier] = {"levels": b.levels_, "moves": b.moves_}
+        _louvain_stats[tier] = {
+            "levels": b.levels_,
+            "moves": b.moves_,
+            "phases": b.phase_stats_,
+        }
         return out
 
     return run

@@ -41,6 +41,8 @@ loop. No collects, no Python in the hot path.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -104,6 +106,12 @@ class LouvainBuilder:
         self._checkpoint_dir = None
         self.levels_ = 0
         self.moves_ = 0
+        # (phase, rows_or_moves, seconds) evidence trail — same contract as
+        # the WCC/k-core builders' phase_stats_: "prep"/"contract" carry a
+        # row count, "move l<level> r<round>" carries the pre-gate
+        # wants-to-move count; zero extra jobs (all counts ride observe()
+        # metrics the loop already pays for)
+        self.phase_stats_ = []
 
     def max_levels(self, n: int) -> "LouvainBuilder":
         """Contraction levels (default 3); level 1 dominates cost."""
@@ -128,6 +136,8 @@ class LouvainBuilder:
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         lvl_ckpt = ParquetCheckpointer(spark, ckpt.directory + "/levels")
 
+        self.phase_stats_ = []
+        t0 = time.monotonic()
         obs = Observation()
         edges_c = lvl_ckpt.push_partitioned(
             _canonical_weighted_edges(self.graph.edges, self.weight_col).observe(
@@ -142,6 +152,9 @@ class LouvainBuilder:
             self.levels_ = 0
             return self.graph.vertices.select(ID, F.col(ID).alias(COMMUNITY))
         m = float(m)
+        self.phase_stats_.append(
+            ("prep", int(obs.get["n"]), round(time.monotonic() - t0, 2))
+        )
 
         mappings = []  # per-level [v, comm] frames, original ids downward
         total_moves = 0
@@ -158,8 +171,16 @@ class LouvainBuilder:
             )
             level_moves = 0
             for rnd in range(self._max_moves):
+                t0 = time.monotonic()
                 moved, nodes = self._move_round(
                     adj, nodes, m, rnd, ckpt, shuffle_n
+                )
+                self.phase_stats_.append(
+                    (
+                        f"move l{level} r{rnd}",
+                        moved,
+                        round(time.monotonic() - t0, 2),
+                    )
                 )
                 level_moves += moved
                 if moved == 0:
@@ -182,6 +203,7 @@ class LouvainBuilder:
             # ---- contract communities into super-vertices ----
             ma = nodes.select(F.col("v").alias("a"), F.col("comm").alias("ca"))
             mb = nodes.select(F.col("v").alias("b"), F.col("comm").alias("cb"))
+            t0 = time.monotonic()
             obs = Observation()
             edges_c = lvl_ckpt.push_partitioned(
                 edges_c.join(ma, "a")
@@ -198,7 +220,15 @@ class LouvainBuilder:
                 shuffle_n,
                 f"edges_l{level + 1}",
             )
-            if obs.get["n"] == 0:
+            n_contracted = int(obs.get["n"] or 0)
+            self.phase_stats_.append(
+                (
+                    f"contract l{level}",
+                    n_contracted,
+                    round(time.monotonic() - t0, 2),
+                )
+            )
+            if n_contracted == 0:
                 break
 
         self.moves_ = total_moves
