@@ -160,10 +160,19 @@ class LouvainBuilder:
         total_moves = 0
         vertices = self.graph.vertices
         for level in range(self._max_levels):
-            adj = lvl_ckpt.push_partitioned(
-                _adjacency(edges_c), "v", shuffle_n, f"adj_l{level}"
+            # BUCKETED level state (the Pregel-engine zero-Exchange shape,
+            # pregel.py run()): adjacency is written once per level and
+            # joined on "u" EVERY move round — bucketing it on the join key
+            # removes one edge-scale Exchange per round; nodes are bucketed
+            # on "v" so the neighbour-community join, the enrich join and
+            # the move-apply join all read pre-placed state. Measured on
+            # the 6m bench tier (identical 6,124,345 total moves): level-0
+            # move rounds 15.0/13.8/11.7s -> 10.1/8.4/5.7s, contraction
+            # 7.5s -> 3.2s, query wall 69s -> 56s at comparable steal.
+            adj = lvl_ckpt.push_bucketed(
+                _adjacency(edges_c), "u", shuffle_n, f"adj_l{level}"
             )
-            nodes = lvl_ckpt.push_partitioned(
+            nodes = lvl_ckpt.push_bucketed(
                 _nodes_from_edges(edges_c, vertices if level == 0 else None),
                 "v",
                 shuffle_n,
@@ -295,7 +304,13 @@ class LouvainBuilder:
         )
 
         obs = Observation()
-        new_nodes = ckpt.push_partitioned(
+        # nodes is a v-bucketed scan and wants ends in a groupBy("v") —
+        # both sides arrive hash-placed on v, so the apply join plans
+        # without an Exchange and the result is ALREADY v-partitioned:
+        # assume_partitioned elides the pre-write repartition (worst case
+        # if the guarantee failed: buckets span extra files, never a
+        # misjoin — see push_bucketed)
+        new_nodes = ckpt.push_bucketed(
             nodes.join(wants, "v", "left")
             .select(
                 "v",
@@ -310,6 +325,7 @@ class LouvainBuilder:
             "v",
             shuffle_n,
             f"nodes_r{rnd}",
+            assume_partitioned=True,
         )
         ckpt.evict_all_but_latest(1)
         return int(obs.get["wanted"] or 0), new_nodes

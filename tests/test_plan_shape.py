@@ -443,3 +443,34 @@ def test_bm25_filters_before_group_and_takes_ordered(spark):
     # array_contains filter applies pre-aggregate (appears in a Filter or
     # Generate stage, not after HashAggregate)
     assert "array_contains" in plan, plan
+
+
+def test_louvain_neighbour_join_is_shuffle_free(spark, tmp_path):
+    """Louvain's per-round hot join (adjacency ⋈ nodes on the neighbour
+    endpoint) reads two bucketed checkpoints placed on the join key, so
+    it plans as SMJ with zero Exchange on either scan side — the same
+    contract the Pregel superstep asserts. (The (v, uc) aggregation after
+    it still shuffles: that IS message delivery.)"""
+    ck = ParquetCheckpointer(spark, str(tmp_path / "lv"))
+    adj = spark.range(0, 40_000).select(
+        (F.col("id") % 10_000).alias("v"),
+        ((F.col("id") * 7) % 10_000).alias("u"),
+        F.lit(1.0).alias("w"),
+    )
+    nodes = spark.range(0, 10_000).select(
+        F.col("id").alias("v"), F.col("id").alias("comm"), F.lit(2.0).alias("k")
+    )
+    a = ck.push_bucketed(adj, "u", 4, "adj")
+    n = ck.push_bucketed(nodes, "v", 4, "nodes")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(
+            n.select(F.col("v").alias("u"), F.col("comm").alias("uc")), "u"
+        )
+        plan = _executed_plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    ck.purge()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
