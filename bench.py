@@ -674,8 +674,6 @@ BENCH_QUERIES = {
     # every artifact next to the number it explains (r8's 61.7s driver
     # measurement vs 26.8s builder run made the default's effect disputable)
     "scale_wcc_18m_onehop": _bench_scale_wcc("18m", doublings=0),
-    # 100x story: 3x the 18m tier, WCC only (rounds in detail "wcc_rounds")
-    "scale_wcc_54m": _bench_scale_wcc("54m"),
     "scale_pagerank_18m": _bench_scale_pagerank("18m"),
     "scale_kcore_18m": _bench_scale_kcore("18m"),
     # power-law tier: same 18M-edge size, hub in-degree ~364k — measures
@@ -712,6 +710,14 @@ BENCH_QUERIES = {
     # the extra rounds add wall, not evidence); levels/moves evidence
     # rides the detail JSON (louvain_stats)
     "scale_louvain_6m": _bench_scale_louvain("6m"),
+    # 100x story: 3x the 18m tier, WCC only (rounds in detail "wcc_rounds").
+    # Runs LAST in the graph block: placed mid-block (r9/early-r10) its
+    # ~90s of 54M-edge shuffles degraded every row after it in the same
+    # session — scale_pagerank_18m measured 23.5s there (r10) vs 11.5s in
+    # r8 before this tier existed, with steal and gc both clean; the
+    # pipeline block restarts the session right after, so nothing pays
+    # for this tier's state
+    "scale_wcc_54m": _bench_scale_wcc("54m"),
     # pipeline scale proof: full dedup composition at 40x the sf0.1 corpus
     # (minhash -> LSH -> exact rescore -> WCC clusters; recovers the
     # planted 20k near-dup triples exactly — see SCALE_DOCS)

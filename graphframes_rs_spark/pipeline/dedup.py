@@ -16,8 +16,14 @@ Five families, all shuffle-conscious and Python-free in the hot path:
                     on candidates.
 * **n-gram Jaccard** — shingle inverted-index self-join; exact similarity
                     for corpora where candidate generation is affordable.
-* **embedding**   — cosine-over-threshold pairs on an embedding column
-                    (brute force; see similarity.py for the LSH route).
+* **embedding**   — cosine-over-threshold pairs on an embedding column.
+                    Two candidate generators (``method=``): blocked-BLAS
+                    gram matrices (exact pair set, per-task bounded, but
+                    O(n²) total FLOPs — right up to ~10M vectors) and
+                    IVF-cell-bounded (similarity.ivf_cosine_candidates:
+                    O(n^1.5·d) at nlist = sqrt(n), recall-gated — the
+                    100 TB dial). Survivors re-score with the exact
+                    sequential-fold SQL cosine either way.
 
 All constants (hash family, modulus, seeds) are plain arithmetic on the
 md5-derived 60-bit hash so the DuckDB oracle reproduces values exactly.
