@@ -1210,6 +1210,23 @@ def _q_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=JACCARD_T, max_doc_freq=None)
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental-ingestion dedup: the batch (doc_id >= 400) against the
+    already-accepted index (doc_id < 400) — LSH band collisions between
+    the two signature tables, exact distinct-shingle Jaccard verification
+    on candidates; only new x index pairs are ever considered. Oracle:
+    the same band construction + shingle-intersection Jaccard in SQL,
+    restricted to cross-corpus pairs. max_bucket_size=None: exact to
+    match the exact oracle (the capped default stays on in production)."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    return dedup.dedup_against_index(
+        new, index, k=MINHASH_K, bands=MINHASH_BANDS, threshold=JACCARD_T,
+        max_bucket_size=None,
+    )
+
+
 def _q_ngram_dup_coverage(spark, sf_dir):
     """Exact-substring-dedup estimate: per-doc fraction of 3-gram
     positions (and of tokens, via span-union coverage) duplicated across
@@ -3258,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dedup_incremental": _q_dedup_incremental,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
@@ -3326,6 +3344,45 @@ def _lsh_candidates_sql() -> str:
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM banded a JOIN banded b ON a.band = b.band "
         "AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    """Exact oracle for dedup_against_index on the doc_id<400 index /
+    doc_id>=400 batch split: the same band-key construction as
+    _lsh_candidates_sql restricted to cross-corpus collisions, then the
+    same shingle-intersection Jaccard as the jaccard_pairs oracle on the
+    surviving candidates."""
+    rows = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        key = f"(mh_{b * rows} % 1000000007)"
+        for r in range(1, rows):
+            key = f"(({key} * 31 + mh_{b * rows + r}) % 1000000007)"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({banded}), "
+        "cand AS (SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS index_id "
+        "FROM banded nb JOIN banded ib ON nb.band = ib.band "
+        "AND nb.bucket = ib.bucket "
+        "AND nb.doc_id >= 400 AND ib.doc_id < 400), "
+        f"sh AS ({_SHINGLES_SQL}), "
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+        "FROM sh GROUP BY 1), "
+        "common AS (SELECT c.new_id, c.index_id, "
+        "CAST(count(*) AS BIGINT) AS c FROM cand c "
+        "JOIN sh a ON a.doc_id = c.new_id "
+        "JOIN sh b ON b.doc_id = c.index_id AND a.shingle = b.shingle "
+        "GROUP BY 1, 2) "
+        "SELECT new_id, index_id, j AS jaccard FROM ("
+        "SELECT new_id, index_id, "
+        "round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j "
+        "FROM common JOIN sizes sa ON new_id = sa.doc_id "
+        "JOIN sizes sb ON index_id = sb.doc_id) "
+        f"WHERE j >= {JACCARD_T}"
     )
 
 
@@ -4696,6 +4753,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_sigs": _minhash_sig_sql(),
         "lsh_candidates": _lsh_candidates_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
         "tfidf_topk": (
             "WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM ("
             "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t "

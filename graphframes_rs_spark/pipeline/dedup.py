@@ -116,6 +116,21 @@ DEFAULT_MAX_BUCKET_SIZE = 1024
 DEFAULT_MAX_DOC_FREQ = 1024
 
 
+def _lsh_band_keys(k: int, bands: int) -> List[Column]:
+    """One bucket-key Column per band: rolling 31x combination of the
+    band's minhash rows, re-reduced mod 1e9+7 each step so intermediates
+    never overflow int64 (ANSI mode throws)."""
+    rows = k // bands
+    band_keys = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        key = cols[0] % F.lit(1_000_000_007)
+        for c in cols[1:]:
+            key = (key * 31 + c) % F.lit(1_000_000_007)
+        band_keys.append(key)
+    return band_keys
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     k: int = 16,
@@ -138,16 +153,7 @@ def minhash_lsh_candidates(
     single task at ~1M pair rows) so the degenerate-bucket blowup is never
     the default behavior at scale; pass ``max_bucket_size=None`` to opt in
     to exact-all-buckets output."""
-    rows = k // bands
-    band_keys = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        # fold the band rows into one bucket key; re-reduce mod 1e9+7 each
-        # step so intermediates never overflow int64 (ANSI mode throws)
-        key = cols[0] % F.lit(1_000_000_007)
-        for c in cols[1:]:
-            key = (key * 31 + c) % F.lit(1_000_000_007)
-        band_keys.append(key)
+    band_keys = _lsh_band_keys(k, bands)
     # One posexplode over the per-row band-key array instead of a
     # bands-way union of selects: a union re-executes the whole upstream
     # signature pipeline (explode + groupBy agg) once per band — no
@@ -174,6 +180,91 @@ def minhash_lsh_candidates(
         members.select(F.posexplode("ds").alias("i", "doc_a"), F.col("ds"))
         .select("doc_a", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("doc_b"))
         .distinct()
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """[new_id, index_id, jaccard]: NEW documents near-duplicating an
+    EXISTING corpus — the incremental-ingestion dedup pattern. A pipeline
+    that re-crawls daily must dedup each batch against everything already
+    accepted; re-running all-pairs dedup over index ∪ batch re-pays the
+    whole corpus every day, while this compares only new x index (never
+    new x new, never index x index: within-batch dedup composes via
+    :func:`ngram_jaccard_pairs` / :func:`duplicate_clusters` on the batch
+    alone, which is small).
+
+    Same two-stage contract as every dedup operator here: (1) LSH band
+    collisions between the batch's and the index's minhash signatures
+    (identical band construction to :func:`minhash_lsh_candidates`, same
+    seeded hash family, so an index signature table can be precomputed
+    once and reused across batches); (2) exact distinct-shingle Jaccard
+    verification on the candidates via one array-intersection per pair —
+    candidates only, the |new| x |index| cross product never exists.
+
+    Scale shape: signatures are NARROW maps on both sides (zero shuffle —
+    see minhash_signatures); the band join shuffles only
+    (band, bucket, id) rows with the batch side typically tiny;
+    ``max_bucket_size`` caps the INDEX side's degenerate buckets (a
+    stop-band bucket holding half the index would otherwise fan every
+    colliding new doc into |bucket| candidates). Verification joins each
+    candidate to the two shingle arrays — per-pair payload bounded by
+    document length. Exact (cap None) for oracle use; capped default for
+    production."""
+    sig_new = minhash_signatures(new_docs, text_col=text_col, k=k, n=n, seed=seed)
+    sig_idx = minhash_signatures(index_docs, text_col=text_col, k=k, n=n, seed=seed)
+    keys = _lsh_band_keys(k, bands)
+    banded_new = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        F.posexplode(F.array(*keys)).alias("band", "bucket"),
+    )
+    banded_idx = sig_idx.select(
+        F.col("doc_id").alias("index_id"),
+        F.posexplode(F.array(*keys)).alias("band", "bucket"),
+    )
+    if max_bucket_size is not None:
+        # cap on the index side only: the index is the big side, and a
+        # degenerate index bucket means that band carries no signal there
+        bucket_sizes = banded_idx.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        banded_idx = banded_idx.join(
+            bucket_sizes.filter(F.col("__bsz") <= max_bucket_size),
+            ["band", "bucket"],
+            "left_semi",
+        )
+    cands = banded_new.join(banded_idx, ["band", "bucket"]).select(
+        "new_id", "index_id"
+    ).distinct()
+
+    sh_new = new_docs.select(
+        F.col("doc_id").alias("new_id"),
+        shingles(F.col(text_col), n).alias("__sh_n"),
+    )
+    sh_idx = index_docs.select(
+        F.col("doc_id").alias("index_id"),
+        shingles(F.col(text_col), n).alias("__sh_i"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sh_n"), F.col("__sh_i")))
+    union = F.size("__sh_n") + F.size("__sh_i") - inter
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_idx, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

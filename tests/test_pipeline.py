@@ -1148,3 +1148,49 @@ def test_semantic_dedup_clusters_ivf_matches_blocked(spark):
     ra = {(r["vec_id"], r["cluster"], r["is_canonical"]) for r in a.collect()}
     rb = {(r["vec_id"], r["cluster"], r["is_canonical"]) for r in b.collect()}
     assert ra == rb
+
+
+def test_dedup_against_index_planted(spark):
+    """Incremental dedup finds a new doc near-duplicating an index doc,
+    never pairs within a side, and reports the exact distinct-shingle
+    Jaccard (verified by hand below)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    index = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated index content goes right here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, near), (11, near)],  # two new docs both matching index doc 1
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_against_index(new, index, threshold=0.3)
+    rows = {(r["new_id"], r["index_id"]): r["jaccard"] for r in out.collect()}
+    assert set(rows) == {(10, 1), (11, 1)}
+    # 12 distinct 3-gram shingles each, 10 shared -> jaccard 10/14
+    a = base.split(" ")
+    sh_a = {" ".join(a[i:i + 3]) for i in range(len(a) - 2)}
+    b = near.split(" ")
+    sh_b = {" ".join(b[i:i + 3]) for i in range(len(b) - 2)}
+    want = round(len(sh_a & sh_b) / len(sh_a | sh_b), 6)
+    assert abs(rows[(10, 1)] - want) < 1e-9
+    # new x new is out of scope by construction: 10 and 11 are identical
+    # but must not appear as a pair
+    assert not any(n in (10, 11) and i in (10, 11) for n, i in rows)
+
+
+def test_dedup_against_index_bucket_cap(spark):
+    """max_bucket_size drops degenerate INDEX buckets from candidate
+    generation: with every index doc identical (one giant bucket per
+    band), cap=1 suppresses all candidates; cap=None finds them."""
+    same = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    index = spark.createDataFrame(
+        [(i, same) for i in range(5)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(100, same)], "doc_id long, text string")
+    exact = dedup.dedup_against_index(new, index, threshold=0.9,
+                                      max_bucket_size=None)
+    capped = dedup.dedup_against_index(new, index, threshold=0.9,
+                                       max_bucket_size=1)
+    assert exact.count() == 5
+    assert capped.count() == 0
