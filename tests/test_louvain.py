@@ -112,3 +112,38 @@ def test_weighted_louvain_follows_heavy_edges(spark):
     assert got[1] == got[2]
     assert got[3] == got[4]
     assert got[1] != got[3]
+
+
+def test_louvain_phase_stats_trail(spark, tmp_path):
+    """phase_stats_ records prep, per-round moves, contraction and compose
+    in execution order, with move counts summing to moves_."""
+    from graphframes_rs_spark.graphframe import GraphFrame
+    from pyspark.sql import functions as F
+
+    # two 4-cliques joined by one bridge edge: one move round collapses
+    # each clique, contraction leaves a 2-vertex graph
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((0, 10))
+    v = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "id long"
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    b = (
+        GraphFrame(v, e)
+        .louvain()
+        .max_levels(2)
+        .max_moves(3)
+        .set_checkpoint_dir(str(tmp_path / "lv"))
+    )
+    b.run().count()
+    phases = [p[0] for p in b.phase_stats_]
+    assert phases[0] == "prep"
+    assert phases[-1] == "compose"
+    moves = sum(p[1] for p in b.phase_stats_ if p[0].startswith("move "))
+    assert moves == b.moves_
+    # level 0 moved and max_levels=2, so the level-0 contraction ran
+    assert "contract l0" in phases

@@ -1194,3 +1194,22 @@ def test_dedup_against_index_bucket_cap(spark):
                                        max_bucket_size=1)
     assert exact.count() == 5
     assert capped.count() == 0
+
+
+def test_ivf_topk_phase_stats_contract(spark, embeddings):
+    """phase_stats fills (phase, rows, seconds) in fit/assign order when a
+    list is passed, and the assign row count equals the base size; results
+    are identical to the uninstrumented plan (the persist is
+    instrumentation-only)."""
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    ph = []
+    a = similarity.ivf_topk(
+        embeddings, queries, k=3, nlist=4, nprobe=4, phase_stats=ph
+    )
+    ra = {(r["query_id"], r["neighbor_id"]) for r in a.collect()}
+    assert [p[0] for p in ph] == ["fit", "assign"]
+    assert ph[1][1] == embeddings.count()
+    assert all(isinstance(p[2], float) and p[2] >= 0 for p in ph)
+    b = similarity.ivf_topk(embeddings, queries, k=3, nlist=4, nprobe=4)
+    rb = {(r["query_id"], r["neighbor_id"]) for r in b.collect()}
+    assert ra == rb
