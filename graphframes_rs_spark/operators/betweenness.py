@@ -60,6 +60,12 @@ class BetweennessBuilder:
         self._checkpoint_dir = None
         self._max_distance = None
         self.max_distance_ = 0
+        # (phase, rows_or_supersteps, seconds) evidence trail — same
+        # contract as the WCC/k-core/Louvain builders' phase_stats_:
+        # "prep" carries the materialized edge count (rides the checkpoint
+        # write's observe(), zero extra jobs), "forward"/"backward" carry
+        # the executed superstep count of each Pregel program
+        self.phase_stats_ = []
 
     def max_distance(self, n: int) -> "BetweennessBuilder":
         """Bounded-distance betweenness: ignore shortest paths longer
@@ -98,14 +104,34 @@ class BetweennessBuilder:
         from graphframes_rs_spark import config as gf_config
         from graphframes_rs_spark.plans.checkpointer import ParquetCheckpointer
 
+        import time
+
+        from pyspark.sql import Observation
+
         spark = self.graph.vertices.sparkSession
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         prep_ckpt = ParquetCheckpointer(spark, self._ckpt("prep"))
-        raw = self.graph.edges.select(SRC, DST)
+        self.phase_stats_ = []
+        t0 = time.monotonic()
+        pobs = Observation()
+        raw = self.graph.edges.select(SRC, DST).observe(
+            pobs, F.count(F.lit(1)).alias("n")
+        )
         if gf_config.use_bucketed_checkpoints(spark):
             edges = prep_ckpt.push_bucketed(raw, SRC, shuffle_n, "edges")
         else:
             edges = prep_ckpt.push_partitioned(raw, SRC, shuffle_n, "edges")
+        try:
+            n_prep = int(pobs.get["n"] or 0)
+        except Exception:
+            # an empty edge relation is folded away by Catalyst's
+            # empty-relation propagation, pruning the CollectMetrics node —
+            # Observation.get then fails; the checkpoint scan's count is
+            # metadata-cheap and only reachable on the degenerate graph
+            n_prep = edges.count()
+        self.phase_stats_.append(
+            ("prep", n_prep, round(time.monotonic() - t0, 2))
+        )
 
         # ---- phase 1: lockstep multi-source BFS with path counts --------
         msg = Pregel.msg("sig")
@@ -159,7 +185,11 @@ class BetweennessBuilder:
             fwd = fwd.max_iterations(self._max_distance)
         if self._ckpt("fwd"):
             fwd = fwd.set_checkpoint_dir(self._ckpt("fwd"))
+        t0 = time.monotonic()
         reached = fwd.run()
+        self.phase_stats_.append(
+            ("forward", fwd.iterations_, round(time.monotonic() - t0, 2))
+        )
 
         t_max = reached.agg(
             F.max(F.greatest(*dists) if K > 1 else F.col(dists[0]))
@@ -218,7 +248,11 @@ class BetweennessBuilder:
         )
         if self._ckpt("back"):
             back = back.set_checkpoint_dir(self._ckpt("back"))
+        t0 = time.monotonic()
         acc = back.run()
+        self.phase_stats_.append(
+            ("backward", back.iterations_, round(time.monotonic() - t0, 2))
+        )
         prep_ckpt.purge()  # both phases re-materialized their results
 
         contribs = [

@@ -31,6 +31,7 @@ md5-derived 60-bit hash so the DuckDB oracle reproduces values exactly.
 
 from __future__ import annotations
 
+import time
 from typing import List, Tuple
 
 from pyspark.sql import Column, DataFrame
@@ -242,9 +243,16 @@ def dedup_against_index(
             ["band", "bucket"],
             "left_semi",
         )
-    cands = banded_new.join(banded_idx, ["band", "bucket"]).select(
-        "new_id", "index_id"
-    ).distinct()
+    # id-collision guard: a doc_id present in BOTH frames would collide
+    # with itself in every band and ship a (x, x, 1.0) self-pair, which
+    # the "only new x index" contract excludes — drop it here (also
+    # shields accidental id reuse across batch and index)
+    cands = (
+        banded_new.join(banded_idx, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
 
     sh_new = new_docs.select(
         F.col("doc_id").alias("new_id"),
@@ -469,18 +477,37 @@ def simhash_near_duplicates(
     return pairs.distinct()
 
 
+# method="auto" crossover (rows): below this the exact blocked-BLAS sweep
+# is both exact AND cheap enough that approximation buys nothing; above it
+# the quadratic total FLOPs start to dominate and the IVF path wins on
+# wall while staying recall-gated. Pinned by a measured sweep on the bench
+# box (tools/neardup_auto_sweep.py — see its recorded trajectory), not a
+# guess; the asymptotic argument (O(n²·d) vs O(n^1.5·d)) guarantees the
+# ordering holds past the largest measured point.
+AUTO_METHOD_ROW_THRESHOLD = 100_000
+
+
+def _auto_neardup_method(n_rows: int, row_threshold: int | None = None) -> str:
+    """Pure selection rule behind ``method="auto"`` (unit-tested without a
+    200k-row frame): exact ``"blocked"`` while the corpus is small enough
+    that quadratic FLOPs are free, sub-quadratic ``"ivf"`` above."""
+    cut = AUTO_METHOD_ROW_THRESHOLD if row_threshold is None else row_threshold
+    return "blocked" if n_rows <= cut else "ivf"
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_blocks: int = 16,
-    method: str = "blocked",
-    nlist: int = 64,
+    method: str = "auto",
+    nlist: int | str = "auto",
     nprobe: int = 4,
     seed: int = 42,
     fit_points: int = 100,
     phase_stats: list | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """[id_a, id_b, cosine]: pairs above a cosine threshold.
 
@@ -491,17 +518,31 @@ def embedding_near_duplicates(
 
     ``method`` selects the candidate generator:
 
-    * ``"blocked"`` (default) — blocked numpy/BLAS gram matrices, EXACT
-      candidate set (O(n^2/B) work per task, B = replication dial — see
+    * ``"auto"`` (default) — ONE count of the corpus decides: exact
+      ``"blocked"`` at or below ``AUTO_METHOD_ROW_THRESHOLD`` rows (where
+      quadratic FLOPs are cheaper than approximating), ``"ivf"`` above
+      (so a caller with defaults at corpus scale gets the sub-quadratic
+      plan, never O(n²·d) total FLOPs). The chosen generator is recorded
+      in ``phase_stats`` as ``("auto:<method>", n_rows, count_seconds)``.
+      Callers who know their scale pass the method explicitly and skip
+      the count.
+    * ``"blocked"`` — blocked numpy/BLAS gram matrices, EXACT candidate
+      set (O(n^2/B) work per task, B = replication dial — see
       similarity.blocked_cosine_candidates). Total FLOPs are quadratic in
-      corpus size: the right default up to ~10M vectors.
+      corpus size: the right choice up to ~100k vectors (measured) and
+      acceptable to ~10M.
     * ``"ivf"`` — IVF-cell-bounded candidates (see
       similarity.ivf_cosine_candidates): gram matrices only within a
-      vector's home/probed KMeans cells, total FLOPs ~ nprobe·n²/nlist,
-      LINEAR in corpus size when nlist scales with n. Approximate: a
-      pair whose probe sets are disjoint is missed (recall measured
-      >= 0.8 on the fixtures via the `embedding_neardup_ivf` gate; raise
-      nprobe for tighter recall). The 100 TB path.
+      vector's home/probed KMeans cells, total FLOPs ~ nprobe·n²/nlist.
+      Approximate: a pair whose probe sets are disjoint is missed
+      (recall measured >= 0.8 on the fixtures via the
+      `embedding_neardup_ivf` gate; raise nprobe for tighter recall).
+      The 100 TB path.
+
+    ``nlist="auto"`` (default) resolves to sqrt(n) — the balance point
+    where IVF assignment (n·nlist·d) equals in-cell gram work
+    (nprobe·n²·d/nlist), giving O(n^1.5·d) total; an explicit int skips
+    the count. Only consulted when the IVF generator runs.
     """
     from graphframes_rs_spark.pipeline.similarity import (
         blocked_cosine_candidates,
@@ -510,7 +551,21 @@ def embedding_near_duplicates(
     )
 
     norm = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n_rows = None
+    if method == "auto":
+        t0 = time.monotonic()
+        n_rows = embeddings.count()
+        method = _auto_neardup_method(n_rows)
+        if phase_stats is not None:
+            phase_stats.append(
+                (f"auto:{method}", n_rows, round(time.monotonic() - t0, 2))
+            )
     if method == "ivf":
+        if nlist == "auto":
+            if n_rows is None:
+                n_rows = embeddings.count()
+            # sqrt(n) balance point; floor of 2 (MLlib KMeans needs k>=2)
+            nlist = max(int(n_rows ** 0.5), 2)
         cand = ivf_cosine_candidates(
             embeddings,
             threshold,
@@ -521,13 +576,16 @@ def embedding_near_duplicates(
             seed=seed,
             fit_points=fit_points,
             phase_stats=phase_stats,
+            pins=pins,
         )
     elif method == "blocked":
         cand = blocked_cosine_candidates(
             embeddings, threshold, vec_col=vec_col, id_col=id_col, n_blocks=n_blocks
         )
     else:
-        raise ValueError(f"unknown method {method!r}: use 'blocked' or 'ivf'")
+        raise ValueError(
+            f"unknown method {method!r}: use 'auto', 'blocked' or 'ivf'"
+        )
     va = norm.select(F.col("id").alias("id_a"), F.col("v").alias("__va"))
     vb = norm.select(F.col("id").alias("id_b"), F.col("v").alias("__vb"))
     return (
@@ -653,8 +711,8 @@ def semantic_dedup_clusters(
     threshold: float = 0.95,
     n_blocks: int = 16,
     checkpoint_dir: str | None = None,
-    method: str = "blocked",
-    nlist: int = 64,
+    method: str = "auto",
+    nlist: int | str = "auto",
     nprobe: int = 4,
 ) -> DataFrame:
     """[vec_id, cluster, is_canonical]: SEMANTIC duplicate clusters — the
@@ -666,12 +724,14 @@ def semantic_dedup_clusters(
     minimum member id — the canonical survivor; everything else in the
     cluster is droppable.
 
-    ``method`` passes through to the pair generator: ``"blocked"``
-    (default) is the exact blocked-BLAS candidate sweep (quadratic total
-    FLOPs — fine to ~10M vectors); ``"ivf"`` bounds candidates to IVF
-    cells (O(n^1.5·d) at nlist = sqrt(n)) — the 100 TB dial, with
-    clusters then approximate exactly as far as the candidate recall is
-    (pairs themselves stay exact-rescored either way).
+    ``method`` passes through to the pair generator: ``"auto"`` (default)
+    row-counts once and picks the exact blocked-BLAS sweep below
+    ``AUTO_METHOD_ROW_THRESHOLD`` rows or the IVF-cell-bounded path above
+    (O(n^1.5·d) at the default nlist="auto" = sqrt(n)) — so the default
+    plan is scale-safe at corpus size; clusters are then approximate
+    exactly as far as the candidate recall is (pairs themselves stay
+    exact-rescored either way). ``"blocked"``/``"ivf"`` force a
+    generator and skip the count.
 
     Scale design: identical to ``duplicate_clusters`` — only near-dup
     PAIRS (tiny relative to the corpus) enter the WCC iteration, never the

@@ -6,9 +6,11 @@ codecs ship dependency-free: ``decode_ppm`` (binary P6 PPM images, pure
 numpy header parse + frombuffer) and ``decode_wav`` (PCM WAV via the stdlib
 ``wave`` module), each with a feature extractor (``image_features`` /
 ``audio_features``) that runs the decode inside ``mapInPandas``. Formats
-needing external libraries (JPEG/PNG/MP4/Opus) remain behind the
-``decode=`` plug point: the deterministic fake (default, for tests) or
-``NotImplementedError`` in ``strict`` mode marking where PIL/ffmpeg plug in.
+needing external libraries (JPEG/PNG/MP4/Opus) sit behind the ``decode=``
+plug point: the deterministic fake (default, for tests), or in ``strict``
+mode the best importable real decoder per media_type — Pillow for images
+(``real_decoder``), PyAV for video/audio (``real_av_decoder``) — with the
+documented ``NotImplementedError`` when the library is absent.
 
 Schema contract:
     media(media_id: long, media_type: string, payload: binary,
@@ -110,8 +112,8 @@ def pil_decode_features(payload: bytes) -> np.ndarray:
 
 
 def real_decoder():
-    """The best available REAL decoder, or ``None``: Pillow-backed when
-    importable (:func:`pil_decode_features`), nothing otherwise. The
+    """The best available REAL image decoder, or ``None``: Pillow-backed
+    when importable (:func:`pil_decode_features`), nothing otherwise. The
     pure-python P6-PPM/PCM-WAV codecs and header parsers in this module
     stay the dependency-free baseline either way."""
     try:
@@ -119,6 +121,86 @@ def real_decoder():
     except ImportError:
         return None
     return pil_decode_features
+
+
+def av_decode_features(payload: bytes) -> np.ndarray:
+    """Real video/audio decode via PyAV (optional dependency, ffmpeg
+    bindings): opens the container, decodes up to 8 video frames (evenly
+    consumed from the stream head) or up to 1s of audio samples, and
+    extracts the SAME deterministic FEATURE_DIM layout as
+    :func:`pil_decode_features` — video: [log1p(w), log1p(h), per-channel
+    RGB mean (3) and std (3) over the sampled frames, 8-bin grayscale
+    histogram]; audio: [log1p(n_samples), log1p(sample_rate), mean, std,
+    RMS, zero-crossing rate, 2 zero pads, 8-bin amplitude histogram].
+    No RNG — identical payloads map to identical features. Raises
+    ImportError when PyAV is absent — graceful callers use
+    :func:`real_av_decoder`."""
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(payload)) as container:
+        vstreams = [s for s in container.streams if s.type == "video"]
+        astreams = [s for s in container.streams if s.type == "audio"]
+        if vstreams:
+            frames = []
+            for frame in container.decode(vstreams[0]):
+                frames.append(frame.to_ndarray(format="rgb24"))
+                if len(frames) >= 8:
+                    break
+            if not frames:
+                raise ValueError("video stream decoded zero frames")
+            px = np.concatenate(
+                [f.reshape(-1, 3) for f in frames]
+            ).astype(np.float64) / 255.0
+            h, w = frames[0].shape[0], frames[0].shape[1]
+            gray = px.mean(axis=1)
+            hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+            hist = hist / max(gray.size, 1)
+            feat = np.concatenate(
+                [[np.log1p(w), np.log1p(h)], px.mean(axis=0), px.std(axis=0), hist]
+            )
+            return feat.astype(np.float32)
+        if astreams:
+            rate = int(astreams[0].rate or 0)
+            chunks, n = [], 0
+            for frame in container.decode(astreams[0]):
+                arr = frame.to_ndarray()
+                mono = arr.mean(axis=0) if arr.ndim > 1 else arr
+                chunks.append(mono.astype(np.float64))
+                n += mono.shape[-1]
+                if rate and n >= rate:  # ~1s is plenty for summary stats
+                    break
+            if not chunks:
+                raise ValueError("audio stream decoded zero samples")
+            sig = np.concatenate(chunks)
+            peak = np.abs(sig).max() or 1.0
+            norm = sig / peak
+            zcr = float(np.mean(np.abs(np.diff(np.signbit(norm).astype(int)))))
+            hist, _ = np.histogram(norm, bins=8, range=(-1.0, 1.0))
+            hist = hist / max(norm.size, 1)
+            feat = np.concatenate(
+                [
+                    [np.log1p(sig.size), np.log1p(rate)],
+                    [norm.mean(), norm.std(), float(np.sqrt((norm**2).mean())),
+                     zcr, 0.0, 0.0],
+                    hist,
+                ]
+            )
+            return feat.astype(np.float32)
+    raise ValueError("container has no decodable video or audio stream")
+
+
+def real_av_decoder():
+    """The best available REAL video/audio decoder, or ``None``: PyAV when
+    importable (:func:`av_decode_features`), nothing otherwise — the
+    audio/video twin of :func:`real_decoder`. The pure-python MP4/WAV
+    header parsers stay the dependency-free baseline either way."""
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        return None
+    return av_decode_features
 
 
 def _strict_decode(payload: bytes) -> np.ndarray:
@@ -137,23 +219,42 @@ def extract_features(
     [media_id, media_type, n_bytes, feature: array<float>]
 
     ``decode`` plugs any payload->feature codec in. ``strict=True`` means
-    "real features or fail": it uses the Pillow-backed decoder when
-    Pillow is importable (:func:`real_decoder`) and raises the documented
-    ``NotImplementedError`` otherwise — never the deterministic fake,
-    which remains the default for plumbing tests and fixtures.
+    "real features or fail", dispatched PER media_type: image rows use
+    the Pillow-backed decoder when Pillow is importable
+    (:func:`real_decoder`); video/audio rows use the PyAV-backed decoder
+    when PyAV is importable (:func:`real_av_decoder`); anything the
+    available libraries can't cover raises the documented
+    ``NotImplementedError`` (never a library-dependent
+    ``UnidentifiedImageError`` from feeding an audio payload to an image
+    codec, so strict behavior on mixed-modality tables is
+    environment-independent). The deterministic fake remains the default
+    for plumbing tests and fixtures.
     """
     if decode is not None:
-        decode_fn = decode
+        def decode_for(media_type):
+            return decode
     elif strict:
-        decode_fn = real_decoder() or _strict_decode
+        _pil = real_decoder()
+        _av = real_av_decoder()
+
+        def decode_for(media_type):
+            mt = str(media_type)
+            if _pil is not None and mt.startswith("image"):
+                return _pil
+            if _av is not None and (
+                mt.startswith("video") or mt.startswith("audio")
+            ):
+                return _av
+            return _strict_decode
     else:
-        decode_fn = _fake_decode_features
+        def decode_for(media_type):
+            return _fake_decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_fn(p if isinstance(p, bytes) else bytes(p))
-                for p in pdf["payload"]
+                decode_for(mt)(p if isinstance(p, bytes) else bytes(p))
+                for mt, p in zip(pdf["media_type"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {

@@ -37,6 +37,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _instrument_persist(df, phase, phase_stats, pins):
+    """Persist + count an intermediate so its wall is separable in a
+    ``phase_stats`` trail, without pinning executor memory forever.
+
+    When ``pins`` is a list the persisted handle is appended to it and the
+    CALLER owns the release (unpersist after the downstream plan has run)
+    — the bench does this per sample, so the probe/ADC join reuses the
+    cached pass exactly as production consumes it once. When ``pins`` is
+    None the handle is unpersisted immediately after the count: no
+    memory pin survives the call, at the cost of the returned lazy plan
+    recomputing this stage (the recorded phase wall is still the isolated
+    measurement)."""
+    df = df.persist()
+    t0 = time.monotonic()
+    n = df.count()
+    phase_stats.append((phase, n, round(time.monotonic() - t0, 2)))
+    if pins is not None:
+        pins.append(df)
+    else:
+        df.unpersist()
+    return df
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -250,6 +273,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     phase_stats: list | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -268,11 +292,15 @@ def ivf_topk(
     (``phase_stats_``). Phases: ``fit`` (the eager driver-side KMeans fit,
     timed at zero extra cost) and ``assign`` (the base-vector list
     assignment, which instrumentation persists + counts so its wall is
-    separable from the probe join; the persist means the benched plan
-    computes the assignment exactly once, same as production where it is
-    consumed once). ``None`` (default) leaves the plan fully lazy and
-    untouched — the probe-join/score phase is then the caller's total
-    minus these two.
+    separable from the probe join). ``None`` (default) leaves the plan
+    fully lazy and untouched — the probe-join/score phase is then the
+    caller's total minus these two.
+
+    ``pins``: pass a list (with ``phase_stats``) to receive the persisted
+    handle so the benched probe join reuses the cached assignment exactly
+    once, released by the caller afterwards; without it the handle is
+    unpersisted right after the count (no memory pin outlives the call,
+    the returned lazy plan recomputes the assignment).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -315,12 +343,7 @@ def ivf_topk(
 
     listed = base.withColumn("list_id", nearest_center(F.col("nv")))
     if phase_stats is not None:
-        listed = listed.persist()
-        t0 = time.monotonic()
-        n_assigned = listed.count()
-        phase_stats.append(
-            ("assign", n_assigned, round(time.monotonic() - t0, 2))
-        )
+        listed = _instrument_persist(listed, "assign", phase_stats, pins)
     probed = q.select(
         "query_id", "qv", F.explode(probe_centers(F.col("qv"))).alias("list_id")
     )
@@ -348,6 +371,7 @@ def ivf_cosine_candidates(
     slack: float = 1e-9,
     fit_points: int = 100,
     phase_stats: list | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """[id_a, id_b] (id_a < id_b) candidate pairs with BLAS cosine >=
     threshold - slack, generated only inside IVF cells — the sub-quadratic
@@ -390,6 +414,7 @@ def ivf_cosine_candidates(
     ``phase_stats``: same (phase, rows, seconds) evidence contract as
     :func:`ivf_topk` — ``fit`` is eager/free; ``assign`` persists+counts
     the posted frame (instrumentation-only; default plan stays lazy).
+    ``pins``: same caller-owned-release contract as :func:`ivf_topk`.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -451,12 +476,7 @@ def ivf_cosine_candidates(
         )
     )
     if phase_stats is not None:
-        posted = posted.persist()
-        t0 = time.monotonic()
-        n_posted = posted.count()
-        phase_stats.append(
-            ("assign", n_posted, round(time.monotonic() - t0, 2))
-        )
+        posted = _instrument_persist(posted, "assign", phase_stats, pins)
     cut = float(threshold) - slack
 
     empty = pd.DataFrame(
@@ -748,6 +768,7 @@ def ivfpq_topk(
     rerank: int = 100,
     seed: int = 42,
     phase_stats: list | None = None,
+    pins: list | None = None,
 ) -> DataFrame:
     """IVFADC — the :func:`ivf_topk` x :func:`pq_topk` composition
     production ANN systems deploy at 1e9+ vectors (Jégou, Douze & Schmid,
@@ -892,10 +913,7 @@ def ivfpq_topk(
         # same instrumentation contract as ivf_topk: persist + count makes
         # the encode pass's wall separable from the ADC probe join; the
         # production (phase_stats=None) plan stays fully lazy.
-        coded = coded.persist()
-        t0 = time.monotonic()
-        n_coded = coded.count()
-        phase_stats.append(("encode", n_coded, round(time.monotonic() - t0, 2)))
+        coded = _instrument_persist(coded, "encode", phase_stats, pins)
     cands = (
         coded.join(F.broadcast(probed), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

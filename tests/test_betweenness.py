@@ -80,3 +80,19 @@ def _bw2(spark, ckpt):
         for r in b.set_checkpoint_dir(f"{ckpt}/bounded").run().collect()
     }
     return got, b
+
+
+def test_betweenness_phase_stats_trail(spark, ckpt_dir):
+    """phase_stats_ records the prep/forward/backward evidence trail in the
+    house (phase, rows_or_supersteps, seconds) format: prep carries the
+    materialized edge count, forward/backward carry each Pregel program's
+    executed superstep count (forward = full path depth, backward =
+    max_distance_ layers)."""
+    got, b = _bw(
+        spark, ckpt_dir, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], [1], "ph"
+    )
+    phases = [p[0] for p in b.phase_stats_]
+    assert phases == ["prep", "forward", "backward"]
+    assert b.phase_stats_[0][1] == 3  # materialized edges
+    assert b.phase_stats_[2][1] == b.max_distance_ == 3
+    assert all(isinstance(p[2], float) and p[2] >= 0 for p in b.phase_stats_)

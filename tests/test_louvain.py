@@ -147,3 +147,35 @@ def test_louvain_phase_stats_trail(spark, tmp_path):
     assert moves == b.moves_
     # level 0 moved and max_levels=2, so the level-0 contraction ran
     assert "contract l0" in phases
+
+
+def test_move_tolerance_stops_early_and_stays_valid(spark, tmp_path):
+    """with_move_tolerance ends a level's move rounds once the wants-to-move
+    tail is below frac·|V|: the stop is recorded in phase_stats_, the
+    result is still a valid min-member-labelled clustering, and frac=0
+    (default) is exact — identical output to an explicit 0.0."""
+    g = _graph(spark, _ring_of_cliques(6, 5))
+    # frac just under 1: stop right after the first round (its wants count
+    # can never exceed |V|-1 here since clique minima are settled movers)
+    b = (
+        g.louvain()
+        .with_move_tolerance(0.99)
+        .set_checkpoint_dir(str(tmp_path / "tol"))
+    )
+    out = {r["id"]: r["community"] for r in b.run().collect()}
+    stops = [p for p in b.phase_stats_ if p[0].startswith("move_tol_stop")]
+    assert stops, b.phase_stats_
+    # clustering validity: labels are member ids, min-member convention
+    for v, c in out.items():
+        assert c in out  # label is a vertex id
+        assert out[c] == c  # the label's own community is itself
+    # exactness default: tolerance 0.0 == plain run
+    a = g.louvain().set_checkpoint_dir(str(tmp_path / "ex")).run()
+    b0 = g.louvain().with_move_tolerance(0.0).set_checkpoint_dir(
+        str(tmp_path / "ex0")
+    )
+    assert {tuple(r) for r in a.collect()} == {
+        tuple(r) for r in b0.run().collect()
+    }
+    with pytest.raises(ValueError, match="move tolerance"):
+        g.louvain().with_move_tolerance(1.0)

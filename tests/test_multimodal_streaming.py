@@ -724,3 +724,83 @@ def test_hypertable_rollup_levels_nest(spark):
 
     with _pt.raises(ValueError):
         ev.hypertable_rollup(events, resolutions=(900, 1000))
+
+
+def test_extract_features_strict_dispatches_on_media_type(spark, monkeypatch):
+    """strict mode dispatches PER media_type: with an (emulated) Pillow
+    decoder available, image rows decode through it while audio/video rows
+    still raise the documented NotImplementedError — never an image-codec
+    error from feeding it a non-image payload (ADVICE r10)."""
+    import numpy as np
+
+    def fake_pil(payload: bytes) -> np.ndarray:
+        return np.full(multimodal.FEATURE_DIM, 7.0, dtype=np.float32)
+
+    monkeypatch.setattr(multimodal, "real_decoder", lambda: fake_pil)
+    media = spark.createDataFrame(
+        [
+            (1, "image/ppm", bytearray(b"P6\n1 1\n255\n\xff\x00\x00"), None),
+            (2, "audio/wav", bytearray(b"RIFF....WAVE"), None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    img_only = multimodal.extract_features(
+        media.filter("media_type like 'image%'"), strict=True
+    ).collect()
+    assert img_only[0]["feature"][0] == 7.0
+    mixed = multimodal.extract_features(media, strict=True)
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        mixed.collect()
+
+
+def _av_available():
+    try:
+        import av  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _av_available(), reason="PyAV not installed")
+def test_av_decode_features_real_wav():
+    """With PyAV importable, a PCM-WAV payload decodes for real: the
+    feature layout leads with log1p(n_samples), log1p(sample_rate) and the
+    stats reflect the synthetic signal (bounded, non-constant)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    sig = (((np.arange(256) * 7) % 256 - 128) * 256).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(sig.tobytes())
+    feat = multimodal.av_decode_features(buf.getvalue())
+    assert len(feat) == multimodal.FEATURE_DIM
+    assert abs(feat[1] - np.log1p(8000)) < 1e-3
+    assert feat[3] > 0  # std of a varying signal
+
+
+def test_extract_features_strict_av_dispatch(spark, monkeypatch):
+    """strict mode routes video/audio rows through the (emulated) PyAV
+    decoder while image rows without Pillow still raise — the av twin of
+    the PIL dispatch test."""
+    import numpy as np
+
+    def fake_av(payload: bytes) -> np.ndarray:
+        return np.full(multimodal.FEATURE_DIM, 9.0, dtype=np.float32)
+
+    monkeypatch.setattr(multimodal, "real_av_decoder", lambda: fake_av)
+    monkeypatch.setattr(multimodal, "real_decoder", lambda: None)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42"), None),
+            (2, "audio/wav", bytearray(b"RIFF....WAVE"), None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.extract_features(media, strict=True).collect()
+    assert all(r["feature"][0] == 9.0 for r in out)

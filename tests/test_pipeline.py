@@ -1213,3 +1213,77 @@ def test_ivf_topk_phase_stats_contract(spark, embeddings):
     b = similarity.ivf_topk(embeddings, queries, k=3, nlist=4, nprobe=4)
     rb = {(r["query_id"], r["neighbor_id"]) for r in b.collect()}
     assert ra == rb
+
+
+def test_auto_neardup_method_rule():
+    """The pure selection rule behind method='auto': exact blocked at or
+    below the measured crossover, sub-quadratic IVF above (unit-tested
+    here so the 400k-tier behavior is pinned without a 400k-row frame)."""
+    from graphframes_rs_spark.pipeline.dedup import (
+        AUTO_METHOD_ROW_THRESHOLD,
+        _auto_neardup_method,
+    )
+
+    assert _auto_neardup_method(1_000) == "blocked"
+    assert _auto_neardup_method(AUTO_METHOD_ROW_THRESHOLD) == "blocked"
+    assert _auto_neardup_method(AUTO_METHOD_ROW_THRESHOLD + 1) == "ivf"
+    assert _auto_neardup_method(400_000) == "ivf"
+    assert _auto_neardup_method(10, row_threshold=5) == "ivf"
+
+
+def test_embedding_near_duplicates_auto_default(spark):
+    """method='auto' (the new default) matches the exact blocked generator
+    below the crossover, records its decision in phase_stats, and picks
+    ivf when the threshold is forced low (monkeypatched crossover — no
+    giant frame needed)."""
+    from graphframes_rs_spark.pipeline import dedup as dd
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    near = [0.999, 0.01, 0.0, 0.0]
+    orth = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, near), (3, orth)], "vec_id long, embedding array<double>"
+    )
+    ph = []
+    out = dd.embedding_near_duplicates(df, threshold=0.99, phase_stats=ph)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2)}
+    assert ph[0][0] == "auto:blocked" and ph[0][1] == 3
+    old = dd.AUTO_METHOD_ROW_THRESHOLD
+    dd.AUTO_METHOD_ROW_THRESHOLD = 2
+    try:
+        ph2 = []
+        out2 = dd.embedding_near_duplicates(
+            df, threshold=0.99, nprobe=3, phase_stats=ph2
+        )
+        pairs2 = {(r["id_a"], r["id_b"]) for r in out2.collect()}
+    finally:
+        dd.AUTO_METHOD_ROW_THRESHOLD = old
+    assert ph2[0][0] == "auto:ivf"
+    # nlist='auto' resolved to max(sqrt(3),2)=2 cells; nprobe=3>=nlist
+    # posts every vector to every cell -> recall 1.0 here
+    assert pairs2 == {(1, 2)}
+
+
+def test_ivf_topk_pins_contract(spark, embeddings):
+    """Without pins, instrumentation leaves NO cached frame behind
+    (unpersist-after-count); with pins, the persisted handle is handed to
+    the caller for deterministic release. Results identical either way."""
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    ph, pins = [], []
+    a = similarity.ivf_topk(
+        embeddings, queries, k=3, nlist=4, nprobe=4, phase_stats=ph, pins=pins
+    )
+    ra = {(r["query_id"], r["neighbor_id"]) for r in a.collect()}
+    assert len(pins) == 1 and pins[0].storageLevel.useMemory
+    pins[0].unpersist(blocking=True)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    ph2 = []
+    b = similarity.ivf_topk(
+        embeddings, queries, k=3, nlist=4, nprobe=4, phase_stats=ph2
+    )
+    rb = {(r["query_id"], r["neighbor_id"]) for r in b.collect()}
+    assert ra == rb
+    # no NEW instrumentation pin survives the call when pins is omitted
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before

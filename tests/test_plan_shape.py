@@ -446,11 +446,14 @@ def test_bm25_filters_before_group_and_takes_ordered(spark):
 
 
 def test_louvain_neighbour_join_is_shuffle_free(spark, tmp_path):
-    """Louvain's per-round hot join (adjacency ⋈ nodes on the neighbour
-    endpoint) reads two bucketed checkpoints placed on the join key, so
-    it plans as SMJ with zero Exchange on either scan side — the same
-    contract the Pregel superstep asserts. (The (v, uc) aggregation after
-    it still shuffles: that IS message delivery.)"""
+    """Louvain's per-round hot join, as _move_round actually builds it:
+    adj ⋈ ntot on the neighbour endpoint, where ntot = nodes ⋈ community
+    totals on comm. The ntot side is necessarily re-placed by the comm
+    groupBy/join (that IS the totals lookup), so the contract here is
+    one-sided: the ADJ scan side must plan with zero Exchange off its
+    bucketed checkpoint. Pinned differentially — the same query over a
+    NON-bucketed adj pays exactly one more Exchange (the adj-side
+    repartition the bucketing elides)."""
     ck = ParquetCheckpointer(spark, str(tmp_path / "lv"))
     adj = spark.range(0, 40_000).select(
         (F.col("id") % 10_000).alias("v"),
@@ -461,16 +464,35 @@ def test_louvain_neighbour_join_is_shuffle_free(spark, tmp_path):
         F.col("id").alias("v"), F.col("id").alias("comm"), F.lit(2.0).alias("k")
     )
     a = ck.push_bucketed(adj, "u", 4, "adj")
+    a_flat = ck.push(adj, "adj_flat")  # same data, no bucket metadata
     n = ck.push_bucketed(nodes, "v", 4, "nodes")
+
+    def hot_join(adj_side):
+        # mirror of louvain._move_round: ntot = nodes ⋈ tot on comm,
+        # then adj ⋈ ntot(v→u, comm→uc, tot→tot_c) on u
+        tot = n.groupBy("comm").agg(F.sum("k").alias("tot"))
+        ntot = n.join(tot, "comm")
+        return adj_side.join(
+            ntot.select(
+                F.col("v").alias("u"),
+                F.col("comm").alias("uc"),
+                F.col("tot").alias("tot_c"),
+            ),
+            "u",
+        )
+
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = a.join(
-            n.select(F.col("v").alias("u"), F.col("comm").alias("uc")), "u"
-        )
-        plan = _executed_plan(joined)
+        plan = _executed_plan(hot_join(a))
+        plan_flat = _executed_plan(hot_join(a_flat))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     ck.purge()
     assert "SortMergeJoin" in plan
-    assert "Exchange" not in plan, plan
+    # adj-side bucketing elides exactly the adj repartition; the ntot
+    # side's comm-placement exchanges are identical in both plans
+    assert plan.count("Exchange") == plan_flat.count("Exchange") - 1, (
+        plan, plan_flat,
+    )
+    assert "Bucketed: true" in plan, plan

@@ -1,0 +1,103 @@
+"""Sweep: blocked-vs-IVF crossover for embedding_near_duplicates.
+
+Pins dedup.AUTO_METHOD_ROW_THRESHOLD (the method="auto" selection rule)
+with a measurement instead of a guess — the same discipline as the WCC
+doubling-depth sweep (tools/exp_wcc_doubling.py). Both generators run on
+identical deterministic embedding tables (the bench SCALE_EMB recipe,
+16-dim) at a ladder of row counts; each point records wall for
+
+  * blocked  — exact blocked-BLAS grams, n_blocks=16 (the operator
+               default; O(n²·d) total FLOPs, task-bounded)
+  * ivf      — IVF-cell-bounded grams at nlist=sqrt(n), nprobe=4,
+               fit_points=30 (the bench scale-arm dials; O(n^1.5·d))
+
+Crossover = the first ladder point where ivf's wall beats blocked's.
+Below it, exactness is free — auto picks blocked; above it the quadratic
+term dominates and auto picks ivf. The asymptotics (n² vs n^1.5 total
+FLOPs) guarantee the ordering never flips back above the crossover, so
+measuring the ladder once on the bench box pins the constant for every
+larger n.
+
+Recorded trajectory (this box, local[32], shuffle=32, tmpfs scratch,
+2026-08-15 — the run that pinned AUTO_METHOD_ROW_THRESHOLD = 100_000):
+
+    rows     blocked      ivf      winner
+    25k        3.4s       5.3s     blocked
+    50k        5.6s       6.4s     blocked
+    100k      12.5s      8.6s      ivf      <- crossover in (50k, 100k]
+    200k      38.1s      10.1s     ivf
+
+The constant is set at 100_000: the last point where blocked is within
+~1.5x of ivf is 50k, and at 100k ivf already wins while ALSO being the
+only recall-traded choice — keeping blocked through 100k favors
+exactness whenever the cost is near-parity (12.5 vs 8.6s), and the gap
+is a cliff immediately after (4x at 200k). IVF's fit+assign floor
+(~4-5s at these dials) is what keeps blocked ahead on small corpora.
+"""
+
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from graphframes_rs_spark.pipeline import dedup  # noqa: E402
+
+DIM = 16
+THRESHOLD = 0.85  # the bench scale-arm threshold
+
+
+def make_emb(spark, n):
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)).cast("double") / 500.0
+            - 1.0
+        ),
+    )
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=f"exp_auto_{n}_")
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).write.mode("overwrite").parquet(base + "/emb")
+    return spark.read.parquet(base + "/emb")
+
+
+def main():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("rows,blocked_s,ivf_s,winner", flush=True)
+    for n in (25_000, 50_000, 100_000, 200_000):
+        emb = make_emb(spark, n)
+        walls = {}
+        for method in ("blocked", "ivf"):
+            spark.catalog.clearCache()
+            kw = dict(method=method)
+            if method == "ivf":
+                kw.update(
+                    nlist=max(int(n**0.5), 2), nprobe=4, fit_points=30
+                )
+            t0 = time.monotonic()
+            out = dedup.embedding_near_duplicates(
+                emb, threshold=THRESHOLD, **kw
+            )
+            out.count()
+            walls[method] = round(time.monotonic() - t0, 1)
+        winner = "blocked" if walls["blocked"] <= walls["ivf"] else "ivf"
+        print(f"{n},{walls['blocked']},{walls['ivf']},{winner}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
