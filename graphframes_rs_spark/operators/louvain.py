@@ -145,12 +145,16 @@ class LouvainBuilder:
         scale. Composes with ``max_moves`` (whichever stops first); the
         stop is recorded in ``phase_stats_`` as ``move_tol_stop``.
 
-        Measured on the 6m bench tier before making any dial default (see
-        bench `scale_louvain_6m` / tools trajectory in the commit that
-        added this): the bench keeps the exact fixed budget because its 3
-        rounds are all bulk rounds there — the tolerance pays on LONGER
-        budgets (max_moves at the default 10) where rounds 4+ are pure
-        tail."""
+        Measured on the 6m bench tier (tools/exp_louvain_move_tol.py):
+        at frac=0.02 the stop fires at level-0 round 7 (wants 21,030 <=
+        0.02·2M) and returns the remaining budget; the bench row keeps
+        its exact 3-round budget because all three of its rounds are bulk
+        (smallest still wants 574k moves) — the tolerance pays on longer
+        budgets (the default max_moves=10), where level-0 rounds 8+ chase
+        <1% of vertices at full-exchange cost. Level 1 decays much slower
+        (~0.85x/round vs level 0's ~0.55x) — fraction-of-|V_level| keys
+        the stop to each level's own size, so a slow level simply runs
+        its budget."""
         if not (0.0 <= frac < 1.0):
             raise ValueError("move tolerance must be in [0, 1)")
         self._move_tolerance = float(frac)

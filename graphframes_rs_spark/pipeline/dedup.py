@@ -481,10 +481,12 @@ def simhash_near_duplicates(
 # is both exact AND cheap enough that approximation buys nothing; above it
 # the quadratic total FLOPs start to dominate and the IVF path wins on
 # wall while staying recall-gated. Pinned by a measured sweep on the bench
-# box (tools/neardup_auto_sweep.py — see its recorded trajectory), not a
-# guess; the asymptotic argument (O(n²·d) vs O(n^1.5·d)) guarantees the
-# ordering holds past the largest measured point.
-AUTO_METHOD_ROW_THRESHOLD = 100_000
+# box (tools/exp_neardup_auto.py — see its recorded trajectory: blocked
+# wins at 5k/10k/25k, IVF from 50k up, and the gap is a cliff by 200k,
+# 158.7s vs 6.5s), not a guess; the asymptotic argument (O(n²·d) vs
+# O(n^1.5·d)) guarantees the ordering holds past the largest measured
+# point.
+AUTO_METHOD_ROW_THRESHOLD = 25_000
 
 
 def _auto_neardup_method(n_rows: int, row_threshold: int | None = None) -> str:
@@ -505,7 +507,14 @@ def embedding_near_duplicates(
     nlist: int | str = "auto",
     nprobe: int = 4,
     seed: int = 42,
-    fit_points: int = 100,
+    # 30/centroid, not ivf_topk's ranking-grade 100: candidate generation
+    # only needs cells that PARTITION space (the exact rescore + the
+    # recall gates are unchanged) — the bench scale-arm discipline. At
+    # 200k rows the fit wall is centroid-count-dominated either way
+    # (measured 9.8s at f=100 vs 7.7s at f=30); the f·sqrt(n) SAMPLE term
+    # is what this caps as n grows (driver-side KMeans input stays 3.3x
+    # smaller at every n)
+    fit_points: int = 30,
     phase_stats: list | None = None,
     pins: list | None = None,
 ) -> DataFrame:
@@ -529,8 +538,8 @@ def embedding_near_duplicates(
     * ``"blocked"`` — blocked numpy/BLAS gram matrices, EXACT candidate
       set (O(n^2/B) work per task, B = replication dial — see
       similarity.blocked_cosine_candidates). Total FLOPs are quadratic in
-      corpus size: the right choice up to ~100k vectors (measured) and
-      acceptable to ~10M.
+      corpus size: the measured win up to ~25k vectors (the IVF fit floor
+      dominates there — tools/exp_neardup_auto.py), a cliff past ~100k.
     * ``"ivf"`` — IVF-cell-bounded candidates (see
       similarity.ivf_cosine_candidates): gram matrices only within a
       vector's home/probed KMeans cells, total FLOPs ~ nprobe·n²/nlist.

@@ -18,21 +18,31 @@ FLOPs) guarantee the ordering never flips back above the crossover, so
 measuring the ladder once on the bench box pins the constant for every
 larger n.
 
-Recorded trajectory (this box, local[32], shuffle=32, tmpfs scratch,
-2026-08-15 — the run that pinned AUTO_METHOD_ROW_THRESHOLD = 100_000):
+Recorded trajectory (this box, local[32], shuffle=32, 2026-08-15 — the
+runs that pinned AUTO_METHOD_ROW_THRESHOLD = 25_000). Main ladder, cold
+JVM per process:
 
     rows     blocked      ivf      winner
-    25k        3.4s       5.3s     blocked
-    50k        5.6s       6.4s     blocked
-    100k      12.5s      8.6s      ivf      <- crossover in (50k, 100k]
-    200k      38.1s      10.1s     ivf
+    25k        6.0s       5.9s     ~tie (cold-JVM noise)
+    50k        5.8s       3.5s     ivf
+    100k      17.0s       7.2s     ivf
+    200k     158.7s       6.5s     ivf
 
-The constant is set at 100_000: the last point where blocked is within
-~1.5x of ivf is 50k, and at 100k ivf already wins while ALSO being the
-only recall-traded choice — keeping blocked through 100k favors
-exactness whenever the cost is near-parity (12.5 vs 8.6s), and the gap
-is a cliff immediately after (4x at 200k). IVF's fit+assign floor
-(~4-5s at these dials) is what keeps blocked ahead on small corpora.
+Fine ladder around the crossover (one warm session, cache cleared
+between arms):
+
+    rows     blocked      ivf      winner
+    5k         5.1s       6.5s     blocked
+    10k        1.6s       3.5s     blocked
+    25k        2.6s       2.7s     blocked
+    50k        3.9s       3.1s     ivf      <- crossover in (25k, 50k]
+
+The constant is set at 25_000: the last point where the exact generator
+measurably wins (IVF's KMeans-fit floor, ~2-3s at these dials, is what
+keeps blocked ahead on small corpora), with IVF from 50k up — and the
+quadratic side's wall is a cliff, not a slope (17s at 100k, 158.7s at
+200k: slightly over 4x per doubling once pair output and spill join the
+FLOP term), so erring toward IVF near the tie point is the safe side.
 """
 
 import os
@@ -78,7 +88,7 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     print("rows,blocked_s,ivf_s,winner", flush=True)
-    for n in (25_000, 50_000, 100_000, 200_000):
+    for n in (5_000, 10_000, 25_000, 50_000, 100_000, 200_000):
         emb = make_emb(spark, n)
         walls = {}
         for method in ("blocked", "ivf"):
