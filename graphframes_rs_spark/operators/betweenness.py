@@ -26,9 +26,15 @@ Phase 2 (backward, second Pregel run): dependency accumulation
 delta_i(v) = sum over shortest-path successors w of
 sigma_i(v)/sigma_i(w) * (1 + delta_i(w)), processed in DECREASING
 distance order. The layer index rides a countdown vertex column t
-(T, T-1, ...), so the SAME message expression runs every superstep and
-is non-null exactly when (dist_i(dst) == t and dist_i(src) == t-1) —
-each vertex's delta_i is finalized the round its layer fires, because
+(T, T-1, ...), so the SAME message expression runs every superstep.
+It runs over the REVERSED edge checkpoint with the layer-t successor w
+as the message SOURCE: the message carries only (1 + delta_i(w)) /
+sigma_i(w) (src-state only), and the receiver v applies its own factor
+— delta_i(v) += sigma_i(v) · Σmsg, gated on v.dist_i == t-1 — so the
+phase gets skip_dest_state + the pre-join participation prune: each
+superstep joins just the CURRENT LAYER against the reversed edges, the
+same frontier-scale (not graph-scale) join shape as the forward BFS.
+Each vertex's delta_i is finalized the round its layer fires, because
 all its successors (dist+1) fired the round before.
 
 Betweenness(v) = sum_i delta_i(v), zeroed at each walk's own source
@@ -177,6 +183,21 @@ class BetweennessBuilder:
             .add_named_aggregate_expr(
                 "sig", F.array(*[F.sum(msg[i]) for i in range(K)])
             )
+            # frontier pruning: only vertices reached LAST superstep have a
+            # non-null "dist == round-1" message to send, so the pre-join
+            # participation prune (skip_dest_state fast path) shrinks the
+            # triplet join's state side from |V| to the frontier — on the
+            # 6m bench tier (4 sources, max_distance 4, frontier ~1e2) the
+            # forward phase drops 15.5s -> 9.7s and is then
+            # checkpoint-write-bound (2M-row state x 4 supersteps), not
+            # join-bound; with the reversed-edge backward prune the query
+            # fell 44.6s -> 27.0s (phase trail in BENCH_DETAIL
+            # betweenness_stats)
+            .with_participation_column(
+                "__bw_front",
+                F.col(ID).isin(self.sources),
+                any_arrived,
+            )
             .with_vertex_voting("active", any_arrived)
             .skip_dest_state()
             .with_materialized_edges()
@@ -202,19 +223,69 @@ class BetweennessBuilder:
             )
 
         # ---- phase 2: countdown-layered dependency accumulation ---------
+        # Runs over the REVERSED edge checkpoint so the sender (the layer-t
+        # successor w) is the SRC side: the message then references only
+        # src-state, which unlocks skip_dest_state + the pre-join
+        # participation prune — each superstep joins just the CURRENT
+        # LAYER against the reversed edges instead of |V| x |E| with a
+        # post-hoc layer filter. The receiver-side factor of Brandes'
+        # delta(v) += sigma_v/sigma_w * (1 + delta_w) moves into the vertex
+        # update (v knows its own sigma and whether v.dist == t-1), so the
+        # message carries only (1 + delta_w)/sigma_w. Algebraically
+        # identical; plan-wise the phase is layer-scale, not graph-scale.
+        t0 = time.monotonic()
+        rev = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        if gf_config.use_bucketed_checkpoints(spark):
+            redges = prep_ckpt.push_bucketed(rev, SRC, shuffle_n, "redges")
+        else:
+            redges = prep_ckpt.push_partitioned(rev, SRC, shuffle_n, "redges")
+        self.phase_stats_.append(
+            ("prep_rev", n_prep, round(time.monotonic() - t0, 2))
+        )
         deltas = [f"__bw_x_{i}" for i in range(K)]
         bmsg = Pregel.msg("dep")
-        back = GraphFrame(reached, edges).pregel()
+        back = GraphFrame(reached, redges).pregel()
         for i in range(K):
+            # gate on the RECEIVER: v accumulates only in the superstep
+            # where its layer is next (v.dist == t-1), exactly when its
+            # successors (dist t) just fired — everything else ignores the
+            # stray messages a reversed edge may deliver
+            gate_i = F.col(dists[i]) == F.col("__bw_t") - 1
             back = (
                 back.add_vertex_column(dists[i], F.col(dists[i]), F.col(dists[i]))
                 .add_vertex_column(sigmas[i], F.col(sigmas[i]), F.col(sigmas[i]))
                 .add_vertex_column(
                     deltas[i],
                     F.lit(0.0),
-                    F.col(deltas[i]) + F.coalesce(bmsg[i], F.lit(0.0)),
+                    F.col(deltas[i])
+                    + F.when(
+                        gate_i,
+                        F.col(sigmas[i]) * F.coalesce(bmsg[i], F.lit(0.0)),
+                    ).otherwise(F.lit(0.0)),
                 )
             )
+        any_in_next_layer = (
+            (F.col(dists[0]) == F.col("__bw_t") - 1)
+            if K == 1
+            else F.greatest(
+                *[
+                    (F.col(dists[i]) == F.col("__bw_t") - 1).cast("int")
+                    for i in range(K)
+                ]
+            )
+            == 1
+        )
+        init_in_layer = (
+            (F.col(dists[0]) == F.lit(self.max_distance_))
+            if K == 1
+            else F.greatest(
+                *[
+                    (F.col(dists[i]) == F.lit(self.max_distance_)).cast("int")
+                    for i in range(K)
+                ]
+            )
+            == 1
+        )
         back = (
             back.add_vertex_column(
                 "__bw_t",
@@ -226,26 +297,35 @@ class BetweennessBuilder:
                 F.array(
                     *[
                         F.when(
-                            (Pregel.dst(dists[i]) == Pregel.dst("__bw_t"))
-                            & (
-                                Pregel.src(dists[i])
-                                == Pregel.dst("__bw_t") - 1
-                            ),
-                            Pregel.src(sigmas[i])
-                            / Pregel.dst(sigmas[i])
-                            * (F.lit(1.0) + Pregel.dst(deltas[i])),
+                            Pregel.src(dists[i]) == Pregel.src("__bw_t"),
+                            (F.lit(1.0) + Pregel.src(deltas[i]))
+                            / Pregel.src(sigmas[i]),
                         )
                         for i in range(K)
                     ]
                 ),
-                MessageDirection.DST_TO_SRC,
+                MessageDirection.SRC_TO_DST,
             )
             .add_named_aggregate_expr(
                 "dep", F.array(*[F.sum(bmsg[i]) for i in range(K)])
             )
+            # layer pruning, the backward twin of the forward frontier
+            # prune: only layer-t vertices send in the superstep where
+            # __bw_t == t; F.coalesce(..., False) keeps unreached
+            # (NULL-dist) vertices out of the filter's tri-state
+            .with_participation_column(
+                "__bw_layer",
+                F.coalesce(init_in_layer, F.lit(False)),
+                F.coalesce(any_in_next_layer, F.lit(False)),
+            )
             .max_iterations(self.max_distance_)
+            .skip_dest_state()
             .with_materialized_edges()
         )
+        # with_checkpoint_interval(2) measured-and-rejected on the 6m tier:
+        # 27.0s -> 31.3s (identical results) — with frontier-scale joins
+        # the per-superstep cost is the 2M-row state write, and a persisted
+        # in-memory copy costs more than the tmpfs parquet it would skip
         if self._ckpt("back"):
             back = back.set_checkpoint_dir(self._ckpt("back"))
         t0 = time.monotonic()

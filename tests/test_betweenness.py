@@ -92,7 +92,7 @@ def test_betweenness_phase_stats_trail(spark, ckpt_dir):
         spark, ckpt_dir, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], [1], "ph"
     )
     phases = [p[0] for p in b.phase_stats_]
-    assert phases == ["prep", "forward", "backward"]
+    assert phases == ["prep", "forward", "prep_rev", "backward"]
     assert b.phase_stats_[0][1] == 3  # materialized edges
-    assert b.phase_stats_[2][1] == b.max_distance_ == 3
+    assert b.phase_stats_[3][1] == b.max_distance_ == 3
     assert all(isinstance(p[2], float) and p[2] >= 0 for p in b.phase_stats_)
