@@ -54,6 +54,19 @@ from graphframes_rs_spark.graphframe import DST, GraphFrame, ID, SRC
 from graphframes_rs_spark.pregel import MessageDirection, Pregel
 
 
+def _any_of(conds):
+    """NULL-tolerant K-way OR over boolean Columns (the per-source
+    frontier/layer predicates): greatest() over the int casts ignores
+    NULL terms (an unreached source's dist comparison is NULL) unless
+    every term is NULL — matching SQL OR's tri-state semantics — and the
+    K == 1 case short-circuits to the bare condition. Callers that must
+    not see NULL (participation filters) coalesce(False) the result,
+    exactly as they would the bare OR."""
+    if len(conds) == 1:
+        return conds[0]
+    return F.greatest(*[c.cast("int") for c in conds]) == 1
+
+
 class BetweennessBuilder:
     def __init__(self, graph: GraphFrame, sources):
         self.graph = graph
@@ -156,11 +169,8 @@ class BetweennessBuilder:
                 F.when(is_src, F.lit(1.0)).otherwise(F.lit(None).cast("double")),
                 F.coalesce(F.col(sigmas[i]), msg[i]),
             )
-        arrived = [
-            F.col(dists[i]).isNull() & msg[i].isNotNull() for i in range(K)
-        ]
-        any_arrived = (
-            arrived[0] if K == 1 else F.greatest(*[a.cast("int") for a in arrived]) == 1
+        any_arrived = _any_of(
+            [F.col(dists[i]).isNull() & msg[i].isNotNull() for i in range(K)]
         )
         fwd = (
             fwd.add_vertex_column(
@@ -264,27 +274,11 @@ class BetweennessBuilder:
                     ).otherwise(F.lit(0.0)),
                 )
             )
-        any_in_next_layer = (
-            (F.col(dists[0]) == F.col("__bw_t") - 1)
-            if K == 1
-            else F.greatest(
-                *[
-                    (F.col(dists[i]) == F.col("__bw_t") - 1).cast("int")
-                    for i in range(K)
-                ]
-            )
-            == 1
+        any_in_next_layer = _any_of(
+            [(F.col(dists[i]) == F.col("__bw_t") - 1) for i in range(K)]
         )
-        init_in_layer = (
-            (F.col(dists[0]) == F.lit(self.max_distance_))
-            if K == 1
-            else F.greatest(
-                *[
-                    (F.col(dists[i]) == F.lit(self.max_distance_)).cast("int")
-                    for i in range(K)
-                ]
-            )
-            == 1
+        init_in_layer = _any_of(
+            [(F.col(dists[i]) == F.lit(self.max_distance_)) for i in range(K)]
         )
         back = (
             back.add_vertex_column(

@@ -212,6 +212,12 @@ def dedup_against_index(
     verification on the candidates via one array-intersection per pair —
     candidates only, the |new| x |index| cross product never exists.
 
+    Ids label each frame independently: a doc_id present in BOTH frames
+    is compared like any other cross-frame pair (the shingle joins are
+    per-side, so the jaccard is over the two actual texts). With stable
+    ids, an emitted ``(x, x, 1.0)`` row means the batch re-contains an
+    already-indexed document — the re-ingestion signal, not a self-pair.
+
     Scale shape: signatures are NARROW maps on both sides (zero shuffle —
     see minhash_signatures); the band join shuffles only
     (band, bucket, id) rows with the batch side typically tiny;
@@ -243,13 +249,16 @@ def dedup_against_index(
             ["band", "bucket"],
             "left_semi",
         )
-    # id-collision guard: a doc_id present in BOTH frames would collide
-    # with itself in every band and ship a (x, x, 1.0) self-pair, which
-    # the "only new x index" contract excludes — drop it here (also
-    # shields accidental id reuse across batch and index)
+    # Same-id pairs are NOT filtered: new_id and index_id name documents
+    # in two DIFFERENT frames, so (x, x, jaccard) compares the batch's
+    # doc x against the index's doc x — the actual texts, via the two
+    # per-side shingle joins below. With stable (e.g. URL-derived) ids,
+    # that row is precisely the re-ingestion signal an incremental
+    # pipeline wants; with per-frame sequential ids it is an ordinary
+    # cross-frame comparison that happens to share a label. An id-equality
+    # filter here would silently report a re-crawled duplicate as clean.
     cands = (
         banded_new.join(banded_idx, ["band", "bucket"])
-        .filter(F.col("new_id") != F.col("index_id"))
         .select("new_id", "index_id")
         .distinct()
     )

@@ -163,20 +163,32 @@ def av_decode_features(payload: bytes) -> np.ndarray:
             return feat.astype(np.float32)
         if astreams:
             rate = int(astreams[0].rate or 0)
+            # sample cap: ~1s at the reported rate; when the container
+            # reports no rate (raw ADTS, broken headers) fall back to
+            # 48000 so a multi-hour payload can never accumulate its whole
+            # decoded stream into one row's memory
+            cap = rate or 48_000
             chunks, n = [], 0
             for frame in container.decode(astreams[0]):
                 arr = frame.to_ndarray()
                 mono = arr.mean(axis=0) if arr.ndim > 1 else arr
                 chunks.append(mono.astype(np.float64))
                 n += mono.shape[-1]
-                if rate and n >= rate:  # ~1s is plenty for summary stats
+                if n >= cap:  # ~1s is plenty for summary stats
                     break
             if not chunks:
                 raise ValueError("audio stream decoded zero samples")
             sig = np.concatenate(chunks)
             peak = np.abs(sig).max() or 1.0
             norm = sig / peak
-            zcr = float(np.mean(np.abs(np.diff(np.signbit(norm).astype(int)))))
+            # size-1 stream: np.diff is empty and mean(empty) is NaN,
+            # which would silently poison every downstream cosine — a
+            # single sample has zero crossings by definition
+            zcr = (
+                float(np.mean(np.abs(np.diff(np.signbit(norm).astype(int)))))
+                if norm.size > 1
+                else 0.0
+            )
             hist, _ = np.histogram(norm, bins=8, range=(-1.0, 1.0))
             hist = hist / max(norm.size, 1)
             feat = np.concatenate(
@@ -226,31 +238,39 @@ def extract_features(
     available libraries can't cover raises the documented
     ``NotImplementedError`` (never a library-dependent
     ``UnidentifiedImageError`` from feeding an audio payload to an image
-    codec, so strict behavior on mixed-modality tables is
-    environment-independent). The deterministic fake remains the default
-    for plumbing tests and fixtures.
+    codec). Availability is resolved ON THE EXECUTORS, inside the UDF —
+    decode runs there, so a driver with Pillow but workers without it
+    raises the documented error rather than a worker-side ImportError
+    (and the inverse install skew finds the decoder that actually
+    exists where the work runs). The deterministic fake remains the
+    default for plumbing tests and fixtures.
     """
     if decode is not None:
-        def decode_for(media_type):
-            return decode
+        def make_decode_for():
+            return lambda media_type: decode
     elif strict:
-        _pil = real_decoder()
-        _av = real_av_decoder()
+        def make_decode_for():
+            # resolved in the Python worker, once per partition iterator
+            _pil = real_decoder()
+            _av = real_av_decoder()
 
-        def decode_for(media_type):
-            mt = str(media_type)
-            if _pil is not None and mt.startswith("image"):
-                return _pil
-            if _av is not None and (
-                mt.startswith("video") or mt.startswith("audio")
-            ):
-                return _av
-            return _strict_decode
+            def decode_for(media_type):
+                mt = str(media_type)
+                if _pil is not None and mt.startswith("image"):
+                    return _pil
+                if _av is not None and (
+                    mt.startswith("video") or mt.startswith("audio")
+                ):
+                    return _av
+                return _strict_decode
+
+            return decode_for
     else:
-        def decode_for(media_type):
-            return _fake_decode_features
+        def make_decode_for():
+            return lambda media_type: _fake_decode_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode_for = make_decode_for()
         for pdf in batches:
             feats = [
                 decode_for(mt)(p if isinstance(p, bytes) else bytes(p))

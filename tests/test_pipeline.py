@@ -1183,6 +1183,29 @@ def test_dedup_against_index_planted(spark):
     assert not any(n in (10, 11) and i in (10, 11) for n, i in rows)
 
 
+def test_dedup_against_index_same_id_is_cross_frame(spark):
+    """A doc_id present in BOTH frames is an ordinary cross-frame
+    comparison over the two ACTUAL texts, not a synthetic self-pair:
+    identical texts under a shared stable id surface as (x, x, 1.0) —
+    the re-ingestion signal — while unrelated texts that merely share an
+    id label are compared on content and stay below threshold."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    index = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated index content goes right here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base),  # stable id, re-crawled identical text -> (1, 1, 1.0)
+         (2, base)],  # accidental label collision, different text vs idx 2
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_against_index(new, index, threshold=0.3)
+    rows = {(r["new_id"], r["index_id"]): r["jaccard"] for r in out.collect()}
+    assert rows[(1, 1)] == 1.0
+    assert (2, 2) not in rows  # compared on content, not dropped by label
+    assert rows[(2, 1)] == 1.0  # new doc 2's text DOES match index doc 1
+
+
 def test_dedup_against_index_bucket_cap(spark):
     """max_bucket_size drops degenerate INDEX buckets from candidate
     generation: with every index doc identical (one giant bucket per

@@ -50,31 +50,22 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from graphframes_rs_spark.pipeline import dedup  # noqa: E402
 
-DIM = 16
 THRESHOLD = 0.85  # the bench scale-arm threshold
 
 
 def make_emb(spark, n):
-    vec = F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda i: (
-            F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)).cast("double") / 500.0
-            - 1.0
-        ),
-    )
-    import tempfile
+    # reuse the bench's own table builder (same recipe as the
+    # scale_neardup_ivf arms by construction, not by copy — if the bench
+    # dials ever change, this sweep measures the same distribution)
+    import bench
 
-    base = tempfile.mkdtemp(prefix=f"exp_auto_{n}_")
-    spark.range(n).select(
-        F.col("id").alias("vec_id"), vec.alias("embedding")
-    ).write.mode("overwrite").parquet(base + "/emb")
-    return spark.read.parquet(base + "/emb")
+    bench._prepare_scale_emb_n(spark, n)
+    return spark.read.parquet(bench._scale_emb_paths[n])
 
 
 def main():
