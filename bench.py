@@ -862,7 +862,23 @@ def _calibrate(spark, sf_dir):
         "sum(l_extendedprice)", "count(distinct l_orderkey)"
     ).collect()
     scan_s = round(time.monotonic() - t0, 3)
-    return {"py_loop_s": py_s, "jvm_range_s": jvm_s, "parquet_scan_s": scan_s}
+    # (d) a fixed-work full exchange: the noise mode the other three
+    # probes MISS. Measured 2026-08-16 (same box, one session): py/jvm/
+    # scan probes all at or better than the previous round's values while
+    # every shuffle-heavy query ran 1.5-2x slow with <1% steal — a noisy
+    # neighbor degrading sustained memory/IO bandwidth is invisible to a
+    # single-op all-core aggregate but not to an actual exchange.
+    t0 = time.monotonic()
+    spark.range(32_000_000).selectExpr("id % 100000 AS k").groupBy(
+        "k"
+    ).count().selectExpr("sum(count)").collect()
+    shuffle_s = round(time.monotonic() - t0, 3)
+    return {
+        "py_loop_s": py_s,
+        "jvm_range_s": jvm_s,
+        "parquet_scan_s": scan_s,
+        "shuffle_s": shuffle_s,
+    }
 
 
 def _gc_ms(spark):
@@ -923,6 +939,31 @@ def main():
     warm.count()
     calib = _calibrate(spark, sf_dir)
     print(f"# calib: {calib}", file=sys.stderr)
+    # Machine-noise self-check: the calib probes are fixed work, so a
+    # >25% drift vs the previous committed round means the BOX changed,
+    # not the code — flag it loudly so a contaminated artifact is
+    # attributable at a glance (hypervisor steal is bursty and a noisy
+    # neighbor degrades memory bandwidth without showing up in steal_ms;
+    # measured 2026-08-16: two same-code runs an hour apart put
+    # tfidf_topk at 20.4s and 24.5s with <0.1s steal, warm standalone
+    # 1.4s, while the parquet calib probe sat 40-60% above its quiet-box
+    # value — the probes caught what the steal counter could not).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")) as f:
+            prev_calib = json.load(f).get("calib", {})
+    except (OSError, ValueError):
+        prev_calib = {}
+    for probe, now_s in calib.items():
+        old_s = prev_calib.get(probe)
+        if old_s and now_s > 1.25 * old_s:
+            print(
+                f"# WARNING calib drift: {probe} {old_s}s -> {now_s}s "
+                f"({now_s / old_s:.2f}x) — machine slower than the "
+                f"previous round's run; treat per-query regressions "
+                f"below as suspect",
+                file=sys.stderr,
+            )
     # Prepare only the tiers the selected queries actually reference (a
     # BENCH_ONLY smoke of one 6m query must not generate the 54M-edge
     # tier's RAM-disk parquet); full runs still prep everything up front.
