@@ -239,6 +239,14 @@ def _bench_scale_dedup(spark, sf_dir):
     )
 
 
+def _bench_scale_tfidf(spark, sf_dir):
+    from graphframes_rs_spark.pipeline import text
+
+    _prepare_scale_docs(spark)
+    docs = spark.read.parquet(_scale_docs_path[0])
+    return text.tfidf_topk_terms(docs, k=5)
+
+
 def _bench_scale_dsir(spark, sf_dir):
     # DSIR importance weights over the 200k synthetic corpus (50-word
     # docs -> ~20M gram occurrences). The corpus has no source column;
@@ -763,6 +771,12 @@ BENCH_QUERIES = {
     # (minhash -> LSH -> exact rescore -> WCC clusters; recovers the
     # planted 20k near-dup triples exactly — see SCALE_DOCS)
     "scale_dedup_200k": _bench_scale_dedup,
+    # text scale proof: corpus-wide TF-IDF keywording at 40x the sf0.1
+    # corpus — full inverted index (10M exploded tokens -> per-(doc,term)
+    # counts -> per-term df) + the per-DOC ranking window; the heaviest
+    # all-corpus text op (bm25_search is query-filtered and ~2x lighter
+    # at the same n). ~6.4s quiet-box, measured 2026-08-16
+    "scale_tfidf_200k": _bench_scale_tfidf,
     "scale_dsir_200k": _bench_scale_dsir,
     # similarity scale proof: IVF over 100x the sf0.1 embeddings (8x
     # faster than exact at recall 0.93 — see SCALE_EMB)
