@@ -469,6 +469,12 @@ def _bench_scale_betweenness(tier, k_sources=4, max_dist=4):
 # 6m/18m/54m tiers exist to show; exported in the detail JSON.
 _wcc_rounds = {}
 
+# k-core tier evidence (r12, verdict task 2): per-refinement changed-
+# estimate counts + wall seconds of the kept sample, so a round-over-round
+# drift on scale_kcore_* is attributable to a specific refinement round
+# (e.g. "round 3 went 4.1s -> 7.9s") instead of re-litigating box noise
+_kcore_stats = {}
+
 
 def _bench_scale_wcc(tier, doublings=None):
     # doublings=0 is the A/B arm (default-on for the 18m tier since r9):
@@ -524,7 +530,16 @@ def _bench_scale_kcore(tier, pregel=False):
                 .max_iterations(5)
                 .set_checkpoint_dir(tempfile.mkdtemp())
             )
-            return kc.run()
+            out = kc.run()
+            # the specialized loop executes eagerly inside run() (each
+            # round ends in a checkpoint push), so the trajectory is
+            # complete here; empty lists under pregel=True (Pregel form
+            # doesn't run the instrumented loop)
+            _kcore_stats[tier + ("_pregel" if pregel else "")] = {
+                "round_changes": list(kc.round_changes_),
+                "round_seconds": list(kc.round_seconds_),
+            }
+            return out
         finally:
             if pregel:
                 spark.conf.unset("spark.graphframes.kcore.specializedLoop")
@@ -953,6 +968,48 @@ def main():
     warm.count()
     calib = _calibrate(spark, sf_dir)
     print(f"# calib: {calib}", file=sys.stderr)
+    # Calib GATE (r12, extends the r11 advisory warning): the shuffle
+    # probe is the one that catches the bandwidth-degradation noise mode
+    # (19.5s inside a wave vs 0.5-1.0s quiet, with <1% steal). Waves last
+    # ~10-20 min and recur, so starting a ~10 min full run inside one
+    # contaminates every row. If the probe lands >1.5x the previous
+    # committed round's value, wait out the wave and re-probe (bounded:
+    # 3 attempts x 90s so a permanently-slower box still produces an
+    # artifact, just a flagged one). Evidence rides the detail JSON.
+    calib_gate = {"attempts": [dict(calib)]}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")) as f:
+            _prev_shuffle = json.load(f).get("calib", {}).get("shuffle_s")
+    except (OSError, ValueError):
+        _prev_shuffle = None
+    gate_attempts = 0
+    while (
+        _prev_shuffle
+        and calib.get("shuffle_s", 0) > 1.5 * _prev_shuffle
+        and gate_attempts < 3
+    ):
+        gate_attempts += 1
+        print(
+            f"# calib GATE: shuffle_s {calib['shuffle_s']}s > 1.5x prev "
+            f"committed {_prev_shuffle}s — waiting 90s for the wave to "
+            f"pass (attempt {gate_attempts}/3)",
+            file=sys.stderr,
+        )
+        time.sleep(90.0)
+        calib = _calibrate(spark, sf_dir)
+        calib_gate["attempts"].append(dict(calib))
+        print(f"# calib (re-probe): {calib}", file=sys.stderr)
+    calib_gate["gated"] = gate_attempts > 0
+    calib_gate["cleared"] = not (
+        _prev_shuffle and calib.get("shuffle_s", 0) > 1.5 * _prev_shuffle
+    )
+    if not calib_gate["cleared"]:
+        print(
+            "# calib GATE: still >1.5x after 3 waits — box is persistently "
+            "slower; artifact rows below are suspect",
+            file=sys.stderr,
+        )
     # Machine-noise self-check: the calib probes are fixed work, so a
     # >25% drift vs the previous committed round means the BOX changed,
     # not the code — flag it loudly so a contaminated artifact is
@@ -1008,6 +1065,12 @@ def main():
         "pagerank_big", "wcc_big", "kcore_big", "bfs_big",
         # join-heavy round-5 queries: first run pays AQE/codegen planning
         # (measured motif 9.1s cold vs 4.7-6s warm)
+        # motif r11 "regression" root-caused 2026-08-16: interleaved
+        # paired-session A/B (7 warm runs per session, r10 code vs HEAD,
+        # same data/box) gave HEAD mins 4.55/5.24s vs r10 mins
+        # 6.57/4.70/5.05s — fully overlapping; the r11 6.13s row carried
+        # ~2s steal on BOTH samples. Warm cost is ~4.5-5.5s with
+        # bandwidth-wave outliers to 22s; r10's 3.81s was a quiet draw.
         "motif_triangles", "hits_big", "random_walks",
     }
     # (scale_matching_6m moved to best-of-2 after a single-shot run recorded
@@ -1174,11 +1237,11 @@ def main():
             # the day a nondeterministic-rounds tier lands)
             return (elapsed, _gc_ms(spark) - g0, _steal_ms() - s0,
                     (dict(_wcc_rounds), dict(_louvain_stats),
-                     dict(_betweenness_stats)))
+                     dict(_betweenness_stats), dict(_kcore_stats)))
 
         best, n, gc_best, steal_best = None, 0, None, None
         kept_stats = (dict(_wcc_rounds), dict(_louvain_stats),
-                      dict(_betweenness_stats))
+                      dict(_betweenness_stats), dict(_kcore_stats))
         for _ in range(runs):
             elapsed, gc_d, steal_d, stats_snap = _one_run()
             if best is None or elapsed < best:
@@ -1235,10 +1298,19 @@ def main():
             regression_rerun_budget -= 1
             time.sleep(5.0)
             re_elapsed, re_gc, re_steal, re_stats = _one_run()
+            # "pre_confirmation" is the best-so-far sample BEFORE this
+            # confirmation run — which may itself already be a steal-veto
+            # rerun's sample, not the literal first execution (r11 advice:
+            # the old "first" label misattributed which physical run
+            # produced the kept wall)
             regression_reruns[name] = {
-                "kept_first": re_elapsed >= best,
+                "kept_pre_confirmation": re_elapsed >= best,
                 "prev_round_s": prev_wall,
-                "first": {"s": best, "steal_ms": steal_best},
+                "steal_rerun_already_kept": (
+                    name in steal_reruns
+                    and not steal_reruns[name]["kept_first"]
+                ),
+                "pre_confirmation": {"s": best, "steal_ms": steal_best},
                 "rerun": {"s": re_elapsed, "steal_ms": re_steal},
             }
             if re_elapsed < best:
@@ -1250,6 +1322,8 @@ def main():
         _louvain_stats.update(kept_stats[1])
         _betweenness_stats.clear()
         _betweenness_stats.update(kept_stats[2])
+        _kcore_stats.clear()
+        _kcore_stats.update(kept_stats[3])
         timings[name] = best
         gc_deltas[name] = gc_best
         steal_deltas[name] = steal_best
@@ -1311,9 +1385,15 @@ def main():
         # Betweenness tier evidence: realized path depth + per-phase walls
         # of the kept run (prep / forward supersteps / backward supersteps)
         "betweenness_stats": _betweenness_stats,
+        # k-core tier evidence: per-refinement changed counts + wall
+        # seconds of the kept sample (drift attribution per round)
+        "kcore_stats": _kcore_stats,
         # fixed-work machine-speed probe (see _calibrate): compare across
         # rounds before attributing a BENCH_DETAIL delta to code
         "calib": calib,
+        # calib gate evidence (r12): every probe attempt, whether the gate
+        # fired, and whether the run started on a cleared box
+        "calib_gate": calib_gate,
         "sf": float(sf),
         "scale_graph": SCALE_TIERS,
     }
