@@ -56,12 +56,16 @@ from graphframes_rs_spark.pregel import MessageDirection, Pregel
 
 def _any_of(conds):
     """NULL-tolerant K-way OR over boolean Columns (the per-source
-    frontier/layer predicates): greatest() over the int casts ignores
-    NULL terms (an unreached source's dist comparison is NULL) unless
-    every term is NULL — matching SQL OR's tri-state semantics — and the
-    K == 1 case short-circuits to the bare condition. Callers that must
-    not see NULL (participation filters) coalesce(False) the result,
-    exactly as they would the bare OR."""
+    frontier/layer predicates): greatest() over the int casts treats a
+    NULL term as false (an unreached source's dist comparison is NULL),
+    yielding NULL only when EVERY term is NULL. NOTE this is NOT SQL OR's
+    tri-state semantics — SQL OR over {FALSE, NULL} yields NULL, this
+    yields FALSE — which is exactly right for the when()/filter()
+    null-as-false contexts it's used in here, but a caller relying on
+    NULL propagation must not use it. The K == 1 case short-circuits to
+    the bare condition (so a single NULL term DOES stay NULL). Callers
+    that must not see NULL at all (participation filters) coalesce(False)
+    the result, exactly as they would the bare OR."""
     if len(conds) == 1:
         return conds[0]
     return F.greatest(*[c.cast("int") for c in conds]) == 1

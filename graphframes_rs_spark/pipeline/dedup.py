@@ -194,6 +194,7 @@ def dedup_against_index(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    skip_same_id: bool = False,
 ) -> DataFrame:
     """[new_id, index_id, jaccard]: NEW documents near-duplicating an
     EXISTING corpus — the incremental-ingestion dedup pattern. A pipeline
@@ -217,6 +218,11 @@ def dedup_against_index(
     per-side, so the jaccard is over the two actual texts). With stable
     ids, an emitted ``(x, x, 1.0)`` row means the batch re-contains an
     already-indexed document — the re-ingestion signal, not a self-pair.
+    BEHAVIOR CHANGE NOTE (r11): earlier versions silently dropped
+    same-id pairs; callers who fed overlapping frames (e.g. the same
+    table as both batch and index) and relied on that exclusion should
+    pass ``skip_same_id=True`` to restore it — with it, a shared id is
+    treated as "already indexed, don't re-compare".
 
     Scale shape: signatures are NARROW maps on both sides (zero shuffle —
     see minhash_signatures); the band join shuffles only
@@ -262,6 +268,8 @@ def dedup_against_index(
         .select("new_id", "index_id")
         .distinct()
     )
+    if skip_same_id:
+        cands = cands.filter(F.col("new_id") != F.col("index_id"))
 
     sh_new = new_docs.select(
         F.col("doc_id").alias("new_id"),

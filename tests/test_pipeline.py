@@ -1206,6 +1206,25 @@ def test_dedup_against_index_same_id_is_cross_frame(spark):
     assert rows[(2, 1)] == 1.0  # new doc 2's text DOES match index doc 1
 
 
+def test_dedup_against_index_skip_same_id_opt_out(spark):
+    """skip_same_id=True restores the pre-r11 exclusion for callers that
+    feed overlapping frames: shared-id pairs are dropped BEFORE rescoring
+    while cross-id matches are untouched."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    index = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated index content goes right here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (7, base)], "doc_id long, text string"
+    )
+    out = dedup.dedup_against_index(new, index, threshold=0.3,
+                                    skip_same_id=True)
+    rows = {(r["new_id"], r["index_id"]): r["jaccard"] for r in out.collect()}
+    assert (1, 1) not in rows  # shared id excluded under the opt-out
+    assert rows[(7, 1)] == 1.0  # cross-id match unaffected
+
+
 def test_dedup_against_index_bucket_cap(spark):
     """max_bucket_size drops degenerate INDEX buckets from candidate
     generation: with every index doc identical (one giant bucket per
