@@ -1251,6 +1251,31 @@ def _q_dedup_strip_spans(spark, sf_dir):
     return dedup.strip_duplicated_spans(docs, n=3)
 
 
+def _q_exact_substr_spans(spark, sf_dir):
+    """TRUE exact-substring duplicate spans (Lee et al. 2022 ExactSubstr;
+    reference has no text ops — beyond-reference operator): maximal char
+    spans covered by a verbatim >= 40-char substring occurring >= 2 times
+    corpus-wide, occurrence-counted (same-doc repeats count). Exact by
+    the window lemma (pipeline/dedup.py:exact_substr_spans) — equivalent
+    to a suffix-array scan at threshold 40 without a global suffix sort.
+    Oracle: the same positional 40-char-window pipeline over RAW substrings
+    plus a gaps-and-islands interval merge (Spark ships xxhash64 of each
+    window instead; outputs agree unless the hash collides, which at this
+    scale it does not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substr_spans(docs, min_len=40, min_count=2)
+
+
+def _q_exact_substr_strip(spark, sf_dir):
+    """Rewrite half of TRUE exact-substring dedup: every char inside an
+    exact_substr_spans span removed from every occurrence, survivors
+    re-joined in order via one JVM-side F.aggregate fold over the per-doc
+    sorted span array. Oracle: the spans pipeline + lag()-segment
+    string_agg rebuild in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substr_strip(docs, min_len=40, min_count=2)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return txt.tfidf_topk_terms(docs, k=5)
@@ -3189,6 +3214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "bipartite_projection": _q_bipartite_projection,
         "ngram_dup_coverage": _q_ngram_dup_coverage,
+        "exact_substr_spans": _q_exact_substr_spans,
+        "exact_substr_strip": _q_exact_substr_strip,
         "dedup_strip_spans": _q_dedup_strip_spans,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25,
@@ -4786,6 +4813,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score, CAST(row_number() OVER ("
             "ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM sc "
             "QUALIFY rank <= 20"
+        ),
+        "exact_substr_spans": (
+            # positional 40-char windows over RAW substrings (Spark hashes
+            # them; detection is per-position either way), occurrence
+            # count >= 2, then gaps-and-islands merge of the [pos, pos+40)
+            # windows: new island iff the next start exceeds the previous
+            # start + 40 (all windows are the same length, so the running
+            # max of ends is the previous start + 40). lag() NULL on the
+            # first row -> CASE gives 0, matching Spark's otherwise(0).
+            "WITH g AS (SELECT doc_id, "
+            "unnest(range(1, length(text) - 40 + 2))::BIGINT AS pos, "
+            "substr(text, unnest(range(1, length(text) - 40 + 2))::INT, 40) "
+            "AS gram FROM documents WHERE length(text) >= 40), "
+            "freq AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(*) >= 2), "
+            "dup AS (SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)), "
+            "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40 "
+            "THEN 1 ELSE 0 END AS b FROM dup), "
+            "isl AS (SELECT doc_id, pos, sum(b) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+            "AS i FROM brk) "
+            "SELECT doc_id, min(pos) AS span_start, "
+            "max(pos) + 40 AS span_end FROM isl GROUP BY doc_id, i"
+        ),
+        "exact_substr_strip": (
+            # spans pipeline above, then per-doc segment rebuild: each
+            # span appends the gap [prev_end, start) via lag(e) (default
+            # 1), ordered string_agg joins the gaps, and the tail past
+            # max(e) closes the doc. Docs with no spans pass through via
+            # the LEFT JOIN + COALESCE.
+            "WITH g AS (SELECT doc_id, "
+            "unnest(range(1, length(text) - 40 + 2))::BIGINT AS pos, "
+            "substr(text, unnest(range(1, length(text) - 40 + 2))::INT, 40) "
+            "AS gram FROM documents WHERE length(text) >= 40), "
+            "freq AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(*) >= 2), "
+            "dup AS (SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)), "
+            "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40 "
+            "THEN 1 ELSE 0 END AS b FROM dup), "
+            "isl AS (SELECT doc_id, pos, sum(b) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+            "AS i FROM brk), "
+            "spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 40 AS e "
+            "FROM isl GROUP BY doc_id, i), "
+            "seg AS (SELECT doc_id, s, e, COALESCE(lag(e) OVER "
+            "(PARTITION BY doc_id ORDER BY s), 1) AS ps FROM spans), "
+            "rebuilt AS (SELECT d.doc_id, "
+            "string_agg(substr(d.text, seg.ps::INT, (seg.s - seg.ps)::INT), "
+            "'' ORDER BY seg.s) || substr(d.text, max(seg.e)::INT) "
+            "AS text_clean FROM documents d JOIN seg USING (doc_id) "
+            "GROUP BY d.doc_id, d.text) "
+            "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+            "CAST(length(COALESCE(r.text_clean, d.text)) AS BIGINT) "
+            "AS n_kept, COALESCE(r.text_clean, d.text) AS text_clean "
+            "FROM documents d LEFT JOIN rebuilt r USING (doc_id)"
         ),
         "ngram_dup_coverage": (
             # positional (not distinct) 3-grams; dup = gram seen in >= 2

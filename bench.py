@@ -247,6 +247,20 @@ def _bench_scale_tfidf(spark, sf_dir):
     return text.tfidf_topk_terms(docs, k=5)
 
 
+def _bench_scale_exactsubstr(spark, sf_dir):
+    # char-exact duplicate-span detection over the 200k corpus (~50M
+    # window positions, ~250 chars/doc): one skewed-but-splittable
+    # occurrence count + a dup-position semi join + per-doc island merge.
+    # The planted 20k content-shared triples make ~40% of docs carry
+    # full-width spans, so the dup side is NOT sparse — this measures the
+    # worst practical shape (boilerplate-heavy corpus), not a no-op scan.
+    from graphframes_rs_spark.pipeline import dedup as _dd
+
+    _prepare_scale_docs(spark)
+    docs = spark.read.parquet(_scale_docs_path[0])
+    return _dd.exact_substr_spans(docs, min_len=60, min_count=2)
+
+
 def _bench_scale_dsir(spark, sf_dir):
     # DSIR importance weights over the 200k synthetic corpus (50-word
     # docs -> ~20M gram occurrences). The corpus has no source column;
@@ -792,6 +806,9 @@ BENCH_QUERIES = {
     # all-corpus text op (bm25_search is query-filtered and ~2x lighter
     # at the same n). ~6.4s quiet-box, measured 2026-08-16
     "scale_tfidf_200k": _bench_scale_tfidf,
+    # char-exact ExactSubstr spans over the same corpus: ~50M hashed
+    # window positions through one count + semi join + island merge
+    "scale_exactsubstr_200k": _bench_scale_exactsubstr,
     "scale_dsir_200k": _bench_scale_dsir,
     # similarity scale proof: IVF over 100x the sf0.1 embeddings (8x
     # faster than exact at recall 0.93 — see SCALE_EMB)

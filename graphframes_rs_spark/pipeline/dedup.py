@@ -971,6 +971,265 @@ def strip_duplicated_spans(
     )
 
 
+def _rolling_gram_rows(text_col: str, L: int):
+    """mapInPandas generator factory: (doc_id, pos, gram) rows where gram
+    is a 64-bit polynomial rolling hash of the L chars starting at pos
+    (1-based), computed in O(|doc|) per document — the Rabin-Karp
+    formulation of a suffix scan. Char-exact (UTF-32 code units, so
+    positions agree with the JVM substring hasher on any input, not just
+    ASCII). All arithmetic is uint64 wraparound, i.e. mod 2^64; the base
+    is odd so it is invertible mod 2^64 and the prefix-sum trick below is
+    exact:
+        h(i) = sum_k c[i+k] * B^(L-1-k)
+             = B^(L-1+i) * (S(i+L) - S(i)),  S(j) = sum_{t<j} c[t] * B^-t
+    which vectorizes to two cumulative passes — no per-position Python."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(0x100000001B3)  # FNV prime, odd => invertible mod 2^64
+    BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+    def gen(batches):
+        with np.errstate(over="ignore"):
+            for pdf in batches:
+                out_ids, out_pos, out_h = [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                    if text is None:
+                        continue
+                    c = np.frombuffer(
+                        text.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.uint64)
+                    n = len(c)
+                    if n < L:
+                        continue
+                    m = n - L + 1
+                    # binv_pows[j] = B^-j ; S[j] = sum_{t<j} c[t] B^-t
+                    binv_pows = np.empty(n + 1, dtype=np.uint64)
+                    binv_pows[0] = np.uint64(1)
+                    np.multiply.accumulate(
+                        np.full(n, BINV, dtype=np.uint64), out=binv_pows[1:]
+                    )
+                    S = np.zeros(n + 1, dtype=np.uint64)
+                    np.add.accumulate(c * binv_pows[:n], out=S[1:])
+                    # b_pows[i] = B^(L-1+i) for i in [0, m)
+                    b_pows = np.full(m, B, dtype=np.uint64)
+                    b_pows[0] = np.uint64(pow(0x100000001B3, L - 1, 1 << 64))
+                    np.multiply.accumulate(b_pows, out=b_pows)
+                    h = b_pows * (S[L : n + 1] - S[:m])
+                    out_ids.append(np.full(m, doc_id, dtype=np.int64))
+                    out_pos.append(np.arange(1, m + 1, dtype=np.int64))
+                    out_h.append(h.astype(np.int64))
+                if out_ids:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_ids),
+                            "pos": np.concatenate(out_pos),
+                            "gram": np.concatenate(out_h),
+                        }
+                    )
+
+    return gen
+
+
+def _merge_covered_spans(dup_positions: DataFrame, L: int) -> DataFrame:
+    """[doc_id, span_start, span_end): maximal merged intervals of the
+    length-L windows starting at ``dup_positions.pos`` (1-based). Classic
+    gaps-and-islands over a per-doc window — every window interval has
+    the same length, so the running max of interval ends is just the
+    previous start + L and one lag() suffices. The window partitions by
+    doc_id: per-key work is bounded by document length, never
+    corpus-global (same per-doc bound every text operator here relies
+    on)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dup_positions.withColumn(
+            "__brk",
+            F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__brk").over(cum))
+        .groupBy("doc_id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def exact_substr_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 50,
+    min_count: int = 2,
+    count_docs: bool = False,
+    hasher: str = "gram",
+) -> DataFrame:
+    """[doc_id, span_start, span_end): maximal character spans covered by
+    a VERBATIM substring of length >= ``min_len`` occurring at least
+    ``min_count`` times corpus-wide — TRUE exact-substring duplicate-span
+    detection (Lee et al. 2022, arXiv:2107.06499 "ExactSubstr"), the
+    precise counterpart of :func:`duplicated_ngram_coverage`'s estimate.
+    Offsets are 1-based chars, end-exclusive.
+
+    EXACTNESS (why this equals a suffix-array scan without building one):
+    Lee et al. find duplicated spans with a suffix array over the
+    concatenated corpus. This operator instead counts every position's
+    length-``min_len`` window ("L-gram"). The two are equivalent by a
+    window lemma: (<=) any duplicated substring s with |s| >= L occurs
+    twice, hence every L-window inside s occurs >= 2 times, and every
+    char of s lies in such a window (clamp the window to s's bounds);
+    (>=) a duplicated L-window IS a duplicated substring of length
+    exactly L. So the union of [i, i+L) over duplicated-window starts i
+    equals the union of all duplicated substrings of length >= L —
+    char-for-char what the suffix-array tool reports at threshold L.
+    Windows are compared by 64-bit hash, the one approximation left: a
+    collision marks a span spuriously with probability ~(positions^2)/2^65
+    (even at 10^12 corpus positions that is ~a handful of 50-char spans
+    corpus-wide, each wrong by <= L chars — negligible against the data).
+
+    CONTRAST with the positional-n-gram pair (duplicated_ngram_coverage /
+    strip_duplicated_spans): those operate on WORD n-grams with per-gram
+    DOC frequency — token-granular spans, same-document repeats invisible
+    (a doc repeating its own boilerplate twice contributes doc_freq 1),
+    and a span boundary can only sit between words. This operator is
+    char-granular, counts OCCURRENCES by default (``count_docs=False``;
+    a same-doc verbatim repeat of >= min_len chars IS a duplicate — Lee's
+    semantics), and marks partial-word overlaps the word grams miss
+    ("…dog. The quick…" vs "…dog, the quick…" shares a 40-char suffix
+    run). Pass ``count_docs=True`` for the cross-document-only policy.
+
+    SCALE SHAPE: never a global sort of all suffixes (the thing that
+    makes naive distributed suffix arrays a 100-TB non-starter — a
+    corpus-wide sort of |corpus| variable-length keys). Three keyed
+    shuffles, all map-side combinable: the per-hash occurrence count
+    (skewed hot grams are a splittable AQE aggregate, never a pair
+    explosion), the dup-position semi join, and the per-doc island merge
+    (window partitioned by doc_id — per-key work bounded by doc length).
+    ``hasher="gram"`` (default) hashes each window JVM-side
+    (xxhash64(substr)) inside whole-stage codegen — O(n*L) char reads
+    but zero Python and nothing wider than 16 bytes ever shuffles.
+    ``hasher="rolling"`` computes the same positions with an O(n)
+    numpy polynomial rolling hash over Arrow batches (mapInPandas) —
+    the Rabin-Karp suffix scan — for large ``min_len`` where the L-fold
+    read amplification dominates; both hashers produce identical spans
+    (hash family differs, detection is per-position either way).
+    """
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    if hasher not in ("gram", "rolling"):
+        raise ValueError(f"unknown hasher {hasher!r}: use 'gram' or 'rolling'")
+    L = min_len
+    if hasher == "rolling":
+        grams = docs.select("doc_id", text_col).mapInPandas(
+            _rolling_gram_rows(text_col, L),
+            schema="doc_id long, pos long, gram long",
+        )
+    else:
+        n_chars = F.length(F.col(text_col))
+        starts = F.when(
+            n_chars >= L, F.sequence(F.lit(1), n_chars - L + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(L))),
+                )
+            ).alias("__p0", "gram"),
+        ).select("doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), "gram")
+
+    if count_docs:
+        freq = (
+            grams.select("gram", "doc_id")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+        )
+    else:
+        freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__occ"))
+    dup = grams.join(
+        freq.where(F.col("__occ") >= min_count).select("gram"), "gram"
+    ).select("doc_id", "pos")
+    return _merge_covered_spans(dup, L)
+
+
+def exact_substr_strip(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 50,
+    min_count: int = 2,
+    count_docs: bool = False,
+    hasher: str = "gram",
+) -> DataFrame:
+    """[doc_id, n_chars, n_kept, text_clean]: the REWRITE half of true
+    exact-substring dedup — every character inside a
+    :func:`exact_substr_spans` span is removed from EVERY occurrence
+    (Lee et al.'s released tool does the same: no keep-one-canonical
+    carve-out; compose with :func:`dedup_keep_best` for survivor
+    selection), and the surviving segments are re-joined in order.
+    Char-exact counterpart of :func:`strip_duplicated_spans` (which cuts
+    word-gram spans at word boundaries and never sees same-doc repeats —
+    see the exact_substr_spans docstring for the full contrast).
+
+    The rebuild is one JVM-side fold: spans arrive per doc as a sorted
+    array (bounded by doc length) and ``F.aggregate`` walks them once,
+    concatenating the gap substrings — no Python, no second explode."""
+    spans = exact_substr_spans(
+        docs,
+        text_col=text_col,
+        min_len=min_len,
+        min_count=min_count,
+        count_docs=count_docs,
+        hasher=hasher,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    n_chars = F.length(F.col(text_col))
+    # fold: acc = (cursor, text-so-far); each span appends [cursor, start)
+    # and advances the cursor past the span; finish appends the tail
+    rebuilt = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(1).cast("long").alias("cur"), F.lit("").alias("acc")
+        ),
+        lambda acc, s: F.struct(
+            s["span_end"].alias("cur"),
+            F.concat(
+                acc["acc"],
+                F.col(text_col).substr(
+                    acc["cur"], s["span_start"] - acc["cur"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.col(text_col).substr(
+                acc["cur"], n_chars - acc["cur"] + 1
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", text_col)
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_chars.cast("long").alias("n_chars"),
+            F.when(F.col("__spans").isNull(), F.col(text_col))
+            .otherwise(rebuilt)
+            .alias("text_clean"),
+        )
+        .withColumn("n_kept", F.length("text_clean").cast("long"))
+        .select("doc_id", "n_chars", "n_kept", "text_clean")
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",

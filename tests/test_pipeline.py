@@ -900,6 +900,101 @@ def test_strip_duplicated_spans_hand_computed(spark):
     assert out[5]["n_tokens"] == 2
 
 
+def test_exact_substr_spans_closed_form(spark):
+    """True exact-substring spans (Lee et al. ExactSubstr): a planted
+    verbatim 30-char overlap between two docs yields the closed-form
+    maximal span (including the shared flanking spaces), a same-doc
+    24-char verbatim repeat is detected (occurrence counting — invisible
+    to the word-gram doc-freq estimate), and a unique doc emits nothing."""
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 chars
+    rep = "xy" * 12                             # 24 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "cccc " + shared + " dddd"),
+            (3, rep + "-----" + rep),
+            (4, "totally unique content here with nothing repeated at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.exact_substr_spans(docs, min_len=20).collect()
+    )
+    # shared run incl. both flanking spaces: chars 5..36 -> [5, 37)
+    assert spans == [(1, 5, 37), (2, 5, 37), (3, 1, 25), (3, 30, 54)]
+    # the hashers are interchangeable: same spans from the O(n) rolling
+    # Rabin-Karp scan as from the JVM substring hasher
+    rolling = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.exact_substr_spans(
+            docs, min_len=20, hasher="rolling"
+        ).collect()
+    )
+    assert rolling == spans
+    # count_docs=True restores the cross-document-only policy: the
+    # same-doc repeat in doc 3 disappears, the cross-doc overlap stays
+    cross = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.exact_substr_spans(
+            docs, min_len=20, count_docs=True
+        ).collect()
+    )
+    assert cross == [(1, 5, 37), (2, 5, 37)]
+
+
+def test_exact_substr_strip_vs_word_gram_strip(spark):
+    """Contract comparison on a planted corpus (the docstring's contrast,
+    executed): on word-aligned duplication the char-exact strip and the
+    word-gram strip agree on surviving CONTENT; on a same-doc verbatim
+    repeat only the char-exact operator cuts (word-gram doc-freq sees
+    doc_freq 1 and keeps it)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta"),
+            # period-9 self-repetition: every 17-char window recurs 9
+            # chars later, so min_len=17 covers the whole doc
+            (3, "selfsame selfsame selfsame selfsame"),
+        ],
+        "doc_id long, text string",
+    )
+    # cross-doc duplication: "alpha ... zeta" (35 chars >= 17)
+    char_out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substr_strip(docs, min_len=17).collect()
+    }
+    word_out = {
+        r["doc_id"]: r
+        for r in dedup.strip_duplicated_spans(docs, n=5).collect()
+    }
+    # doc 1 is fully covered by the shared run under both contracts
+    assert char_out[1]["n_kept"] == 0
+    assert word_out[1]["n_kept"] == 0
+    # doc 2 keeps its unique prefix under both (modulo the word/char
+    # accounting: 2 words vs their chars + the boundary space)
+    assert word_out[2]["text_clean"] == "prefix words"
+    assert char_out[2]["text_clean"].startswith("prefix words")
+    # doc 3's SAME-DOC repeat: invisible to the word-gram doc-freq
+    # estimate, cut by the occurrence-counting exact operator
+    assert word_out[3]["n_kept"] == 4  # untouched
+    assert char_out[3]["n_kept"] < char_out[3]["n_chars"]
+
+
+def test_exact_substr_spans_short_and_null_docs(spark):
+    """Docs shorter than min_len emit no grams (sequence() never counts
+    down) and NULL text is skipped by both hashers."""
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, None)],
+        "doc_id long, text string",
+    )
+    for hasher in ("gram", "rolling"):
+        assert (
+            dedup.exact_substr_spans(docs, min_len=10, hasher=hasher).count()
+            == 0
+        )
+
+
 def test_temperature_mixture_weights_hand_computed(spark):
     """tau=0.5 square-root flattening: a 4x token imbalance becomes a 2x
     target share ratio; epochs realize the budget exactly."""
