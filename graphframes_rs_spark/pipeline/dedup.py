@@ -293,6 +293,63 @@ def dedup_against_index(
     )
 
 
+def embedding_dedup_against_index(
+    new_embeddings: DataFrame,
+    index,
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    skip_same_id: bool = False,
+) -> DataFrame:
+    """[new_id, index_id, cosine]: NEW embeddings near-duplicating an
+    EXISTING corpus via a prebuilt :class:`similarity.IVFIndex` — the
+    embedding-space twin of :func:`dedup_against_index` (same incremental
+    contract: only new x index, never new x new or index x index; the
+    KMeans fit and the corpus assignment were paid ONCE at
+    ``similarity.ivf_index`` time and amortize across every batch, like
+    the precomputed MinHash signature table there).
+
+    Each new vector probes its ``nprobe`` nearest cells; candidates are
+    the index vectors HOME-assigned to a probed cell (one equi-join on
+    list_id with the small exploded batch broadcast); survivors are
+    re-scored with the exact sequential-fold cosine — approximate
+    candidate generation, exact emitted scores, the ANN-family contract.
+
+    Same-id policy mirrors :func:`dedup_against_index`: a shared id is an
+    ordinary cross-frame comparison of the two actual vectors (the
+    re-ingestion signal with stable ids); pass ``skip_same_id=True`` to
+    drop shared-id pairs instead."""
+    from graphframes_rs_spark.pipeline import similarity as _sim
+
+    q = new_embeddings.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_n = min(nprobe, index.nlist)
+    probed = q.select(
+        "new_id",
+        "qv",
+        F.explode(
+            _sim._probe_centers_udf(index.centers, probe_n)(F.col("qv"))
+        ).alias("list_id"),
+    )
+    listed = index.assigned.select(
+        F.col("id").alias("index_id"), F.col("vec").alias("nv"), "list_id"
+    )
+    cands = listed.join(F.broadcast(probed), "list_id")
+    if skip_same_id:
+        cands = cands.filter(F.col("new_id") != F.col("index_id"))
+    # no distinct(): each index vector is HOME-assigned to exactly one
+    # cell, so a (new, index) pair can only surface once — adding one
+    # would be a pure extra shuffle at corpus scale
+    return cands.select(
+        "new_id",
+        "index_id",
+        F.round(_sim.cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -263,6 +263,195 @@ def _ivf_fit_centers(
     return np.stack([np.asarray(c) for c in model.clusterCenters()])
 
 
+def _nearest_center_udf(centers: np.ndarray):
+    """pandas UDF: home cell id (argmin distance) per vector. BLAS form:
+    argmin of ||c||^2 - 2<x,c> — the ||x||^2 term is constant per row and
+    cannot change the order — one (batch x nlist) matmul per Arrow batch
+    instead of a (batch x nlist x dim) difference tensor."""
+    from pyspark.sql.functions import pandas_udf
+
+    _center_sq = (centers * centers).sum(axis=1)[None, :]
+
+    @pandas_udf("int")
+    def nearest_center(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        d2 = _center_sq - 2.0 * (x @ centers.T)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return nearest_center
+
+
+def _probe_centers_udf(centers: np.ndarray, probe_n: int):
+    """pandas UDF: the probe_n nearest cell ids per vector (element 0 is
+    the home cell), same BLAS trick as :func:`_nearest_center_udf`."""
+    from pyspark.sql.functions import pandas_udf
+
+    _center_sq = (centers * centers).sum(axis=1)[None, :]
+
+    @pandas_udf("array<int>")
+    def probe_centers(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        d2 = _center_sq - 2.0 * (x @ centers.T)
+        idx = np.argsort(d2, axis=1)[:, :probe_n].astype("int32")
+        return pd.Series(list(idx))
+
+    return probe_centers
+
+
+class IVFIndex:
+    """A reusable IVF index: driver-resident coarse-quantizer centroids +
+    the cell-assigned base table. Splitting :func:`ivf_topk` into
+    :func:`ivf_index` (fit + assign once) and :func:`ivf_search` (probe a
+    prebuilt index) makes repeated-query ANN and incremental-ingestion
+    embedding dedup pay the KMeans fit and the base assignment ONCE — the
+    embedding-side mirror of ``dedup.dedup_against_index``'s
+    precompute-the-index-signatures contract (pipeline/dedup.py).
+
+    ``assigned`` holds normalized columns ``[id, vec, list_id]`` (original
+    names recorded for provenance). It is LAZY by default — pass
+    ``checkpoint_dir`` to :func:`ivf_index` to materialize it as parquet
+    (reliable across executor loss, reusable across jobs), or call
+    :meth:`save` / :func:`ivf_index_load` for full cross-session reuse."""
+
+    def __init__(
+        self,
+        centers: np.ndarray,
+        assigned: DataFrame,
+        nlist: int,
+        seed: int,
+        id_col: str,
+        vec_col: str,
+    ):
+        self.centers = centers
+        self.assigned = assigned
+        self.nlist = nlist
+        self.seed = seed
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def save(self, path: str) -> None:
+        """Persist the index under ``path`` (parquet: ``assigned/`` +
+        ``centers/`` with one row per centroid). Reload with
+        :func:`ivf_index_load`."""
+        spark = self.assigned.sparkSession
+        self.assigned.write.mode("overwrite").parquet(path + "/assigned")
+        rows = [
+            (int(i), [float(x) for x in c], int(self.nlist), int(self.seed))
+            for i, c in enumerate(self.centers)
+        ]
+        spark.createDataFrame(
+            rows, "list_id int, center array<double>, nlist int, seed int"
+        ).write.mode("overwrite").parquet(path + "/centers")
+
+
+def ivf_index_load(spark, path: str) -> "IVFIndex":
+    """Reload an :meth:`IVFIndex.save`'d index: centroids are collected
+    driver-side (nlist rows — tiny by construction), the assignment scan
+    stays lazy parquet."""
+    cdf = spark.read.parquet(path + "/centers").orderBy("list_id")
+    rows = cdf.collect()
+    centers = np.stack([np.asarray(r["center"]) for r in rows])
+    assigned = spark.read.parquet(path + "/assigned")
+    return IVFIndex(
+        centers, assigned, int(rows[0]["nlist"]), int(rows[0]["seed"]),
+        "id", "vec",
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    fit_points: int = 100,
+    checkpoint_dir: str | None = None,
+    phase_stats: list | None = None,
+    pins: list | None = None,
+) -> IVFIndex:
+    """Fit ``nlist`` coarse-quantizer centroids (sample-bounded seeded
+    KMeans — see :func:`_ivf_fit_centers`) and assign every base vector
+    to its home cell. The result feeds any number of
+    :func:`ivf_search` / ``dedup.embedding_dedup_against_index`` calls
+    without re-fitting or re-assigning.
+
+    ``checkpoint_dir``: materialize the assignment as parquet there and
+    read it back — the index survives recomputation (lineage is cut) and
+    executor loss; without it the assignment stays a lazy plan (each
+    search recomputes it unless the caller persists).
+    ``phase_stats`` / ``pins``: the (phase, rows, seconds) evidence +
+    caller-owned-release contract shared with :func:`ivf_topk`."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    t0 = time.monotonic()
+    centers = _ivf_fit_centers(base, "id", "vec", nlist, seed, fit_points)
+    if phase_stats is not None:
+        phase_stats.append(
+            ("fit", max(fit_points * nlist, 1), round(time.monotonic() - t0, 2))
+        )
+    assigned = base.withColumn(
+        "list_id", _nearest_center_udf(centers)(F.col("vec"))
+    )
+    if checkpoint_dir is not None:
+        assigned.write.mode("overwrite").parquet(checkpoint_dir + "/assigned")
+        assigned = embeddings.sparkSession.read.parquet(
+            checkpoint_dir + "/assigned"
+        )
+    elif phase_stats is not None:
+        assigned = _instrument_persist(assigned, "assign", phase_stats, pins)
+    return IVFIndex(centers, assigned, nlist, seed, id_col, vec_col)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """[query_id, neighbor_id, cosine, rank]: probe a prebuilt
+    :class:`IVFIndex` — each query scans only its ``nprobe`` nearest
+    cells, exact cosine + top-k on that fraction. Identical results to
+    the one-shot :func:`ivf_topk` at equal dials (equality-pinned in
+    tests); the fit/assign cost is wherever :func:`ivf_index` paid it.
+
+    Scale shape: the probed query table is exploded to (query, cell) rows
+    and BROADCAST against the cell-partitioned assignment — one equi-join
+    on list_id, no shuffle of the base side beyond the join itself."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_n = min(nprobe, index.nlist)
+    probed = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            _probe_centers_udf(index.centers, probe_n)(F.col("qv"))
+        ).alias("list_id"),
+    )
+    listed = index.assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("nv"), "list_id"
+    )
+    cands = listed.join(F.broadcast(probed), "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -301,62 +490,23 @@ def ivf_topk(
     once, released by the caller afterwards; without it the handle is
     unpersisted right after the count (no memory pin outlives the call,
     the returned lazy plan recomputes the assignment).
-    """
-    from pyspark.sql.functions import pandas_udf
 
-    base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("nv"),
+    One-shot form of the :func:`ivf_index` + :func:`ivf_search` split —
+    literally that composition (equality is structural, not tested-only);
+    callers issuing repeated query batches over one corpus should build
+    the index once instead."""
+    idx = ivf_index(
+        embeddings,
+        nlist=nlist,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        phase_stats=phase_stats,
+        pins=pins,
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    return ivf_search(
+        idx, queries, k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col
     )
-
-    t0 = time.monotonic()
-    centers = _ivf_fit_centers(base, "neighbor_id", "nv", nlist, seed)
-    if phase_stats is not None:
-        phase_stats.append(
-            ("fit", max(100 * nlist, 1), round(time.monotonic() - t0, 2))
-        )
-
-    # BLAS-form nearest-centroid: argmin/argsort of ||c||^2 - 2<x,c>
-    # (the ||x||^2 term is constant per row and cannot change the order)
-    # — one (batch x nlist) matmul per Arrow batch instead of a
-    # (batch x nlist x dim) difference tensor; same argmin, ~5x less
-    # memory traffic at nlist=64
-    _center_sq = (centers * centers).sum(axis=1)[None, :]
-
-    @pandas_udf("int")
-    def nearest_center(v: pd.Series) -> pd.Series:
-        x = np.stack(v.to_numpy())
-        d2 = _center_sq - 2.0 * (x @ centers.T)
-        return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-    probe_n = min(nprobe, nlist)
-
-    @pandas_udf("array<int>")
-    def probe_centers(v: pd.Series) -> pd.Series:
-        x = np.stack(v.to_numpy())
-        d2 = _center_sq - 2.0 * (x @ centers.T)
-        idx = np.argsort(d2, axis=1)[:, :probe_n].astype("int32")
-        return pd.Series(list(idx))
-
-    listed = base.withColumn("list_id", nearest_center(F.col("nv")))
-    if phase_stats is not None:
-        listed = _instrument_persist(listed, "assign", phase_stats, pins)
-    probed = q.select(
-        "query_id", "qv", F.explode(probe_centers(F.col("qv"))).alias("list_id")
-    )
-    cands = listed.join(F.broadcast(probed), "list_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_cosine_candidates(

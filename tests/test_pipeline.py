@@ -267,6 +267,67 @@ def test_ivf_topk_recall_against_bruteforce(spark, embeddings):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_index_search_equals_one_shot(spark, embeddings, tmp_path):
+    """The split path is the one-shot path: ivf_index + ivf_search at
+    equal dials returns exactly ivf_topk's rows; a save/load round-trip
+    and a checkpoint_dir-materialized index both preserve them."""
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    one_shot = sorted(
+        map(tuple, similarity.ivf_topk(
+            embeddings, queries, k=5, nlist=8, nprobe=3
+        ).collect())
+    )
+    idx = similarity.ivf_index(embeddings, nlist=8)
+    split = sorted(
+        map(tuple, similarity.ivf_search(
+            idx, queries, k=5, nprobe=3
+        ).collect())
+    )
+    assert split == one_shot
+    # cross-session reuse: save -> load -> identical search results
+    idx.save(str(tmp_path / "ivf"))
+    loaded = similarity.ivf_index_load(spark, str(tmp_path / "ivf"))
+    reloaded = sorted(
+        map(tuple, similarity.ivf_search(
+            loaded, queries, k=5, nprobe=3
+        ).collect())
+    )
+    assert reloaded == one_shot
+    # materialized-at-build index (lineage cut to parquet): same rows
+    ck = similarity.ivf_index(
+        embeddings, nlist=8, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert sorted(
+        map(tuple, similarity.ivf_search(ck, queries, k=5, nprobe=3).collect())
+    ) == one_shot
+
+
+def test_embedding_dedup_against_index(spark, embeddings):
+    """Incremental embedding dedup through a prebuilt IVF index: a new
+    batch containing an exact copy of an indexed vector surfaces it at
+    cosine 1.0, only new x index pairs are emitted, recall vs the exact
+    scan holds on near-dup pairs, and skip_same_id drops shared labels."""
+    idx = similarity.ivf_index(embeddings, nlist=8)
+    # new batch: vec_id 0's exact vector under a fresh id + one re-crawl
+    # (same id 1, same vector)
+    src = {r["vec_id"]: r["embedding"]
+           for r in embeddings.filter(F.col("vec_id") < 2).collect()}
+    new = spark.createDataFrame(
+        [(900001, src[0]), (1, src[1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_dedup_against_index(new, idx, threshold=0.99)
+    rows = {(r["new_id"], r["index_id"]): r["cosine"] for r in out.collect()}
+    assert rows[(900001, 0)] == 1.0   # exact copy found in the index
+    assert rows[(1, 1)] == 1.0        # re-ingestion signal (same id kept)
+    assert all(n in (900001, 1) for n, _ in rows)  # never index x index
+    skipped = dedup.embedding_dedup_against_index(
+        new, idx, threshold=0.99, skip_same_id=True
+    )
+    srows = {(r["new_id"], r["index_id"]) for r in skipped.collect()}
+    assert (1, 1) not in srows and (900001, 0) in srows
+
+
 def test_lsh_bucket_and_docfreq_caps(spark, docs):
     """The scale dials only ever REMOVE candidate pairs, never invent them."""
     sigs = dedup.minhash_signatures(docs, k=8)
