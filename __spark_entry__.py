@@ -1309,6 +1309,26 @@ def _q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_near_duplicates(emb, threshold=NEARDUP_COS_T)
 
 
+def _q_embedding_dedup_incr(spark, sf_dir):
+    """Incremental embedding-ingestion dedup through a PREBUILT IVF index
+    (similarity.ivf_index + dedup.embedding_dedup_against_index): the
+    corpus is split by vec_id % 5 into an existing index (!= 0) and a new
+    batch (== 0); only new x index pairs are emitted, exact-cosine
+    rescored. Full-probe dials (nprobe = nlist) make the candidate set
+    provably exhaustive, so this entry pins the CONTRACT (pair policy +
+    exact rescore + index reuse) — the approximation dials are exercised
+    by the recall-gated pytests and the bench's 200k recall column."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    index_side = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = similarity.ivf_index(index_side, nlist=4)
+    return dedup.embedding_dedup_against_index(
+        batch, idx, threshold=NEARDUP_COS_T, nprobe=4
+    )
+
+
 def _q_embedding_neardup_ivf(spark, sf_dir):
     """[id_a, id_b, recall_ok] — the IVF-cell-bounded near-dup candidate
     path (similarity.ivf_cosine_candidates) gated against the exact pair
@@ -3321,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": _q_decontaminate_semantic,
         "stratified_sample": _q_stratified_sample,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_dedup_incr": _q_embedding_dedup_incr,
         "embedding_neardup_ivf": _q_embedding_neardup_ivf,
         "ann_topk": _q_ann_topk,
         "ann_topk_scan": _q_ann_topk_scan,
@@ -5196,6 +5217,19 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "
             f"s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine "
             "FROM e a JOIN e b ON a.id < b.id) "
+            f"SELECT * FROM s WHERE cosine >= {NEARDUP_COS_T}"
+        ),
+        "embedding_dedup_incr": (
+            # exact closed form of the full-probe incremental path: every
+            # (batch, index) cross pair over the vec_id % 5 split, fold
+            # cosine, threshold — no candidate pruning to mirror because
+            # nprobe = nlist makes the Spark side exhaustive
+            "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "a AS (SELECT id, v FROM e WHERE id % 5 = 0), "
+            "b AS (SELECT id, v FROM e WHERE id % 5 <> 0), "
+            f"s AS (SELECT a.id AS new_id, b.id AS index_id, "
+            f"round({cos_ab}, 6) AS cosine FROM a JOIN b ON true) "
             f"SELECT * FROM s WHERE cosine >= {NEARDUP_COS_T}"
         ),
         "embedding_neardup_ivf": (
