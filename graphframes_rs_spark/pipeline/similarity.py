@@ -522,6 +522,7 @@ def ivf_cosine_candidates(
     fit_points: int = 100,
     phase_stats: list | None = None,
     pins: list | None = None,
+    index: "IVFIndex | None" = None,
 ) -> DataFrame:
     """[id_a, id_b] (id_a < id_b) candidate pairs with BLAS cosine >=
     threshold - slack, generated only inside IVF cells — the sub-quadratic
@@ -572,13 +573,24 @@ def ivf_cosine_candidates(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     )
-    t0 = time.monotonic()
-    centers = _ivf_fit_centers(base, "id", "nv", nlist, seed, fit_points)
+    if index is not None:
+        # prebuilt-quantizer reuse (repeated dedup passes over a growing
+        # corpus): skip the KMeans fit; postings are still computed here —
+        # probe sets depend on the CURRENT frame's vectors, only the cell
+        # geometry is reusable. nlist follows the index.
+        centers = index.centers
+        nlist = index.nlist
+        if phase_stats is not None:
+            phase_stats.append(("fit", 0, 0.0))
+    else:
+        t0 = time.monotonic()
+        centers = _ivf_fit_centers(base, "id", "nv", nlist, seed, fit_points)
+        if phase_stats is not None:
+            phase_stats.append(
+                ("fit", max(fit_points * nlist, 1),
+                 round(time.monotonic() - t0, 2))
+            )
     _center_sq = (centers * centers).sum(axis=1)[None, :]  # (1, nlist)
-    if phase_stats is not None:
-        phase_stats.append(
-            ("fit", max(fit_points * nlist, 1), round(time.monotonic() - t0, 2))
-        )
 
     probe_n = min(nprobe, nlist)
 

@@ -302,6 +302,32 @@ def test_ivf_index_search_equals_one_shot(spark, embeddings, tmp_path):
     ) == one_shot
 
 
+def test_ivf_cosine_candidates_prebuilt_index(spark, embeddings):
+    """index= reuses the prebuilt quantizer: identical candidate pairs to
+    the self-fit path at the same dials (same seed => same centroids),
+    and the phase trail records a zero-cost fit."""
+    from graphframes_rs_spark.pipeline.similarity import (
+        ivf_cosine_candidates, ivf_index,
+    )
+    self_fit = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_cosine_candidates(
+            embeddings, threshold=0.4, nlist=8, nprobe=4
+        ).collect()
+    }
+    idx = ivf_index(embeddings, nlist=8)
+    ph = []
+    reused = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_cosine_candidates(
+            embeddings, threshold=0.4, nlist=8, nprobe=4,
+            index=idx, phase_stats=ph,
+        ).collect()
+    }
+    assert reused == self_fit
+    assert ("fit", 0, 0.0) in ph
+
+
 def test_embedding_dedup_against_index(spark, embeddings):
     """Incremental embedding dedup through a prebuilt IVF index: a new
     batch containing an exact copy of an indexed vector surfaces it at
