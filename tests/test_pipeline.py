@@ -1068,6 +1068,23 @@ def test_exact_substr_strip_vs_word_gram_strip(spark):
     assert char_out[3]["n_kept"] < char_out[3]["n_chars"]
 
 
+def test_exact_substr_hashers_agree_on_real_corpus(spark, docs):
+    """The JVM substring hasher and the numpy rolling hasher produce the
+    same span set on the REAL sf0.01 documents table (planted-corpus
+    equality is necessary but this exercises arbitrary lengths, shared
+    templates, and Arrow batching over 500 docs)."""
+    gram = sorted(
+        map(tuple, dedup.exact_substr_spans(docs, min_len=40).collect())
+    )
+    rolling = sorted(
+        map(tuple, dedup.exact_substr_spans(
+            docs, min_len=40, hasher="rolling"
+        ).collect())
+    )
+    assert gram == rolling
+    assert gram, "sf fixture must contain duplicated 40-char runs"
+
+
 def test_exact_substr_spans_short_and_null_docs(spark):
     """Docs shorter than min_len emit no grams (sequence() never counts
     down) and NULL text is skipped by both hashers."""
