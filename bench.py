@@ -994,12 +994,15 @@ def main():
     # 3 attempts x 90s so a permanently-slower box still produces an
     # artifact, just a flagged one). Evidence rides the detail JSON.
     calib_gate = {"attempts": [dict(calib)]}
+    # ONE load of the previous committed detail, shared by the gate, the
+    # drift warning, and the regression rule / delta print (prev_walls)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")) as f:
-            _prev_shuffle = json.load(f).get("calib", {}).get("shuffle_s")
+            _prev_detail = json.load(f)
     except (OSError, ValueError):
-        _prev_shuffle = None
+        _prev_detail = {}
+    _prev_shuffle = _prev_detail.get("calib", {}).get("shuffle_s")
     gate_attempts = 0
     while (
         _prev_shuffle
@@ -1036,12 +1039,7 @@ def main():
     # tfidf_topk at 20.4s and 24.5s with <0.1s steal, warm standalone
     # 1.4s, while the parquet calib probe sat 40-60% above its quiet-box
     # value — the probes caught what the steal counter could not).
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")) as f:
-            prev_calib = json.load(f).get("calib", {})
-    except (OSError, ValueError):
-        prev_calib = {}
+    prev_calib = _prev_detail.get("calib", {})
     for probe, now_s in calib.items():
         old_s = prev_calib.get(probe)
         if old_s and now_s > 1.25 * old_s:
@@ -1194,14 +1192,9 @@ def main():
     steal_reruns = {}
     regression_reruns = {}
     # previous committed round's walls, for the regression-confirmation
-    # rule below (and re-read at the end for the delta print — this file
-    # is overwritten by the current run's detail, so load before the loop)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")) as f:
-            prev_walls = json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        prev_walls = {}
+    # rule below and the delta print (from the ONE detail load at the
+    # calib gate — the file is overwritten by this run's own detail)
+    prev_walls = _prev_detail.get("queries", {})
     # bounded: on a box that is slow for the WHOLE run, unlimited
     # confirmation reruns would double the bench wall for no new
     # information — after the budget the calib-drift warning is the

@@ -322,22 +322,9 @@ def embedding_dedup_against_index(
     drop shared-id pairs instead."""
     from graphframes_rs_spark.pipeline import similarity as _sim
 
-    q = new_embeddings.select(
-        F.col(id_col).alias("new_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
+    cands = _sim._ivf_probe_candidates(
+        index, new_embeddings, nprobe, vec_col, id_col, "new_id", "index_id"
     )
-    probe_n = min(nprobe, index.nlist)
-    probed = q.select(
-        "new_id",
-        "qv",
-        F.explode(
-            _sim._probe_centers_udf(index.centers, probe_n)(F.col("qv"))
-        ).alias("list_id"),
-    )
-    listed = index.assigned.select(
-        F.col("id").alias("index_id"), F.col("vec").alias("nv"), "list_id"
-    )
-    cands = listed.join(F.broadcast(probed), "list_id")
     if skip_same_id:
         cands = cands.filter(F.col("new_id") != F.col("index_id"))
     # no distinct(): each index vector is HOME-assigned to exactly one
@@ -1142,10 +1129,16 @@ def exact_substr_spans(
     exactly L. So the union of [i, i+L) over duplicated-window starts i
     equals the union of all duplicated substrings of length >= L —
     char-for-char what the suffix-array tool reports at threshold L.
-    Windows are compared by 64-bit hash, the one approximation left: a
-    collision marks a span spuriously with probability ~(positions^2)/2^65
-    (even at 10^12 corpus positions that is ~a handful of 50-char spans
-    corpus-wide, each wrong by <= L chars — negligible against the data).
+    Windows are compared by 64-bit hash, the one approximation left. For
+    the default ``hasher="gram"`` (xxhash64) a collision marks a span
+    spuriously with probability ~(positions^2)/2^65 — even at 10^12
+    corpus positions that is ~a handful of 50-char spans corpus-wide,
+    each wrong by <= L chars, negligible against the data. The
+    ``hasher="rolling"`` polynomial uses a FIXED public base mod 2^64, so
+    the random-collision bound does NOT apply adversarially: inputs
+    crafted so the difference polynomial vanishes at the base (or
+    pathological low-entropy binary patterns) collide deterministically.
+    For hostile or binary-ish corpora keep the default hasher.
 
     CONTRAST with the positional-n-gram pair (duplicated_ngram_coverage /
     strip_duplicated_spans): those operate on WORD n-grams with per-gram

@@ -331,16 +331,20 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         """Persist the index under ``path`` (parquet: ``assigned/`` +
-        ``centers/`` with one row per centroid). Reload with
-        :func:`ivf_index_load`."""
+        ``centers/`` with one row per centroid; the original column names
+        ride the centers rows so provenance survives the round-trip).
+        Reload with :func:`ivf_index_load`."""
         spark = self.assigned.sparkSession
         self.assigned.write.mode("overwrite").parquet(path + "/assigned")
         rows = [
-            (int(i), [float(x) for x in c], int(self.nlist), int(self.seed))
+            (int(i), [float(x) for x in c], int(self.nlist), int(self.seed),
+             self.id_col, self.vec_col)
             for i, c in enumerate(self.centers)
         ]
         spark.createDataFrame(
-            rows, "list_id int, center array<double>, nlist int, seed int"
+            rows,
+            "list_id int, center array<double>, nlist int, seed int, "
+            "id_col string, vec_col string",
         ).write.mode("overwrite").parquet(path + "/centers")
 
 
@@ -354,7 +358,7 @@ def ivf_index_load(spark, path: str) -> "IVFIndex":
     assigned = spark.read.parquet(path + "/assigned")
     return IVFIndex(
         centers, assigned, int(rows[0]["nlist"]), int(rows[0]["seed"]),
-        "id", "vec",
+        rows[0]["id_col"], rows[0]["vec_col"],
     )
 
 
@@ -395,13 +399,54 @@ def ivf_index(
         "list_id", _nearest_center_udf(centers)(F.col("vec"))
     )
     if checkpoint_dir is not None:
+        # the materializing write IS the assignment pass — time it for the
+        # phase trail (parquet metadata count on the read-back is free),
+        # so a checkpointed build still reports both phases
+        t1 = time.monotonic()
         assigned.write.mode("overwrite").parquet(checkpoint_dir + "/assigned")
         assigned = embeddings.sparkSession.read.parquet(
             checkpoint_dir + "/assigned"
         )
+        if phase_stats is not None:
+            phase_stats.append(
+                ("assign", assigned.count(), round(time.monotonic() - t1, 2))
+            )
     elif phase_stats is not None:
         assigned = _instrument_persist(assigned, "assign", phase_stats, pins)
     return IVFIndex(centers, assigned, nlist, seed, id_col, vec_col)
+
+
+def _ivf_probe_candidates(
+    index: IVFIndex,
+    frame: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+    query_alias: str,
+    base_alias: str,
+) -> DataFrame:
+    """[list_id, <base_alias>, nv, <query_alias>, qv]: every (query row,
+    index row) pair whose index row is HOME-assigned to one of the query
+    row's ``nprobe`` nearest cells — the candidate block shared by
+    :func:`ivf_search` and ``dedup.embedding_dedup_against_index`` (one
+    implementation so probe-path fixes can't diverge). The exploded query
+    side is broadcast; one equi-join on list_id."""
+    q = frame.select(
+        F.col(id_col).alias(query_alias),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    probe_n = min(nprobe, index.nlist)
+    probed = q.select(
+        query_alias,
+        "qv",
+        F.explode(
+            _probe_centers_udf(index.centers, probe_n)(F.col("qv"))
+        ).alias("list_id"),
+    )
+    listed = index.assigned.select(
+        F.col("id").alias(base_alias), F.col("vec").alias("nv"), "list_id"
+    )
+    return listed.join(F.broadcast(probed), "list_id")
 
 
 def ivf_search(
@@ -421,24 +466,9 @@ def ivf_search(
     Scale shape: the probed query table is exploded to (query, cell) rows
     and BROADCAST against the cell-partitioned assignment — one equi-join
     on list_id, no shuffle of the base side beyond the join itself."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    probe_n = min(nprobe, index.nlist)
-    probed = q.select(
-        "query_id",
-        "qv",
-        F.explode(
-            _probe_centers_udf(index.centers, probe_n)(F.col("qv"))
-        ).alias("list_id"),
-    )
-    listed = index.assigned.select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("nv"), "list_id"
-    )
-    cands = listed.join(F.broadcast(probed), "list_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    cands = _ivf_probe_candidates(
+        index, queries, nprobe, vec_col, id_col, "query_id", "neighbor_id"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.select(
         "query_id",
         "neighbor_id",

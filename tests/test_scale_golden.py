@@ -16,7 +16,6 @@ overrides the marker filter and runs exactly this file.
 """
 
 import os
-import tempfile
 
 import duckdb
 import pytest
@@ -60,7 +59,9 @@ def spark_big(tmp_path_factory):
 @pytest.mark.scale
 def test_wcc_18m_exact_parity_vs_duckdb_fixpoint(spark_big, tmp_path):
     spark = spark_big
-    base = tempfile.mkdtemp(prefix="gf_scale_gate_")
+    # tmp_path, not mkdtemp: the tier is ~600 MB of parquet and pytest's
+    # fixture retention/cleanup handles it (mkdtemp would accumulate)
+    base = str(tmp_path / "gf_scale_gate")
     src = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(VERTICES))
     dst = F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(VERTICES))
     edges = spark.range(EDGES).select(
