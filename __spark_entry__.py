@@ -1266,6 +1266,19 @@ def _q_exact_substr_spans(spark, sf_dir):
     return dedup.exact_substr_spans(docs, min_len=40, min_count=2)
 
 
+def _q_exact_substr_keepfirst(spark, sf_dir):
+    """keep_first=True exact-substring spans: only NON-FIRST occurrences
+    of each duplicated 40-char window are reported (one canonical copy of
+    every duplicated passage survives corpus-wide). Oracle: at
+    min_count=2 the removal set is exactly the occurrences with
+    row_number > 1 per window content (ordered by doc_id, pos), then the
+    same island merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substr_spans(
+        docs, min_len=40, min_count=2, keep_first=True
+    )
+
+
 def _q_exact_substr_strip(spark, sf_dir):
     """Rewrite half of TRUE exact-substring dedup: every char inside an
     exact_substr_spans span removed from every occurrence, survivors
@@ -3235,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_projection": _q_bipartite_projection,
         "ngram_dup_coverage": _q_ngram_dup_coverage,
         "exact_substr_spans": _q_exact_substr_spans,
+        "exact_substr_keepfirst": _q_exact_substr_keepfirst,
         "exact_substr_strip": _q_exact_substr_strip,
         "dedup_strip_spans": _q_dedup_strip_spans,
         "tfidf_topk": _q_tfidf_topk,
@@ -4850,6 +4864,26 @@ def oracle_sql() -> dict[str, str]:
             "freq AS (SELECT gram FROM g GROUP BY gram "
             "HAVING count(*) >= 2), "
             "dup AS (SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)), "
+            "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40 "
+            "THEN 1 ELSE 0 END AS b FROM dup), "
+            "isl AS (SELECT doc_id, pos, sum(b) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+            "AS i FROM brk) "
+            "SELECT doc_id, min(pos) AS span_start, "
+            "max(pos) + 40 AS span_end FROM isl GROUP BY doc_id, i"
+        ),
+        "exact_substr_keepfirst": (
+            # at min_count=2, the keep-first removal set == occurrences
+            # ranked >1 per window content (ordered doc_id, pos); same
+            # windows + island merge as exact_substr_spans
+            "WITH g AS (SELECT doc_id, "
+            "unnest(range(1, length(text) - 40 + 2))::BIGINT AS pos, "
+            "substr(text, unnest(range(1, length(text) - 40 + 2))::INT, 40) "
+            "AS gram FROM documents WHERE length(text) >= 40), "
+            "rk AS (SELECT doc_id, pos, row_number() OVER "
+            "(PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), "
+            "dup AS (SELECT doc_id, pos FROM rk WHERE rn > 1), "
             "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
             "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40 "
             "THEN 1 ELSE 0 END AS b FROM dup), "

@@ -1110,12 +1110,29 @@ def exact_substr_spans(
     min_count: int = 2,
     count_docs: bool = False,
     hasher: str = "gram",
+    keep_first: bool = False,
 ) -> DataFrame:
     """[doc_id, span_start, span_end): maximal character spans covered by
     a VERBATIM substring of length >= ``min_len`` occurring at least
     ``min_count`` times corpus-wide — TRUE exact-substring duplicate-span
     detection (Lee et al. 2022, arXiv:2107.06499 "ExactSubstr"), the
     precise counterpart of :func:`duplicated_ngram_coverage`'s estimate.
+
+    ``keep_first=True`` switches to the remove-all-BUT-ONE policy most
+    production pipelines want: per duplicated window, the occurrence with
+    the smallest (doc_id, pos) is PROTECTED and only the later
+    occurrences are reported/stripped — one canonical copy of every
+    duplicated passage survives corpus-wide. Default False = Lee's
+    released-tool behavior (every occurrence cut). The protection is one
+    extra combine-enabled ``min(struct(doc_id, pos))`` aggregate per
+    gram + an anti-join — same shuffle class as the count, no new
+    scale hazard (``count_docs=True`` composes: frequency is by docs,
+    protection is still the global first occurrence). Protection is
+    WINDOW-granular: inside a periodic string ("ababab…"), windows past
+    the first period duplicate the leading windows, so only the leading
+    period + one window survives — self-repetition is deduplicated
+    against the string's own head, which is exactly the all-but-one-copy
+    contract applied honestly.
     Offsets are 1-based chars, end-exclusive.
 
     EXACTNESS (why this equals a suffix-array scan without building one):
@@ -1203,8 +1220,22 @@ def exact_substr_spans(
         freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__occ"))
     dup = grams.join(
         freq.where(F.col("__occ") >= min_count).select("gram"), "gram"
-    ).select("doc_id", "pos")
-    return _merge_covered_spans(dup, L)
+    )
+    if keep_first:
+        # canonical occurrence per duplicated window content: the min
+        # (doc_id, pos) — combine-enabled struct-min, then anti-join the
+        # protected occurrence out of the removal set
+        first = (
+            dup.groupBy("gram")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("__f"))
+            .select(
+                "gram",
+                F.col("__f.doc_id").alias("doc_id"),
+                F.col("__f.pos").alias("pos"),
+            )
+        )
+        dup = dup.join(first, ["gram", "doc_id", "pos"], "left_anti")
+    return _merge_covered_spans(dup.select("doc_id", "pos"), L)
 
 
 def exact_substr_strip(
@@ -1214,13 +1245,17 @@ def exact_substr_strip(
     min_count: int = 2,
     count_docs: bool = False,
     hasher: str = "gram",
+    keep_first: bool = False,
 ) -> DataFrame:
     """[doc_id, n_chars, n_kept, text_clean]: the REWRITE half of true
     exact-substring dedup — every character inside a
     :func:`exact_substr_spans` span is removed from EVERY occurrence
     (Lee et al.'s released tool does the same: no keep-one-canonical
-    carve-out; compose with :func:`dedup_keep_best` for survivor
-    selection), and the surviving segments are re-joined in order.
+    carve-out by default; ``keep_first=True`` protects the first
+    occurrence of each duplicated window so one canonical copy survives
+    corpus-wide — or compose with :func:`dedup_keep_best` for
+    quality-based survivor selection), and the surviving segments are
+    re-joined in order.
     Char-exact counterpart of :func:`strip_duplicated_spans` (which cuts
     word-gram spans at word boundaries and never sees same-doc repeats —
     see the exact_substr_spans docstring for the full contrast).
@@ -1235,6 +1270,7 @@ def exact_substr_strip(
         min_count=min_count,
         count_docs=count_docs,
         hasher=hasher,
+        keep_first=keep_first,
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(

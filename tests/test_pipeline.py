@@ -1068,6 +1068,45 @@ def test_exact_substr_strip_vs_word_gram_strip(spark):
     assert char_out[3]["n_kept"] < char_out[3]["n_chars"]
 
 
+def test_exact_substr_keep_first_policy(spark):
+    """keep_first=True protects the canonical (min doc_id, pos)
+    occurrence: the first doc keeps the shared run, later docs lose it;
+    a same-doc repeat keeps its first occurrence only. Default behavior
+    (cut everywhere) is unchanged. The repeat phrase is NON-periodic on
+    purpose: protection is window-granular, so a periodic string's later
+    windows are duplicates of its own leading windows and only the
+    leading period survives (correct, but not what this test pins)."""
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"   # 30 chars
+    rep = "the cat sat on the mat!!"            # 24 chars, no period
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "cccc " + shared + " dddd"),
+            (3, rep + "-----" + rep),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.exact_substr_spans(
+            docs, min_len=20, keep_first=True
+        ).collect()
+    )
+    # doc 1 (first occurrence of the shared run) emits nothing for it;
+    # doc 2 loses the full shared span; doc 3 keeps its first rep copy
+    # and loses the second
+    assert spans == [(2, 5, 37), (3, 30, 54)]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substr_strip(
+            docs, min_len=20, keep_first=True
+        ).collect()
+    }
+    assert out[1]["text_clean"] == "aaaa " + shared + " bbbb"  # untouched
+    assert out[2]["text_clean"] == "ccccdddd"
+    assert out[3]["text_clean"] == rep + "-----"
+
+
 def test_exact_substr_hashers_agree_on_real_corpus(spark, docs):
     """The JVM substring hasher and the numpy rolling hasher produce the
     same span set on the REAL sf0.01 documents table (planted-corpus
