@@ -1183,6 +1183,10 @@ def exact_substr_spans(
     the Rabin-Karp suffix scan — for large ``min_len`` where the L-fold
     read amplification dominates; both hashers produce identical spans
     (hash family differs, detection is per-position either way).
+    Measured on a 200k-doc/~250-char corpus (local[32], warm): L=60 gram
+    10.5s vs rolling 6.7s (~1.6x), converging by L=200 where short docs
+    drop out — prefer rolling from L≈50 up on trusted corpora (see the
+    collision caveat above for hostile input).
     """
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
