@@ -496,3 +496,36 @@ def test_louvain_neighbour_join_is_shuffle_free(spark, tmp_path):
         plan, plan_flat,
     )
     assert "Bucketed: true" in plan, plan
+
+
+def test_exact_substr_plan_shape(spark):
+    """exact_substr_spans' audited plan (r12): the dup-position stream
+    reaches the island merge through ONE exchange on doc_id — both
+    windows (lag + running sum) and the final (doc_id, island) aggregate
+    reuse that partitioning — and the gram-frequency side is one
+    map-side-combined aggregate. No cartesian anywhere; the final
+    HashAggregate pair must NOT be separated by an Exchange."""
+    from graphframes_rs_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 4), (2, "abcdefghij" * 4), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    df = dedup.exact_substr_spans(docs, min_len=10)
+    df.collect()  # settle AQE so executedPlan is final
+    plan = _executed_plan(df)
+    # AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan"
+    # section — keep only the final plan or every operator double-counts
+    if "== Initial Plan ==" in plan:
+        plan = plan[: plan.index("== Initial Plan ==")]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one exchange on doc_id feeds the island merge...
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+    # ...and the final aggregate pair sits ABOVE the windows (children
+    # print after parents) with no exchange between: the text before the
+    # first Window operator is the partial+final agg region
+    head = plan[: plan.index("Window")]
+    assert head.count("HashAggregate") == 2, plan
+    assert "Exchange" not in head, plan
+    assert plan.count("Window") == 2, plan
