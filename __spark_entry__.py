@@ -1279,6 +1279,21 @@ def _q_exact_substr_keepfirst(spark, sf_dir):
     )
 
 
+def _q_exact_substr_incr(spark, sf_dir):
+    """Incremental exact-substring dedup (the third incremental space
+    next to dedup_incremental's MinHash and embedding_dedup_incr's IVF):
+    the corpus splits by doc_id % 5 into an accepted index (!= 0) and a
+    new batch (== 0); spans of batch docs covered by a 40-char window
+    PRESENT in the index (presence semantics, >= 1 occurrence). Oracle:
+    batch windows semi-joined to index windows over raw substrings + the
+    same island merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = dedup.exact_substr_index(corpus, min_len=40)
+    return dedup.exact_substr_spans_against_index(batch, idx, min_len=40)
+
+
 def _q_exact_substr_strip(spark, sf_dir):
     """Rewrite half of TRUE exact-substring dedup: every char inside an
     exact_substr_spans span removed from every occurrence, survivors
@@ -3249,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dup_coverage": _q_ngram_dup_coverage,
         "exact_substr_spans": _q_exact_substr_spans,
         "exact_substr_keepfirst": _q_exact_substr_keepfirst,
+        "exact_substr_incr": _q_exact_substr_incr,
         "exact_substr_strip": _q_exact_substr_strip,
         "dedup_strip_spans": _q_dedup_strip_spans,
         "tfidf_topk": _q_tfidf_topk,
@@ -4864,6 +4880,31 @@ def oracle_sql() -> dict[str, str]:
             "freq AS (SELECT gram FROM g GROUP BY gram "
             "HAVING count(*) >= 2), "
             "dup AS (SELECT g.doc_id, g.pos FROM g JOIN freq USING (gram)), "
+            "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40 "
+            "THEN 1 ELSE 0 END AS b FROM dup), "
+            "isl AS (SELECT doc_id, pos, sum(b) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+            "AS i FROM brk) "
+            "SELECT doc_id, min(pos) AS span_start, "
+            "max(pos) + 40 AS span_end FROM isl GROUP BY doc_id, i"
+        ),
+        "exact_substr_incr": (
+            # batch windows (doc_id % 5 = 0) semi-joined to the index
+            # side's DISTINCT windows (doc_id % 5 <> 0) over raw
+            # substrings — presence, not frequency — then the same
+            # gaps-and-islands merge as exact_substr_spans
+            "WITH gb AS (SELECT doc_id, "
+            "unnest(range(1, length(text) - 40 + 2))::BIGINT AS pos, "
+            "substr(text, unnest(range(1, length(text) - 40 + 2))::INT, 40) "
+            "AS gram FROM documents "
+            "WHERE length(text) >= 40 AND doc_id % 5 = 0), "
+            "gi AS (SELECT DISTINCT "
+            "substr(text, unnest(range(1, length(text) - 40 + 2))::INT, 40) "
+            "AS gram FROM documents "
+            "WHERE length(text) >= 40 AND doc_id % 5 <> 0), "
+            "dup AS (SELECT gb.doc_id, gb.pos FROM gb "
+            "SEMI JOIN gi ON gb.gram = gi.gram), "
             "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
             "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40 "
             "THEN 1 ELSE 0 END AS b FROM dup), "

@@ -1103,6 +1103,34 @@ def _merge_covered_spans(dup_positions: DataFrame, L: int) -> DataFrame:
     )
 
 
+def _position_grams(
+    docs: DataFrame, text_col: str, L: int, hasher: str
+) -> DataFrame:
+    """[doc_id, pos, gram]: one 64-bit hash per length-L char window
+    (1-based start), via the JVM substring hasher or the O(n) rolling
+    scan — the shared front end of every exact-substring operator."""
+    if hasher not in ("gram", "rolling"):
+        raise ValueError(f"unknown hasher {hasher!r}: use 'gram' or 'rolling'")
+    if hasher == "rolling":
+        return docs.select("doc_id", text_col).mapInPandas(
+            _rolling_gram_rows(text_col, L),
+            schema="doc_id long, pos long, gram long",
+        )
+    n_chars = F.length(F.col(text_col))
+    starts = F.when(
+        n_chars >= L, F.sequence(F.lit(1), n_chars - L + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(L))),
+            )
+        ).alias("__p0", "gram"),
+    ).select("doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), "gram")
+
+
 def exact_substr_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -1190,28 +1218,8 @@ def exact_substr_spans(
     """
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
-    if hasher not in ("gram", "rolling"):
-        raise ValueError(f"unknown hasher {hasher!r}: use 'gram' or 'rolling'")
     L = min_len
-    if hasher == "rolling":
-        grams = docs.select("doc_id", text_col).mapInPandas(
-            _rolling_gram_rows(text_col, L),
-            schema="doc_id long, pos long, gram long",
-        )
-    else:
-        n_chars = F.length(F.col(text_col))
-        starts = F.when(
-            n_chars >= L, F.sequence(F.lit(1), n_chars - L + 1)
-        ).otherwise(F.array().cast("array<int>"))
-        grams = docs.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    starts,
-                    lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(L))),
-                )
-            ).alias("__p0", "gram"),
-        ).select("doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), "gram")
+    grams = _position_grams(docs, text_col, L, hasher)
 
     if count_docs:
         freq = (
@@ -1276,6 +1284,20 @@ def exact_substr_strip(
         hasher=hasher,
         keep_first=keep_first,
     )
+    return _rebuild_without_spans(docs, spans, text_col)
+
+
+def _rebuild_without_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str
+) -> DataFrame:
+    """[doc_id, n_chars, n_kept, text_clean]: remove the given char spans
+    ([doc_id, span_start, span_end), disjoint and sorted-mergeable) from
+    each document and re-join the surviving segments in order. One
+    JVM-side fold: spans arrive per doc as a sorted array (bounded by doc
+    length) and ``F.aggregate`` walks them once, concatenating the gap
+    substrings — no Python, no second explode. Shared by
+    :func:`exact_substr_strip` and
+    :func:`exact_substr_strip_against_index`."""
     per_doc = spans.groupBy("doc_id").agg(
         F.sort_array(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -1318,6 +1340,77 @@ def exact_substr_strip(
         .withColumn("n_kept", F.length("text_clean").cast("long"))
         .select("doc_id", "n_chars", "n_kept", "text_clean")
     )
+
+
+def exact_substr_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 50,
+    hasher: str = "gram",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[gram]: the DISTINCT length-``min_len`` window hashes of an
+    accepted corpus — the exact-substring counterpart of the MinHash
+    signature table (:func:`dedup_against_index`) and the
+    :class:`similarity.IVFIndex` (embedding space): build it once over
+    the corpus, reuse it against every ingestion batch with
+    :func:`exact_substr_spans_against_index`. One distinct() shuffle on
+    the 8-byte hash; ``checkpoint_dir`` materializes it as parquet so
+    daily batches never rescan the corpus. Size is bounded by corpus
+    positions (16 bytes/row in flight, ~#chars rows), and appending a
+    day's accepted batch is a union + distinct of the BATCH's grams only.
+    The hasher must match at query time (hash families differ)."""
+    idx = (
+        _position_grams(docs, text_col, min_len, hasher)
+        .select("gram")
+        .distinct()
+    )
+    if checkpoint_dir is not None:
+        idx.write.mode("overwrite").parquet(checkpoint_dir + "/substr_index")
+        idx = docs.sparkSession.read.parquet(checkpoint_dir + "/substr_index")
+    return idx
+
+
+def exact_substr_spans_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    min_len: int = 50,
+    hasher: str = "gram",
+) -> DataFrame:
+    """[doc_id, span_start, span_end): maximal char spans of NEW
+    documents covered by a length->= ``min_len`` substring ALREADY
+    PRESENT in an accepted corpus (its :func:`exact_substr_index`) — the
+    incremental-ingestion form of :func:`exact_substr_spans`, completing
+    the incremental trio (MinHash :func:`dedup_against_index`, embedding
+    :func:`embedding_dedup_against_index`, exact-substring here). Only
+    new x index: one LEFT SEMI join of the batch's position grams against
+    the index hashes (no batch x batch counting — within-batch dedup
+    composes via :func:`exact_substr_spans` on the batch alone), then the
+    same per-doc island merge. Presence semantics (>= 1 occurrence in the
+    corpus), not frequency: anything already accepted is a duplicate by
+    definition. ``min_len`` and ``hasher`` must match the index build."""
+    grams = _position_grams(new_docs, text_col, min_len, hasher)
+    dup = grams.join(index.select("gram"), "gram", "left_semi")
+    return _merge_covered_spans(dup.select("doc_id", "pos"), min_len)
+
+
+def exact_substr_strip_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    min_len: int = 50,
+    hasher: str = "gram",
+) -> DataFrame:
+    """[doc_id, n_chars, n_kept, text_clean]: strip from NEW documents
+    every char span already present in the accepted corpus (the
+    ingestion-time rewrite: boilerplate and re-crawled passages vanish
+    from the batch before it joins the corpus, the corpus itself is
+    untouched). Same JVM fold rebuild as :func:`exact_substr_strip`."""
+    spans = exact_substr_spans_against_index(
+        new_docs, index, text_col=text_col, min_len=min_len, hasher=hasher
+    )
+    return _rebuild_without_spans(new_docs, spans, text_col)
 
 
 def line_dedup(

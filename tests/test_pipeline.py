@@ -1107,6 +1107,62 @@ def test_exact_substr_keep_first_policy(spark):
     assert out[3]["text_clean"] == rep + "-----"
 
 
+def test_exact_substr_against_index(spark, tmp_path):
+    """Incremental exact-substring dedup: a new batch's spans are found
+    against a prebuilt corpus index (presence semantics, never
+    batch x batch), the strip removes exactly those chars from the batch,
+    a batch-only duplicate is NOT flagged, and a checkpointed index
+    returns identical spans."""
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 chars, in the corpus
+    corpus = spark.createDataFrame(
+        [(1, "intro " + shared + " outro"),
+         (2, "other accepted corpus content entirely")],
+        "doc_id long, text string",
+    )
+    batchdup = "batch only duplicated phrase!"  # 29 chars, NOT in corpus
+    new = spark.createDataFrame(
+        [(100, "xx " + shared + " yy"),     # re-crawled corpus passage
+         (101, batchdup), (102, batchdup),  # dup within batch only
+         (103, "completely fresh novel content here")],
+        "doc_id long, text string",
+    )
+    idx = dedup.exact_substr_index(corpus, min_len=20)
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.exact_substr_spans_against_index(
+            new, idx, min_len=20
+        ).collect()
+    )
+    # only doc 100's shared run (chars 4..33 incl. neither xx/yy flank:
+    # corpus has " shared " with spaces, batch has " shared " too ->
+    # flanking spaces shared: "  " + shared + " " spans 3..34)
+    assert len(spans) == 1 and spans[0][0] == 100
+    s0 = spans[0]
+    stripped = {
+        r["doc_id"]: r
+        for r in dedup.exact_substr_strip_against_index(
+            new, idx, min_len=20
+        ).collect()
+    }
+    assert stripped[100]["n_kept"] == stripped[100]["n_chars"] - (
+        s0[2] - s0[1]
+    )
+    for d in (101, 102, 103):  # batch-only dup and fresh docs untouched
+        assert stripped[d]["text_clean"] == new.filter(
+            F.col("doc_id") == d
+        ).collect()[0]["text"]
+    # checkpointed index round-trips to the same spans
+    ck = dedup.exact_substr_index(
+        corpus, min_len=20, checkpoint_dir=str(tmp_path)
+    )
+    assert sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.exact_substr_spans_against_index(
+            new, ck, min_len=20
+        ).collect()
+    ) == spans
+
+
 def test_exact_substr_hashers_agree_on_real_corpus(spark, docs):
     """The JVM substring hasher and the numpy rolling hasher produce the
     same span set on the REAL sf0.01 documents table (planted-corpus
