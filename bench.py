@@ -1193,8 +1193,24 @@ def main():
     regression_reruns = {}
     # previous committed round's walls, for the regression-confirmation
     # rule below and the delta print (from the ONE detail load at the
-    # calib gate — the file is overwritten by this run's own detail)
-    prev_walls = _prev_detail.get("queries", {})
+    # calib gate — the file is overwritten by this run's own detail).
+    # A committed sample that itself carried heavy steal is not a valid
+    # reference: r12 committed scale_node2vec_6m at 39.5s with 48.45s of
+    # summed vCPU steal inside the kept sample — comparing against it
+    # would mask a real regression up to ~4x and print fake improvements.
+    # Drop such rows from the reference (noted, so the gap is visible).
+    prev_walls = dict(_prev_detail.get("queries", {}))
+    _prev_steal = _prev_detail.get("steal_ms", {})
+    for _n in list(prev_walls):
+        _st = _prev_steal.get(_n)
+        if _st and _st > 0.5 * prev_walls[_n] * 1000.0:
+            print(
+                f"# prev-round reference for {_n} dropped: committed "
+                f"sample carried {_st}ms steal over {prev_walls[_n]}s "
+                f"wall — not a valid regression baseline",
+                file=sys.stderr,
+            )
+            del prev_walls[_n]
     # bounded: on a box that is slow for the WHOLE run, unlimited
     # confirmation reruns would double the bench wall for no new
     # information — after the budget the calib-drift warning is the

@@ -43,6 +43,8 @@ def main():
     import __spark_entry__ as entry
 
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    if runs < 2:
+        sys.exit("n_runs must be >= 2 (first warm run is discarded)")
     spark = bench._make_session(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     q = entry.queries()["motif_triangles"]
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
