@@ -4915,24 +4915,43 @@ def oracle_sql() -> dict[str, str]:
             "max(pos) + 40 AS span_end FROM isl GROUP BY doc_id, i"
         ),
         "exact_substr_keepfirst": (
-            # at min_count=2, the keep-first removal set == occurrences
-            # ranked >1 per window content (ordered doc_id, pos); same
-            # windows + island merge as exact_substr_spans
+            # keep-first char semantics: a char is reported iff covered
+            # by an occurrence ranked >1 of its window content AND by no
+            # rank-1 (protected) occurrence — the same endpoint event
+            # sweep the Spark side runs (u = unprotected coverage depth,
+            # p = protected depth; report [c, next_c) where u>0 and p=0),
+            # then adjacent-segment merge
             "WITH g AS (SELECT doc_id, "
             "unnest(range(1, length(text) - 40 + 2))::BIGINT AS pos, "
             "substr(text, unnest(range(1, length(text) - 40 + 2))::INT, 40) "
             "AS gram FROM documents WHERE length(text) >= 40), "
-            "rk AS (SELECT doc_id, pos, row_number() OVER "
+            "cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram), "
+            "rk AS (SELECT doc_id, pos, gram, row_number() OVER "
             "(PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), "
-            "dup AS (SELECT doc_id, pos FROM rk WHERE rn > 1), "
-            "brk AS (SELECT doc_id, pos, CASE WHEN pos > "
-            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 40 "
-            "THEN 1 ELSE 0 END AS b FROM dup), "
-            "isl AS (SELECT doc_id, pos, sum(b) OVER "
-            "(PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) "
+            "dup AS (SELECT rk.doc_id, rk.pos, "
+            "CASE WHEN rk.rn = 1 THEN 1 ELSE 0 END AS isp "
+            "FROM rk JOIN cnt USING (gram) WHERE cnt.c >= 2), "
+            "ev AS (SELECT doc_id, pos AS c, 1 - isp AS du, isp AS dp "
+            "FROM dup UNION ALL SELECT doc_id, pos + 40, "
+            "-(1 - isp), -isp FROM dup), "
+            "ag AS (SELECT doc_id, c, sum(du) AS du, sum(dp) AS dp "
+            "FROM ev GROUP BY doc_id, c), "
+            "sw AS (SELECT doc_id, c, "
+            "sum(du) OVER (PARTITION BY doc_id ORDER BY c "
+            "ROWS UNBOUNDED PRECEDING) AS u, "
+            "sum(dp) OVER (PARTITION BY doc_id ORDER BY c "
+            "ROWS UNBOUNDED PRECEDING) AS p, "
+            "lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS nc FROM ag), "
+            "seg AS (SELECT doc_id, c AS s, nc AS e FROM sw "
+            "WHERE u > 0 AND p = 0 AND nc IS NOT NULL AND nc > c), "
+            "brk AS (SELECT doc_id, s, e, CASE WHEN s > "
+            "lag(e) OVER (PARTITION BY doc_id ORDER BY s) "
+            "THEN 1 ELSE 0 END AS b FROM seg), "
+            "isl AS (SELECT doc_id, s, e, sum(b) OVER "
+            "(PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) "
             "AS i FROM brk) "
-            "SELECT doc_id, min(pos) AS span_start, "
-            "max(pos) + 40 AS span_end FROM isl GROUP BY doc_id, i"
+            "SELECT doc_id, min(s) AS span_start, max(e) AS span_end "
+            "FROM isl GROUP BY doc_id, i"
         ),
         "exact_substr_strip": (
             # spans pipeline above, then per-doc segment rebuild: each

@@ -1109,6 +1109,8 @@ def _position_grams(
     """[doc_id, pos, gram]: one 64-bit hash per length-L char window
     (1-based start), via the JVM substring hasher or the O(n) rolling
     scan — the shared front end of every exact-substring operator."""
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
     if hasher not in ("gram", "rolling"):
         raise ValueError(f"unknown hasher {hasher!r}: use 'gram' or 'rolling'")
     if hasher == "rolling":
@@ -1131,6 +1133,67 @@ def _position_grams(
     ).select("doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), "gram")
 
 
+def _subtract_protected_spans(marked: DataFrame, L: int) -> DataFrame:
+    """[doc_id, span_start, span_end): maximal merged intervals of
+    UNPROTECTED coverage minus PROTECTED coverage, from ``marked`` =
+    [doc_id, pos, __isp] rows each denoting a length-L window (``__isp``
+    1 = protected). Classic event sweep per doc: window endpoints become
+    +-1 events for two running counters; a [c, next_c) segment is
+    reported iff unprotected coverage is active and protected coverage is
+    not; adjacent segments merge. One (doc_id, coord) aggregate + two
+    per-doc windows — the same per-doc-bounded shuffle class as
+    :func:`_merge_covered_spans`."""
+    from pyspark.sql.window import Window
+
+    up = F.lit(1) - F.col("__isp")
+    ev = marked.select(
+        "doc_id",
+        F.col("pos").alias("c"),
+        up.alias("du"),
+        F.col("__isp").alias("dp"),
+    ).unionAll(
+        marked.select(
+            "doc_id",
+            (F.col("pos") + L).alias("c"),
+            (-up).alias("du"),
+            (-F.col("__isp")).alias("dp"),
+        )
+    )
+    ag = ev.groupBy("doc_id", "c").agg(
+        F.sum("du").alias("du"), F.sum("dp").alias("dp")
+    )
+    w = Window.partitionBy("doc_id").orderBy("c")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sw = ag.select(
+        "doc_id",
+        "c",
+        F.sum("du").over(cum).alias("u"),
+        F.sum("dp").over(cum).alias("p"),
+        F.lead("c").over(w).alias("nc"),
+    )
+    seg = sw.filter(
+        (F.col("u") > 0)
+        & (F.col("p") == 0)
+        & F.col("nc").isNotNull()
+        & (F.col("nc") > F.col("c"))
+    ).select("doc_id", F.col("c").alias("s"), F.col("nc").alias("e"))
+    w2 = Window.partitionBy("doc_id").orderBy("s")
+    cum2 = w2.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        seg.withColumn(
+            "__brk",
+            F.when(F.col("s") > F.lag("e").over(w2), 1).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__brk").over(cum2))
+        .groupBy("doc_id", "__isl")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
 def exact_substr_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -1147,20 +1210,25 @@ def exact_substr_spans(
     precise counterpart of :func:`duplicated_ngram_coverage`'s estimate.
 
     ``keep_first=True`` switches to the remove-all-BUT-ONE policy most
-    production pipelines want: per duplicated window, the occurrence with
-    the smallest (doc_id, pos) is PROTECTED and only the later
-    occurrences are reported/stripped — one canonical copy of every
-    duplicated passage survives corpus-wide. Default False = Lee's
-    released-tool behavior (every occurrence cut). The protection is one
-    extra combine-enabled ``min(struct(doc_id, pos))`` aggregate per
-    gram + an anti-join — same shuffle class as the count, no new
-    scale hazard (``count_docs=True`` composes: frequency is by docs,
-    protection is still the global first occurrence). Protection is
-    WINDOW-granular: inside a periodic string ("ababab…"), windows past
-    the first period duplicate the leading windows, so only the leading
-    period + one window survives — self-repetition is deduplicated
-    against the string's own head, which is exactly the all-but-one-copy
-    contract applied honestly.
+    production pipelines want: per duplicated window content, the
+    occurrence with the smallest (doc_id, pos) is PROTECTED, and a char
+    is reported only when covered by some non-canonical occurrence AND
+    by no protected one — so every protected occurrence's characters
+    survive verbatim, i.e. at least one full copy of every duplicated
+    window content provably survives corpus-wide (a plain
+    drop-the-first-occurrence-from-the-removal-set rule would NOT give
+    this: neighboring unprotected windows' merged span can swallow a
+    protected occurrence's chars — see ``_subtract_protected_spans``).
+    Default False = Lee's released-tool behavior (every occurrence cut).
+    Cost: one extra combine-enabled ``min(struct(doc_id, pos))``
+    aggregate per gram + the per-doc event sweep — same shuffle classes
+    as the count and the island merge (``count_docs=True`` composes:
+    frequency is by docs, protection is still the global first
+    occurrence). Inside a periodic string ("ababab…"), windows past the
+    first period duplicate the leading windows, so roughly the leading
+    period + one window survives — self-repetition deduplicates against
+    the string's own head, the all-but-one-copy contract applied
+    honestly.
     Offsets are 1-based chars, end-exclusive.
 
     EXACTNESS (why this equals a suffix-array scan without building one):
@@ -1216,8 +1284,6 @@ def exact_substr_spans(
     drop out — prefer rolling from L≈50 up on trusted corpora (see the
     collision caveat above for hostile input).
     """
-    if min_len < 2:
-        raise ValueError("min_len must be >= 2")
     L = min_len
     grams = _position_grams(docs, text_col, L, hasher)
 
@@ -1235,8 +1301,13 @@ def exact_substr_spans(
     )
     if keep_first:
         # canonical occurrence per duplicated window content: the min
-        # (doc_id, pos) — combine-enabled struct-min, then anti-join the
-        # protected occurrence out of the removal set
+        # (doc_id, pos) — combine-enabled struct-min. A char is reported
+        # iff covered by some NON-canonical dup window AND NOT covered by
+        # any canonical one (the sweep below): plain anti-join removal
+        # would let neighboring unprotected windows' merged span swallow
+        # a protected occurrence's chars, so the duplicated content could
+        # survive NOWHERE (confirmed repro in the r12 review) — the
+        # subtraction makes "one copy survives" a real guarantee.
         first = (
             dup.groupBy("gram")
             .agg(F.min(F.struct("doc_id", "pos")).alias("__f"))
@@ -1244,9 +1315,16 @@ def exact_substr_spans(
                 "gram",
                 F.col("__f.doc_id").alias("doc_id"),
                 F.col("__f.pos").alias("pos"),
+                F.lit(1).alias("__isp"),
             )
         )
-        dup = dup.join(first, ["gram", "doc_id", "pos"], "left_anti")
+        marked = (
+            dup.join(first, ["gram", "doc_id", "pos"], "left")
+            .select(
+                "doc_id", "pos", F.coalesce("__isp", F.lit(0)).alias("__isp")
+            )
+        )
+        return _subtract_protected_spans(marked, L)
     return _merge_covered_spans(dup.select("doc_id", "pos"), L)
 
 
@@ -1342,41 +1420,74 @@ def _rebuild_without_spans(
     )
 
 
+class ExactSubstrIndex:
+    """A corpus's distinct window hashes + the (min_len, hasher)
+    provenance they were built with — a silent param mismatch at query
+    time would return zero spans (different hash families never match),
+    so the query functions validate against these instead (the same
+    provenance discipline as :class:`similarity.IVFIndex`)."""
+
+    def __init__(self, grams: DataFrame, min_len: int, hasher: str):
+        self.grams = grams
+        self.min_len = min_len
+        self.hasher = hasher
+
+    def _subpath(self):
+        return f"/substr_index_L{self.min_len}_{self.hasher}"
+
+
 def exact_substr_index(
     docs: DataFrame,
     text_col: str = "text",
     min_len: int = 50,
     hasher: str = "gram",
     checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """[gram]: the DISTINCT length-``min_len`` window hashes of an
-    accepted corpus — the exact-substring counterpart of the MinHash
-    signature table (:func:`dedup_against_index`) and the
-    :class:`similarity.IVFIndex` (embedding space): build it once over
-    the corpus, reuse it against every ingestion batch with
-    :func:`exact_substr_spans_against_index`. One distinct() shuffle on
-    the 8-byte hash; ``checkpoint_dir`` materializes it as parquet so
-    daily batches never rescan the corpus. Size is bounded by corpus
+) -> "ExactSubstrIndex":
+    """The DISTINCT length-``min_len`` window hashes of an accepted
+    corpus, wrapped with their build provenance — the exact-substring
+    counterpart of the MinHash signature table
+    (:func:`dedup_against_index`) and the :class:`similarity.IVFIndex`
+    (embedding space): build it once over the corpus, reuse it against
+    every ingestion batch with :func:`exact_substr_spans_against_index`.
+    One distinct() shuffle on the 8-byte hash; ``checkpoint_dir``
+    materializes it as parquet (path namespaced by min_len/hasher so two
+    indexes can share a dir; reload with :func:`exact_substr_index_load`)
+    so daily batches never rescan the corpus. Size is bounded by corpus
     positions (16 bytes/row in flight, ~#chars rows), and appending a
-    day's accepted batch is a union + distinct of the BATCH's grams only.
-    The hasher must match at query time (hash families differ)."""
-    idx = (
+    day's accepted batch is a union + distinct of the BATCH's grams
+    only."""
+    idx = ExactSubstrIndex(
         _position_grams(docs, text_col, min_len, hasher)
         .select("gram")
-        .distinct()
+        .distinct(),
+        min_len,
+        hasher,
     )
     if checkpoint_dir is not None:
-        idx.write.mode("overwrite").parquet(checkpoint_dir + "/substr_index")
-        idx = docs.sparkSession.read.parquet(checkpoint_dir + "/substr_index")
+        path = checkpoint_dir + idx._subpath()
+        idx.grams.write.mode("overwrite").parquet(path)
+        idx.grams = docs.sparkSession.read.parquet(path)
+    return idx
+
+
+def exact_substr_index_load(
+    spark, checkpoint_dir: str, min_len: int = 50, hasher: str = "gram"
+) -> "ExactSubstrIndex":
+    """Reload a checkpointed :func:`exact_substr_index`: the
+    (min_len, hasher) pair names the parquet subpath, so loading with the
+    wrong params fails fast on a missing path instead of silently
+    matching nothing."""
+    idx = ExactSubstrIndex(None, min_len, hasher)
+    idx.grams = spark.read.parquet(checkpoint_dir + idx._subpath())
     return idx
 
 
 def exact_substr_spans_against_index(
     new_docs: DataFrame,
-    index: DataFrame,
+    index: "ExactSubstrIndex | DataFrame",
     text_col: str = "text",
-    min_len: int = 50,
-    hasher: str = "gram",
+    min_len: int | None = None,
+    hasher: str | None = None,
 ) -> DataFrame:
     """[doc_id, span_start, span_end): maximal char spans of NEW
     documents covered by a length->= ``min_len`` substring ALREADY
@@ -1389,18 +1500,43 @@ def exact_substr_spans_against_index(
     composes via :func:`exact_substr_spans` on the batch alone), then the
     same per-doc island merge. Presence semantics (>= 1 occurrence in the
     corpus), not frequency: anything already accepted is a duplicate by
-    definition. ``min_len`` and ``hasher`` must match the index build."""
+    definition. With an :class:`ExactSubstrIndex`, ``min_len``/``hasher``
+    default to the index's own provenance and a conflicting explicit
+    value raises (a silent mismatch would match nothing and wave
+    re-crawled duplicates through); a bare gram DataFrame requires both
+    explicitly."""
+    if isinstance(index, ExactSubstrIndex):
+        for name, given, built in (
+            ("min_len", min_len, index.min_len),
+            ("hasher", hasher, index.hasher),
+        ):
+            if given is not None and given != built:
+                raise ValueError(
+                    f"{name}={given!r} conflicts with the index's build "
+                    f"provenance ({built!r}) — hash families/positions "
+                    f"would silently never match"
+                )
+        min_len, hasher = index.min_len, index.hasher
+        index_grams = index.grams
+    else:
+        if min_len is None or hasher is None:
+            raise ValueError(
+                "a bare gram DataFrame carries no provenance: pass "
+                "min_len= and hasher= explicitly (or pass the "
+                "ExactSubstrIndex exact_substr_index returned)"
+            )
+        index_grams = index
     grams = _position_grams(new_docs, text_col, min_len, hasher)
-    dup = grams.join(index.select("gram"), "gram", "left_semi")
+    dup = grams.join(index_grams.select("gram"), "gram", "left_semi")
     return _merge_covered_spans(dup.select("doc_id", "pos"), min_len)
 
 
 def exact_substr_strip_against_index(
     new_docs: DataFrame,
-    index: DataFrame,
+    index: "ExactSubstrIndex | DataFrame",
     text_col: str = "text",
-    min_len: int = 50,
-    hasher: str = "gram",
+    min_len: int | None = None,
+    hasher: str | None = None,
 ) -> DataFrame:
     """[doc_id, n_chars, n_kept, text_clean]: strip from NEW documents
     every char span already present in the accepted corpus (the

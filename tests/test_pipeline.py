@@ -1107,6 +1107,40 @@ def test_exact_substr_keep_first_policy(spark):
     assert out[3]["text_clean"] == rep + "-----"
 
 
+def test_exact_substr_keep_first_protected_chars_survive(spark):
+    """The r12 review repro: overlapping duplicated windows must not let
+    neighboring unprotected windows' merged span swallow a PROTECTED
+    occurrence's chars. P[1:21]'s canonical copy lives in doc 1 flanked
+    by two windows whose canonical copies live elsewhere; the sweep must
+    cut only the flanking chars, leaving the protected window verbatim
+    (the old anti-join rule deleted it everywhere)."""
+    P = "ABCDEFGHIJKLMNOPQRSTUV"  # 22 chars
+    docs = spark.createDataFrame(
+        [
+            (0, P[0:20] + "-----" + P[2:22]),
+            (1, "x" + P + "y"),
+            (5, "qq" + P + "rr"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substr_strip(
+            docs, min_len=20, keep_first=True
+        ).collect()
+    }
+    # doc 1 keeps the protected middle window P[1:21] verbatim
+    assert P[1:21] in out[1]["text_clean"]
+    # the duplicated content survives SOMEWHERE for every window:
+    # P[0:20] canonical in doc 0, P[1:21] canonical in doc 1, P[2:22]
+    # canonical in doc 0
+    survivors = " | ".join(out[d]["text_clean"] for d in (0, 1, 5))
+    for w in (P[0:20], P[1:21], P[2:22]):
+        assert w in survivors, w
+    # and doc 5 (no canonical occurrences) is fully stripped of P
+    assert P[1:21] not in out[5]["text_clean"]
+
+
 def test_exact_substr_against_index(spark, tmp_path):
     """Incremental exact-substring dedup: a new batch's spans are found
     against a prebuilt corpus index (presence semantics, never
@@ -1151,16 +1185,37 @@ def test_exact_substr_against_index(spark, tmp_path):
         assert stripped[d]["text_clean"] == new.filter(
             F.col("doc_id") == d
         ).collect()[0]["text"]
-    # checkpointed index round-trips to the same spans
+    # checkpointed index round-trips to the same spans, both via the
+    # returned wrapper and via the loader (params name the subpath)
     ck = dedup.exact_substr_index(
         corpus, min_len=20, checkpoint_dir=str(tmp_path)
     )
-    assert sorted(
+    loaded = dedup.exact_substr_index_load(spark, str(tmp_path), min_len=20)
+    for idx2 in (ck, loaded):
+        assert sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.exact_substr_spans_against_index(
+                new, idx2
+            ).collect()
+        ) == spans
+    # provenance guard: conflicting explicit params raise instead of
+    # silently matching nothing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="provenance"):
+        dedup.exact_substr_spans_against_index(new, idx, min_len=50)
+    with _pytest.raises(ValueError, match="provenance"):
+        dedup.exact_substr_spans_against_index(new, idx, hasher="rolling")
+    # a bare gram DataFrame still works but must be explicit
+    with _pytest.raises(ValueError, match="provenance"):
+        dedup.exact_substr_spans_against_index(new, idx.grams)
+    bare = sorted(
         (r["doc_id"], r["span_start"], r["span_end"])
         for r in dedup.exact_substr_spans_against_index(
-            new, ck, min_len=20
+            new, idx.grams, min_len=20, hasher="gram"
         ).collect()
-    ) == spans
+    )
+    assert bare == spans
 
 
 def test_exact_substr_hashers_agree_on_real_corpus(spark, docs):
