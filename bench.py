@@ -914,17 +914,56 @@ def _calibrate(spark, sf_dir):
     # every shuffle-heavy query ran 1.5-2x slow with <1% steal — a noisy
     # neighbor degrading sustained memory/IO bandwidth is invisible to a
     # single-op all-core aggregate but not to an actual exchange.
-    t0 = time.monotonic()
-    spark.range(32_000_000).selectExpr("id % 100000 AS k").groupBy(
-        "k"
-    ).count().selectExpr("sum(count)").collect()
-    shuffle_s = round(time.monotonic() - t0, 3)
+    shuffle_s = _shuffle_probe(spark)
     return {
         "py_loop_s": py_s,
         "jvm_range_s": jvm_s,
         "parquet_scan_s": scan_s,
         "shuffle_s": shuffle_s,
     }
+
+
+def _shuffle_probe(spark) -> float:
+    """The fixed-work exchange probe alone (see ``_calibrate`` (d)) — also
+    run standalone immediately before the >=50s scale tiers, because the
+    run-start gate can pass and a bandwidth wave can still arrive 8
+    minutes later, right when the most expensive row is measured (r12:
+    run-start probe 1.129s cleared the gate, the 54m tier then committed
+    155.8s vs a 66.7s measured floor)."""
+    t0 = time.monotonic()
+    spark.range(32_000_000).selectExpr("id % 100000 AS k").groupBy(
+        "k"
+    ).count().selectExpr("sum(count)").collect()
+    return round(time.monotonic() - t0, 3)
+
+
+# Per-tier CLEAN FLOOR: the minimum clean-steal wall ever committed for
+# the tier (BENCH_r* history + standalone clean measures in tools/exp_*).
+# Motivation (r12 verdict task 1): the regression-confirmation rule
+# compares against LAST round's committed wall, so one contaminated
+# commit poisons the next round's reference (54m committed 155.8s in r12
+# => a 150s r13 sample would look "stable" while being 2.3x the floor).
+# The floor is monotone — update a value only when a CLEANER run is
+# committed, never upward. A kept sample landing >1.5x its floor gets one
+# confirmation rerun (min-wall keeps, evidence under "floor_reruns")
+# regardless of what last round committed.
+CLEAN_FLOORS = {
+    "scale_wcc_54m": 66.7,        # tools/exp_wcc54_partitions.py clean run
+    "scale_louvain_6m": 44.9,     # BENCH_r10
+    "scale_kcore_skew18m": 32.5,  # BENCH_r12
+    "scale_kcore_18m": 30.9,      # BENCH_r12
+    "scale_wcc_18m_onehop": 28.6, # BENCH_r10
+    "scale_wcc_18m": 26.1,        # BENCH_r10
+    "scale_mst_6m": 20.1,         # BENCH_r09
+    "scale_kcore_6m": 17.7,       # BENCH_r12
+    "scale_wcc_6m": 16.8,         # BENCH_r09
+    "scale_node2vec_6m": 11.9,    # BENCH_r08
+    "scale_matching_6m": 11.3,    # BENCH_r11
+    "scale_dedup_200k": 10.4,     # BENCH_r10
+}
+# tiers expensive enough that ONE contaminated sample dominates the
+# artifact: re-probe the box immediately before measuring them
+PRE_PROBE_FLOOR_S = 50.0
 
 
 def _gc_ms(spark):
@@ -1216,6 +1255,9 @@ def main():
     # information — after the budget the calib-drift warning is the
     # attribution mechanism
     regression_rerun_budget = 10
+    floor_reruns = {}
+    floor_rerun_budget = 3
+    pre_tier_calib = {}
     for name, fn in bench_queries.items():
         if name in RESTART_BEFORE:
             spark.stop()
@@ -1227,6 +1269,35 @@ def main():
                 _scale_paths.clear()
                 for tier in needed_tiers:  # untimed input refresh, see above
                     _prepare_scale_graph(spark, tier)
+        # Pre-tier calib re-probe (r12 verdict task 1): the run-start gate
+        # clears the box at t=0, but the >=50s tiers run ~8-10 min later —
+        # re-probe the exchange right before them and wait a wave out
+        # rather than commit a contaminated sample of the most expensive
+        # row. Same 1.5x-vs-committed trigger and 3x90s bound as the
+        # run-start gate; evidence rides the detail under pre_tier_calib.
+        if CLEAN_FLOORS.get(name, 0) >= PRE_PROBE_FLOOR_S and not only:
+            _probes = [_shuffle_probe(spark)]
+            _waits = 0
+            while (
+                _prev_shuffle
+                and _probes[-1] > 1.5 * _prev_shuffle
+                and _waits < 3
+            ):
+                _waits += 1
+                print(
+                    f"# pre-tier calib ({name}): shuffle probe "
+                    f"{_probes[-1]}s > 1.5x committed {_prev_shuffle}s — "
+                    f"waiting 90s (attempt {_waits}/3)",
+                    file=sys.stderr,
+                )
+                time.sleep(90.0)
+                _probes.append(_shuffle_probe(spark))
+            pre_tier_calib[name] = {
+                "probes_s": _probes,
+                "cleared": not (
+                    _prev_shuffle and _probes[-1] > 1.5 * _prev_shuffle
+                ),
+            }
         if name.startswith("scale_") or name in BEST_OF_2:
             _gc_barrier()
         if name in REPEATED:
@@ -1342,6 +1413,36 @@ def main():
             if re_elapsed < best:
                 best, gc_best, steal_best = re_elapsed, re_gc, re_steal
                 kept_stats = re_stats
+        # Clean-floor rule (r13): independent of LAST round's wall — a
+        # contaminated commit must not become next round's "normal". A
+        # kept sample >1.5x the tier's cleanest-ever committed wall gets
+        # one confirmation rerun (min-wall keeps; both samples recorded).
+        # Skipped when the regression rule already rerarmed this row —
+        # two confirmations of the same wave add wall, not information.
+        _floor = CLEAN_FLOORS.get(name)
+        if (
+            _floor
+            and best > 1.5 * _floor
+            and name not in regression_reruns
+            and floor_rerun_budget > 0
+        ):
+            floor_rerun_budget -= 1
+            print(
+                f"# floor rule: {name} {best}s > 1.5x clean floor "
+                f"{_floor}s — one confirmation rerun",
+                file=sys.stderr,
+            )
+            time.sleep(15.0)
+            re_elapsed, re_gc, re_steal, re_stats = _one_run()
+            floor_reruns[name] = {
+                "clean_floor_s": _floor,
+                "kept_pre_confirmation": re_elapsed >= best,
+                "pre_confirmation": {"s": best, "steal_ms": steal_best},
+                "rerun": {"s": re_elapsed, "steal_ms": re_steal},
+            }
+            if re_elapsed < best:
+                best, gc_best, steal_best = re_elapsed, re_gc, re_steal
+                kept_stats = re_stats
         _wcc_rounds.clear()
         _wcc_rounds.update(kept_stats[0])
         _louvain_stats.clear()
@@ -1403,6 +1504,17 @@ def main():
                 f"x {SCALE_EMB['n_vecs']} base): {_ann_recall[_arm]}",
                 file=sys.stderr,
             )
+            # GATE, not just evidence: the sf0.01 pytests gate recall at
+            # toy scale — a recall collapse that only manifests at the
+            # benched tier (bad fit sample, degenerate cells) must not
+            # pass silently. Loud marker + nonzero exit at the end.
+            if _ann_recall[_arm] < 0.8:
+                _ann_recall[f"{_arm}_FAILED_GATE"] = True
+                print(
+                    f"# !!! ANN RECALL GATE FAILED: {_arm} recall@5 "
+                    f"{_ann_recall[_arm]} < 0.8 at the benched 200k tier",
+                    file=sys.stderr,
+                )
         _ann_recall["k"] = 5
         _ann_recall["n_queries"] = SCALE_EMB["n_queries"]
 
@@ -1435,6 +1547,11 @@ def main():
         # both samples, and which one the headline kept (min-wall wins —
         # steal only inflates wall, so the faster sample bounds clean time)
         "steal_reruns": steal_reruns,
+        # clean-floor confirmations (r13): reference = cleanest committed
+        # wall ever (CLEAN_FLOORS), immune to one bad round's commit
+        "floor_reruns": floor_reruns,
+        # standalone exchange probes taken right before the >=50s tiers
+        "pre_tier_calib": pre_tier_calib,
         # regression-confirmation evidence (see the rule at the keep
         # branch): rows that landed >1.3x their previous committed wall
         # and earned one confirmation run — both samples recorded

@@ -301,6 +301,7 @@ def embedding_dedup_against_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     skip_same_id: bool = False,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """[new_id, index_id, cosine]: NEW embeddings near-duplicating an
     EXISTING corpus via a prebuilt :class:`similarity.IVFIndex` — the
@@ -319,11 +320,20 @@ def embedding_dedup_against_index(
     Same-id policy mirrors :func:`dedup_against_index`: a shared id is an
     ordinary cross-frame comparison of the two actual vectors (the
     re-ingestion signal with stable ids); pass ``skip_same_id=True`` to
-    drop shared-id pairs instead."""
+    drop shared-id pairs instead.
+
+    ``broadcast_batch``: True (default) force-broadcasts the exploded
+    batch side of the probe join — right for ingestion batches up to a
+    few hundred MB of ``|batch| * nprobe * dim`` doubles. The explicit
+    hint bypasses ``autoBroadcastJoinThreshold``, so for corpus-scale
+    batches (the re-crawl-everything case) pass ``False`` to get a plain
+    shuffle join on list_id instead of blowing the broadcast limit —
+    identical output either way."""
     from graphframes_rs_spark.pipeline import similarity as _sim
 
     cands = _sim._ivf_probe_candidates(
-        index, new_embeddings, nprobe, vec_col, id_col, "new_id", "index_id"
+        index, new_embeddings, nprobe, vec_col, id_col, "new_id", "index_id",
+        broadcast_queries=broadcast_batch,
     )
     if skip_same_id:
         cands = cands.filter(F.col("new_id") != F.col("index_id"))

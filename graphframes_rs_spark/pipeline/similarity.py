@@ -354,10 +354,24 @@ def ivf_index_load(spark, path: str) -> "IVFIndex":
     stays lazy parquet."""
     cdf = spark.read.parquet(path + "/centers").orderBy("list_id")
     rows = cdf.collect()
+    if not rows:
+        raise ValueError(
+            f"ivf_index_load: {path}/centers is empty — the save dir is "
+            "missing or was only partially written; re-run IVFIndex.save"
+        )
+    stored_nlist = int(rows[0]["nlist"])
+    got_ids = [int(r["list_id"]) for r in rows]
+    if len(rows) != stored_nlist or got_ids != list(range(stored_nlist)):
+        raise ValueError(
+            f"ivf_index_load: {path}/centers is corrupt — expected "
+            f"list_id 0..{stored_nlist - 1} ({stored_nlist} rows per the "
+            f"stored nlist), found {len(rows)} rows with ids "
+            f"{got_ids[:5]}{'...' if len(got_ids) > 5 else ''}"
+        )
     centers = np.stack([np.asarray(r["center"]) for r in rows])
     assigned = spark.read.parquet(path + "/assigned")
     return IVFIndex(
-        centers, assigned, int(rows[0]["nlist"]), int(rows[0]["seed"]),
+        centers, assigned, stored_nlist, int(rows[0]["seed"]),
         rows[0]["id_col"], rows[0]["vec_col"],
     )
 
@@ -424,13 +438,25 @@ def _ivf_probe_candidates(
     id_col: str,
     query_alias: str,
     base_alias: str,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """[list_id, <base_alias>, nv, <query_alias>, qv]: every (query row,
     index row) pair whose index row is HOME-assigned to one of the query
     row's ``nprobe`` nearest cells — the candidate block shared by
     :func:`ivf_search` and ``dedup.embedding_dedup_against_index`` (one
-    implementation so probe-path fixes can't diverge). The exploded query
-    side is broadcast; one equi-join on list_id."""
+    implementation so probe-path fixes can't diverge). One equi-join on
+    list_id.
+
+    ``broadcast_queries=True`` (default) force-broadcasts the exploded
+    query side — correct for interactive query batches, where the
+    exploded table is ``|batch| x nprobe`` rows each carrying the full
+    double vector. That explicit hint BYPASSES
+    ``spark.sql.autoBroadcastJoinThreshold``, so a corpus-sized batch
+    would be shipped to every executor and can exhaust driver/executor
+    memory; callers routing large ingestion batches (rule of thumb:
+    ``|batch| * nprobe * dim * 8B`` beyond a few hundred MB) must pass
+    ``False`` to degrade to an ordinary shuffle hash/sort-merge join on
+    list_id — identical rows, AQE picks the strategy."""
     q = frame.select(
         F.col(id_col).alias(query_alias),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -446,7 +472,9 @@ def _ivf_probe_candidates(
     listed = index.assigned.select(
         F.col("id").alias(base_alias), F.col("vec").alias("nv"), "list_id"
     )
-    return listed.join(F.broadcast(probed), "list_id")
+    if broadcast_queries:
+        probed = F.broadcast(probed)
+    return listed.join(probed, "list_id")
 
 
 def ivf_search(
@@ -456,6 +484,7 @@ def ivf_search(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """[query_id, neighbor_id, cosine, rank]: probe a prebuilt
     :class:`IVFIndex` — each query scans only its ``nprobe`` nearest
@@ -464,10 +493,14 @@ def ivf_search(
     tests); the fit/assign cost is wherever :func:`ivf_index` paid it.
 
     Scale shape: the probed query table is exploded to (query, cell) rows
-    and BROADCAST against the cell-partitioned assignment — one equi-join
-    on list_id, no shuffle of the base side beyond the join itself."""
+    and (by default) BROADCAST against the cell-partitioned assignment —
+    one equi-join on list_id, no shuffle of the base side beyond the join
+    itself. ``broadcast_queries=False`` switches that join to a shuffle
+    join for corpus-sized query batches (see
+    :func:`_ivf_probe_candidates` for the size bound)."""
     cands = _ivf_probe_candidates(
-        index, queries, nprobe, vec_col, id_col, "query_id", "neighbor_id"
+        index, queries, nprobe, vec_col, id_col, "query_id", "neighbor_id",
+        broadcast_queries=broadcast_queries,
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.select(
         "query_id",

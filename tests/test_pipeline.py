@@ -302,6 +302,58 @@ def test_ivf_index_search_equals_one_shot(spark, embeddings, tmp_path):
     ) == one_shot
 
 
+def test_ivf_search_shuffle_join_path(spark, embeddings):
+    """broadcast_queries=False (the corpus-scale ingestion path) returns
+    byte-identical rows through an ordinary shuffle join — the explicit
+    broadcast hint is genuinely absent from the optimized plan, so a big
+    batch degrades to exchange instead of blowing the broadcast limit."""
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    idx = similarity.ivf_index(embeddings, nlist=8)
+    bcast = sorted(map(tuple, similarity.ivf_search(
+        idx, queries, k=5, nprobe=3
+    ).collect()))
+    plan_off = similarity.ivf_search(
+        idx, queries, k=5, nprobe=3, broadcast_queries=False
+    )
+    assert sorted(map(tuple, plan_off.collect())) == bcast
+    import re as _re
+    optimized = plan_off._jdf.queryExecution().optimizedPlan().toString()
+    assert not _re.search(r"(?i)broadcast", optimized), (
+        "broadcast hint survived broadcast_queries=False"
+    )
+    # dedup face of the same dial
+    new = embeddings.filter(F.col("vec_id") < 5)
+    b_on = sorted(map(tuple, dedup.embedding_dedup_against_index(
+        new, idx, threshold=0.5
+    ).collect()))
+    b_off = sorted(map(tuple, dedup.embedding_dedup_against_index(
+        new, idx, threshold=0.5, broadcast_batch=False
+    ).collect()))
+    assert b_on == b_off
+
+
+def test_ivf_index_load_validates_centers(spark, embeddings, tmp_path):
+    """A missing/empty or torn centers table fails fast with a
+    descriptive error instead of a bare IndexError (r12 advice)."""
+    import pyspark.sql.functions as SF
+    idx = similarity.ivf_index(embeddings, nlist=8)
+    idx.save(str(tmp_path / "ok"))
+    # empty centers: keep schema, drop rows
+    spark.read.parquet(str(tmp_path / "ok/centers")).limit(0).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "empty/centers"))
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_index_load(spark, str(tmp_path / "empty"))
+    # torn write: one centroid row missing
+    spark.read.parquet(str(tmp_path / "ok/centers")).filter(
+        SF.col("list_id") != 3
+    ).write.mode("overwrite").parquet(str(tmp_path / "torn/centers"))
+    with pytest.raises(ValueError, match="corrupt"):
+        similarity.ivf_index_load(spark, str(tmp_path / "torn"))
+    # intact dir still loads
+    assert similarity.ivf_index_load(spark, str(tmp_path / "ok")).nlist == 8
+
+
 def test_ivf_cosine_candidates_prebuilt_index(spark, embeddings):
     """index= reuses the prebuilt quantizer: identical candidate pairs to
     the self-fit path at the same dials (same seed => same centroids),

@@ -40,6 +40,19 @@ def spark_big(tmp_path_factory):
     deselects every test that would request it."""
     ckpt = str(tmp_path_factory.mktemp("scale_ckpt"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # getOrCreate() silently IGNORES driver-memory config if a session is
+    # already live in this process — the gate would then run on the shared
+    # ~1 GB heap and OOM with a confusing executor stack. Fail loudly
+    # instead of inheriting the wrong heap.
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        pytest.fail(
+            "scale gate needs a fresh JVM with a 32g driver heap, but a "
+            f"SparkSession already exists ({existing.sparkContext.appName!r}) "
+            "and getOrCreate() would silently ignore spark.driver.memory. "
+            "Run this file alone: `pytest -m scale` (which deselects every "
+            "test that builds the shared session)."
+        )
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("graphframes-rs-spark-scale-gate")
