@@ -948,7 +948,10 @@ def _shuffle_probe(spark) -> float:
 # confirmation rerun (min-wall keeps, evidence under "floor_reruns")
 # regardless of what last round committed.
 CLEAN_FLOORS = {
-    "scale_wcc_54m": 66.7,        # tools/exp_wcc54_partitions.py clean run
+    # r13 BENCH_ONLY run, 2.3s steal (the floor rule's own confirmation
+    # rerun after a 176s-steal burst sample — tools/exp_wcc54_partitions.py
+    # r13 note); previous floor 66.7s
+    "scale_wcc_54m": 58.9,
     "scale_louvain_6m": 44.9,     # BENCH_r10
     "scale_kcore_skew18m": 32.5,  # BENCH_r12
     "scale_kcore_18m": 30.9,      # BENCH_r12

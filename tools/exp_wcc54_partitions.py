@@ -32,6 +32,21 @@ artifact has recorded, so the 18m->54m 'superlinearity' (3x edges,
 behavior. No bench dial change warranted. On a real cluster the same
 experiment is the sizing procedure: raise spark.sql.shuffle.partitions
 until the biggest round's per-task input fits executor memory, stop.
+
+ROUND-13 ADDENDUM (2026-08-16, settles the r12 weak item): one
+`SPARK_GRAFT_BENCH_ONLY=scale_wcc_54m python bench.py` run on a
+calib-quiet box (shuffle probe 0.995s) recorded, in sequence:
+  sample 1: 176.5s with 176.2s summed vCPU steal  (burst mid-sample)
+  steal-veto rerun: 116.9s with 12.1s steal
+  floor-rule rerun: 58.93s with 2.3s steal        <- kept, NEW floor
+i.e. the tier swings 59-176s within ONE bench invocation minutes apart,
+and the clean cost at HEAD is ~59s — BELOW every wall ever committed
+(r10's 81.5s, the builder's r12 99.4s re-measure). Conclusion: the
+"81.5 -> 99.4s clean drift" the r12 verdict asked to chase was two
+draws from this distribution, not code (no WCC commit since r10, and
+HEAD now measures faster than either). The CLEAN_FLOORS table pins
+58.9s and the floor rule (>1.5x => confirmation rerun) is the standing
+defense — it is the mechanism that FOUND the 58.9s sample.
 """
 
 import sys
