@@ -2089,6 +2089,28 @@ def _q_bpe_merges(spark, sf_dir):
     return txt.bpe_merge_stats(docs, topk=100, min_count=2)
 
 
+# fixed rank-ordered merge list for the bpe_encode entry — shared
+# LITERALLY by the Spark query and the DuckDB oracle so the gate tests
+# the ENCODER (merge replay, positions, id assignment), with the trainer
+# covered by its own pure-python-twin pytest (tests/test_text_search.py)
+_BPE_ENTRY_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"),
+    ("an", "d"), ("r", "o"), ("e", "r"), ("s", "t"),
+]
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE application: each document's symbol sequence under a fixed
+    rank-ordered merge list (greedy merge-order replay, Sennrich et al.
+    2016), with dense sorted-vocabulary token ids. The replay runs once
+    per DISTINCT word (vocab-bounded pandas UDF) and joins back to the
+    positional stream. Oracle: the same replay as a DuckDB recursive
+    CTE — one sentinel-delimited replace per step until per-rank
+    fixpoint — then identical window position/id assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return txt.bpe_encode(docs, _BPE_ENTRY_MERGES)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al., NeurIPS 2023): per-doc
     hashed-n-gram log-likelihood ratio of a target slice (sources
@@ -3360,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": _q_token_pmi,
         "ngram_containment": _q_ngram_containment,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "dsir_weights": _q_dsir_weights,
         "hard_negatives": _q_hard_negatives,
         "fastrp_embedding": _q_fastrp,
@@ -5101,6 +5124,44 @@ def oracle_sql() -> dict[str, str]:
             "AS rank FROM counted) "
             'SELECT pair, left_c AS "left", right_c AS "right", n, rank '
             "FROM r WHERE rank <= 100"
+        ),
+        "bpe_encode": (
+            # greedy merge-order replay as a recursive CTE: one
+            # sentinel-delimited replace per step, staying on a rank
+            # until fixpoint (adjacent occurrences share their delimiter
+            # space, so one non-overlapping pass misses every second one)
+            "WITH RECURSIVE merges(rank, pat, rep) AS (VALUES "
+            + ", ".join(
+                f"({i + 1}, ' {l} {r} ', ' {l}{r} ')"
+                for i, (l, r) in enumerate(_BPE_ENTRY_MERGES)
+            )
+            + "), "
+            "wstream AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, "
+            "unnest(ws) AS word FROM (SELECT doc_id, "
+            "string_split(lower(text), ' ') AS ws FROM documents)), "
+            "words AS (SELECT DISTINCT word FROM wstream WHERE word <> ''), "
+            "steps(word, seq, r) AS ("
+            "SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') "
+            "|| ' ', 1 FROM words "
+            "UNION "
+            "SELECT s.word, "
+            "CASE WHEN contains(s.seq, m.pat) "
+            "THEN replace(s.seq, m.pat, m.rep) ELSE s.seq END, "
+            "CASE WHEN contains(s.seq, m.pat) THEN s.r ELSE s.r + 1 END "
+            "FROM steps s JOIN merges m ON m.rank = s.r), "
+            "enc AS (SELECT word, string_split(trim(seq), ' ') AS syms "
+            f"FROM steps WHERE r = {len(_BPE_ENTRY_MERGES) + 1}), "
+            "stream AS (SELECT ws.doc_id, ws.wpos, "
+            "generate_subscripts(e.syms, 1) AS spos, unnest(e.syms) AS token "
+            "FROM wstream ws JOIN enc e ON ws.word = e.word), "
+            "positioned AS (SELECT doc_id, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS BIGINT) AS pos, "
+            "token FROM stream), "
+            "vocab AS (SELECT token, CAST(row_number() OVER (ORDER BY token) "
+            "AS BIGINT) AS token_id "
+            "FROM (SELECT DISTINCT token FROM positioned)) "
+            "SELECT p.doc_id, p.pos, p.token, v.token_id "
+            "FROM positioned p JOIN vocab v USING (token)"
         ),
         "dsir_weights": (
             # identical md5-hash60 buckets + integer micro-unit dot product

@@ -4,7 +4,9 @@ All hot-path logic is JVM-side ``pyspark.sql.functions`` / SQL
 higher-order functions — no Python UDFs — so whole-stage codegen applies
 and the operators scale linearly with executors. Every operator is
 expressible in ANSI SQL (see ``__spark_entry__.oracle_sql``), which the
-DuckDB oracle cross-checks.
+DuckDB oracle cross-checks. (Single exception: ``bpe_encode``'s merge
+replay is an Arrow-batched pandas UDF over the DISTINCT-WORD frame —
+vocabulary-bounded work, never per-corpus-token Python.)
 
 Design notes for oracle parity (values must hash-match DuckDB):
   * rolling hashes use modulus 1e9+7 with base 31 — intermediates stay
@@ -1015,6 +1017,185 @@ def bpe_merge_stats(
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
+    )
+
+
+def _bpe_replay(word: str, merges: list) -> list:
+    """Greedy merge-order replay of a BPE merge list on one word: for
+    each merge (left, right) in rank order, fuse every adjacent
+    (left, right) symbol pair, repeating until that merge no longer
+    applies, before moving to the next rank. This is the standard BPE
+    *application* convention (Sennrich et al., ACL 2016): earlier merges
+    are fully applied before later ones, and within one merge fusion is
+    leftmost-first.
+
+    Implemented as sentinel-delimited string replacement so the DuckDB
+    oracle (one `replace()` per recursive-CTE step) reproduces it
+    bit-for-bit: symbols never contain spaces (the corpus tokenizer
+    splits on spaces), so ``' l r ' -> ' lr '`` matches exactly at
+    symbol boundaries; the loop re-runs a rank until fixpoint because
+    adjacent occurrences share their delimiter space and a single
+    non-overlapping replace pass misses every second one."""
+    seq = " " + " ".join(word) + " "
+    for left, right in merges:
+        pat = f" {left} {right} "
+        rep = f" {left}{right} "
+        while pat in seq:
+            seq = seq.replace(pat, rep)
+    return seq.split()
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab_words: int = 50_000,
+) -> DataFrame:
+    """[rank, left, right] — a trained BPE merge list (Sennrich et al.,
+    ACL 2016): iteratively fuse the most frequent adjacent symbol pair,
+    re-counting after every merge, until ``num_merges`` merges or no
+    pair reaches ``min_count``. Ties break on the lexicographically
+    smallest (left, right) so the list is deterministic.
+
+    Scale shape: the corpus collapses to the distinct-word + frequency
+    frame (one combine-enabled groupBy), the top ``max_vocab_words``
+    words by (freq desc, word) are collected driver-side, and the
+    iterative trainer runs locally on that bounded vocabulary — the
+    sample-bounded-fit pattern (same contract as the IVF KMeans fit):
+    the expensive iteration is O(vocab), never O(corpus), and rank-1
+    always equals ``bpe_merge_stats``' top pair by construction (both
+    compute Σ over distinct words of in-word occurrences x word freq).
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    rows = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    vocab = [(tuple(r["word"]), int(r["freq"])) for r in rows]
+    merges = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        # max count, then lexicographically smallest pair — deterministic
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_count:
+            break
+        left, right = best[0]
+        merges.append((left, right))
+        fused = left + right
+        new_vocab = []
+        for syms, freq in vocab:
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((tuple(out), freq))
+        vocab = new_vocab
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[doc_id, pos, token, token_id] — each document's BPE symbol
+    sequence under a trained merge list (``bpe_train`` output, a
+    [rank, left, right] DataFrame, or a rank-ordered list of
+    (left, right) tuples). ``pos`` is the 0-based symbol position in
+    the document (word order, then symbol order within the word);
+    ``token_id`` is the dense 1-based rank of the symbol in the sorted
+    corpus-wide symbol vocabulary (deterministic: same corpus + merges
+    => same ids).
+
+    Scale shape (the trainer's dual): merge replay — the only Python —
+    runs once per DISTINCT word (vocabulary-bounded Arrow-batched
+    pandas UDF, work independent of corpus duplication), the encoded
+    word table joins back to the positional token stream (vocab-sized
+    side; Spark broadcasts it), and per-document positions are one
+    window keyed on the document id — state bounded by document
+    length. Symbol-id assignment is a second tiny broadcast join
+    against the distinct-symbol table. Merge replay semantics are
+    pinned by :func:`_bpe_replay`; the DuckDB oracle replays the same
+    list with a recursive CTE (see ``__spark_entry__.oracle_sql``)."""
+    from pyspark.sql import Window
+
+    if isinstance(merges, DataFrame):
+        merge_list = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        merge_list = [tuple(m) for m in merges]
+
+    def _replay_series(words):
+        return words.map(lambda w: _bpe_replay(w, merge_list))
+
+    replay = F.pandas_udf(_replay_series, "array<string>")
+
+    words = docs.select(
+        id_col,
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "__wpos", "__word"
+        ),
+    ).filter(F.col("__word") != "")
+    encoded = (
+        words.select("__word")
+        .distinct()
+        .withColumn("__syms", replay(F.col("__word")))
+    )
+    stream = (
+        words.join(F.broadcast(encoded), "__word")
+        .select(
+            id_col,
+            "__wpos",
+            F.posexplode("__syms").alias("__spos", "token"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("__wpos", "__spos")
+    positioned = stream.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    )
+    vocab = (
+        positioned.select("token")
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number()
+            .over(Window.orderBy("token"))
+            .cast("long"),
+        )
+    )
+    return positioned.join(F.broadcast(vocab), "token").select(
+        id_col, "pos", "token", "token_id"
     )
 
 

@@ -1381,6 +1381,84 @@ def test_bpe_merge_stats_hand_computed(spark):
     assert set(out) == {"ab", "ba"}
 
 
+def test_bpe_train_hand_computed(spark):
+    """Iterative trainer on a corpus small enough to replay by hand:
+    merge 1 fuses the dominant char pair (== bpe_merge_stats rank 1 by
+    construction); merge 2 counts PAIRS OF THE NEW SYMBOL, proving the
+    re-count after each merge (the part bpe_merge_stats alone lacks)."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab ba x")], ["doc_id", "text"]
+    )
+    merges = text.bpe_train(docs, num_merges=5, min_count=1).collect()
+    got = [(r["rank"], r["left"], r["right"]) for r in merges]
+    # vocab: abab x3, ab x2, ba x1, x x1
+    # round 1: (a,b) = 2*3 + 2 = 8 beats (b,a) = 3+1 -> merge "ab"
+    # round 2: abab -> [ab, ab] so (ab, ab) = 3; ba untouched (b,a) = 1
+    # round 3: abab -> [abab]; only "ba" has a pair left: (b,a) = 1
+    # round 4: nothing left
+    assert got == [(1, "a", "b"), (2, "ab", "ab"), (3, "b", "a")]
+    top = text.bpe_merge_stats(docs, topk=1, min_count=1).collect()[0]
+    assert (top["left"], top["right"]) == (got[0][1], got[0][2])
+
+
+def test_bpe_encode_replay_and_roundtrip(spark):
+    """Encoder semantics: merge-order replay per word (trained list),
+    lossless round-trip (concatenating a doc's symbols in pos order
+    reproduces its text with spaces dropped), dense deterministic ids,
+    and composition with pack_documents on the encoded token counts."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab ba x")], ["doc_id", "text"]
+    )
+    merges = text.bpe_train(docs, num_merges=2, min_count=1)
+    out = text.bpe_encode(docs, merges).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # replay by hand with merges [(a,b), (ab,ab)]:
+    # abab -> abab (one symbol), ab -> ab, ba -> b a, x -> x
+    seq1 = [r["token"] for r in sorted(by_doc[1], key=lambda r: r["pos"])]
+    seq2 = [r["token"] for r in sorted(by_doc[2], key=lambda r: r["pos"])]
+    assert seq1 == ["abab", "abab", "ab"]
+    assert seq2 == ["abab", "ab", "b", "a", "x"]
+    # lossless round-trip: symbols concatenate back to the spaceless text
+    assert "".join(seq1) == "ababababab"
+    assert "".join(seq2) == "abababbax"  # "abab ab ba x" minus spaces
+    # dense sorted ids: a < ab < abab < b < x
+    ids = {r["token"]: r["token_id"] for r in out}
+    assert ids == {"a": 1, "ab": 2, "abab": 3, "b": 4, "x": 5}
+    # positions are 0..n-1 per doc with no gaps
+    assert [r["pos"] for r in sorted(by_doc[2], key=lambda r: r["pos"])] == [
+        0, 1, 2, 3, 4,
+    ]
+    # composition with the packer: bin every doc by its ENCODED length
+    counts = (
+        spark.createDataFrame(
+            [(d, " ".join(t["token"] for t in sorted(rs, key=lambda r: r["pos"])))
+             for d, rs in by_doc.items()],
+            ["doc_id", "text"],
+        )
+    )
+    packed = {
+        r["doc_id"]: r
+        for r in text.pack_documents(counts, cap_tokens=4, shards=1).collect()
+    }
+    assert packed[1]["n_tokens"] == 3 and packed[2]["n_tokens"] == 5
+
+
+def test_bpe_encode_fixpoint_adjacent_runs(spark):
+    """The delimiter-sharing case the per-rank fixpoint loop exists for:
+    'aaaa' under merge (a,a) must become [aa, aa], not [aa, a, a] (one
+    non-overlapping replace pass misses every second occurrence)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa a")], ["doc_id", "text"]
+    )
+    out = sorted(
+        text.bpe_encode(docs, [("a", "a")]).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [r["token"] for r in out] == ["aa", "aa", "aa", "a", "a"]
+
+
 def test_dsir_weights_directionality(spark):
     # target docs use token "good", raw-only docs use "bad": the weight
     # of a target-like doc must exceed a raw-like doc's.
