@@ -1192,6 +1192,20 @@ def _q_minhash_sigs(spark, sf_dir):
     return dedup.minhash_signatures(docs, k=MINHASH_K)
 
 
+def _q_neardup_first_arrival(spark, sf_dir):
+    """First-arrival-wins near-dup at LSH-bucket granularity (the batch
+    twin of the streaming foreachBatch ingest): a doc survives iff it is
+    the min-doc_id claimant of EVERY one of its band buckets. Same
+    minhash/band dials as the lsh_candidates entry. Oracle: identical
+    band keys in SQL, min(doc_id) per bucket, all-buckets conjunction."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sdedup.neardup_first_arrival(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS
+    )
+
+
 def _q_lsh_candidates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, k=MINHASH_K)
@@ -3373,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
+        "neardup_first_arrival": _q_neardup_first_arrival,
         "jaccard_pairs": _q_jaccard_pairs,
         "dedup_incremental": _q_dedup_incremental,
         "simhash": _q_simhash,
@@ -3445,6 +3460,31 @@ def _lsh_candidates_sql() -> str:
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM banded a JOIN banded b ON a.band = b.band "
         "AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
+    )
+
+
+def _neardup_first_arrival_sql() -> str:
+    """Batch twin of the streaming bucket-claim ingest: same band keys
+    as _lsh_candidates_sql, min(doc_id) winner per bucket (the entry
+    uses order_col=None => doc_id arbitration), survivor = all-buckets
+    conjunction."""
+    rows = MINHASH_K // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        key = f"(mh_{b * rows} % 1000000007)"
+        for r in range(1, rows):
+            key = f"(({key} * 31 + mh_{b * rows + r}) % 1000000007)"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return (
+        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({banded}), "
+        "w AS (SELECT band, bucket, min(doc_id) AS wdoc "
+        "FROM banded GROUP BY 1, 2), "
+        "cl AS (SELECT b.doc_id, bool_and(b.doc_id = w.wdoc) AS ok "
+        "FROM banded b JOIN w USING (band, bucket) GROUP BY 1) "
+        "SELECT doc_id FROM cl WHERE ok"
     )
 
 
@@ -4854,6 +4894,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_sigs": _minhash_sig_sql(),
         "lsh_candidates": _lsh_candidates_sql(),
+        "neardup_first_arrival": _neardup_first_arrival_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "tfidf_topk": (
             "WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM ("

@@ -42,3 +42,233 @@ def streaming_exact_dedup(
             ["content_hash"]
         )
     return hashed.dropDuplicates(["content_hash"])
+
+
+def _banded_buckets(
+    docs: DataFrame,
+    text_col: str,
+    order_col: Optional[str],
+    k: int,
+    bands: int,
+    n: int,
+    seed: int,
+) -> DataFrame:
+    """[doc_id, __ord, band, bucket] — each document's LSH band buckets
+    (the batch pipeline's minhash + band keys, reused verbatim so the
+    streaming and batch faces can never disagree on bucketing), plus the
+    arbitration order ``__ord`` (``order_col`` or doc_id)."""
+    from graphframes_rs_spark.pipeline.dedup import (
+        _lsh_band_keys,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, text_col=text_col, k=k, n=n, seed=seed)
+    if order_col is not None:
+        sigs = sigs.join(docs.select("doc_id", order_col), "doc_id").withColumn(
+            "__ord", F.col(order_col)
+        )
+    else:
+        sigs = sigs.withColumn("__ord", F.col("doc_id"))
+    return sigs.select(
+        "doc_id",
+        "__ord",
+        F.posexplode(F.array(*_lsh_band_keys(k, bands))).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def neardup_first_arrival(
+    docs: DataFrame,
+    text_col: str = "text",
+    order_col: Optional[str] = None,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """[doc_id] — the documents that SURVIVE first-arrival-wins near-dup
+    at LSH-bucket granularity: a doc is accepted iff it is the earliest
+    arrival (min ``(order_col, doc_id)``; plain min doc_id when
+    ``order_col`` is None) in EVERY one of its ``bands`` band buckets.
+    Later docs sharing any bucket with any earlier doc are dropped —
+    candidate-level near-dup filtering at the ingestion door (a batch
+    near-dup pass downstream still does exact rescoring; this operator's
+    job is to stop the flood of obvious re-crawls before it).
+
+    Two properties make this the right streaming contract (the batch
+    twin here is what :func:`streaming_neardup_dedup` computes
+    incrementally):
+      * bucket claims are independent of acceptance (a doc beaten in one
+        bucket still claims the others), so the result is a pure
+        per-bucket min over the whole input — INVARIANT to how the
+        stream is chopped into microbatches;
+      * the per-doc decision is an all-buckets conjunction, i.e. one
+        groupBy after the claim join — no sequential greedy feedback.
+
+    Scale shape: narrow minhash + band keys (zero shuffle), one
+    bucket-keyed min aggregate (map-side combinable), one join back on
+    (band, bucket), one per-doc bool_and. All shuffle keys are bucket- or
+    doc-sized; no pair materialization at all (contrast
+    ``minhash_lsh_candidates``' |bucket|^2 output — the dedup decision
+    never needs the pairs)."""
+    bb = _banded_buckets(docs, text_col, order_col, k, bands, n, seed)
+    winners = bb.groupBy("band", "bucket").agg(
+        F.min(F.struct("__ord", "doc_id")).alias("w")
+    )
+    claims = bb.join(winners, ["band", "bucket"]).select(
+        "doc_id",
+        (
+            (F.col("w.__ord") == F.col("__ord"))
+            & (F.col("w.doc_id") == F.col("doc_id"))
+        ).alias("claimed"),
+    )
+    return (
+        claims.groupBy("doc_id")
+        .agg(F.bool_and("claimed").alias("__all"))
+        .filter(F.col("__all"))
+        .select("doc_id")
+    )
+
+
+def neardup_ingest_batch(
+    batch: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    order_col: Optional[str] = None,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    horizon: Optional[float] = None,
+) -> DataFrame:
+    """Process ONE (micro)batch of documents against a persistent
+    LSH-bucket claim index under ``index_dir``: returns the batch rows
+    that survive :func:`neardup_first_arrival` semantics against
+    everything already indexed PLUS this batch, and merges this batch's
+    bucket claims into the index (claims register whether or not the doc
+    was accepted — the property that makes the result microbatch-
+    boundary invariant).
+
+    The index is one parquet table [band, bucket, ord, doc_id] holding
+    each bucket's earliest claimant — bucket-count rows, not corpus
+    rows. ``horizon``: evict index entries with ``ord`` older than
+    ``max(batch ord) - horizon`` after the merge — the watermark analog
+    that bounds state when duplicates cluster in time (re-crawls,
+    mirror bursts); evicted buckets can be re-claimed later, the same
+    re-emit trade ``dropDuplicatesWithinWatermark`` makes.
+
+    Exactness contract: if batches arrive in non-decreasing
+    ``(order_col, doc_id)`` order (a file-source replay, an ordered
+    ingest queue) and ``horizon`` is None, the union of accepted rows
+    across batches EQUALS :func:`neardup_first_arrival` on the
+    concatenated input — pinned by the streaming==batch pytest. With
+    out-of-order arrival, acceptance is first-PROCESSED-wins: an early
+    row arriving late cannot retroactively un-emit a winner."""
+    spark = batch.sparkSession
+    bb = _banded_buckets(batch, text_col, order_col, k, bands, n, seed)
+    batch_best = bb.groupBy("band", "bucket").agg(
+        F.min(F.struct(F.col("__ord").alias("ord"), "doc_id")).alias("w")
+    )
+    try:
+        idx = spark.read.parquet(index_dir)
+        have_index = True
+    except Exception:
+        have_index = False
+    if have_index:
+        prior = idx.select(
+            "band",
+            "bucket",
+            F.struct(F.col("ord"), F.col("doc_id")).alias("w"),
+        )
+        combined = (
+            batch_best.unionByName(prior)
+            .groupBy("band", "bucket")
+            .agg(F.min("w").alias("w"))
+        )
+    else:
+        combined = batch_best
+    claims = bb.join(combined, ["band", "bucket"]).select(
+        "doc_id",
+        (
+            (F.col("w.ord") == F.col("__ord"))
+            & (F.col("w.doc_id") == F.col("doc_id"))
+        ).alias("claimed"),
+    )
+    accepted_ids = (
+        claims.groupBy("doc_id")
+        .agg(F.bool_and("claimed").alias("__all"))
+        .filter(F.col("__all"))
+        .select("doc_id")
+    )
+    # materialize acceptances BEFORE the index overwrite: `accepted`
+    # reads the old index lazily, and overwriting it first would corrupt
+    # the read (and the batch's own decision); localCheckpoint cuts the
+    # lineage to the soon-to-be-replaced files
+    accepted = batch.join(accepted_ids, "doc_id").localCheckpoint(eager=True)
+    new_index = combined.select(
+        "band", "bucket", F.col("w.ord").alias("ord"), F.col("w.doc_id").alias("doc_id")
+    )
+    if horizon is not None:
+        hi = bb.agg(F.max("__ord")).collect()[0][0]
+        if hi is not None:
+            new_index = new_index.filter(F.col("ord") >= hi - horizon)
+    # write-then-swap: parquet overwrite of a table being read is unsafe,
+    # so stage to a sibling dir and atomically rename over the old one
+    import os
+    import shutil as _sh
+
+    staged = index_dir.rstrip("/") + ".staging"
+    new_index.write.mode("overwrite").parquet(staged)
+    if os.path.isdir(index_dir):
+        _sh.rmtree(index_dir)
+    os.rename(staged, index_dir)
+    return accepted
+
+
+def streaming_neardup_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    order_col: Optional[str] = None,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    horizon: Optional[float] = None,
+):
+    """Continuous first-arrival near-dup ingestion: the streaming face of
+    :func:`neardup_first_arrival` (and the near-dup sibling of
+    :func:`streaming_exact_dedup`). Each microbatch is arbitrated against
+    the persistent bucket-claim index via :func:`neardup_ingest_batch`
+    (``foreachBatch`` — the same pattern as the CDC upsert sink: the
+    per-batch logic IS the batch operator, so streaming and batch cannot
+    drift); survivors append to ``out_dir`` as parquet.
+
+    State is the bucket-claim index: one row per distinct band bucket
+    ever claimed — bounded by bucket cardinality, not corpus size, and
+    further bounded by ``horizon`` (evict claims older than the newest
+    batch minus horizon; the watermark analog). Returns the started
+    StreamingQuery."""
+
+    def _ingest(batch: DataFrame, _batch_id: int) -> None:
+        accepted = neardup_ingest_batch(
+            batch,
+            index_dir,
+            text_col=text_col,
+            order_col=order_col,
+            k=k,
+            bands=bands,
+            n=n,
+            seed=seed,
+            horizon=horizon,
+        )
+        accepted.write.mode("append").parquet(out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

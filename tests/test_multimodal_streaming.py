@@ -537,6 +537,121 @@ def test_streaming_exact_dedup_watermark_bounded(spark, tmp_path):
     assert len({r["content_hash"] for r in got}) == 10
 
 
+def test_neardup_first_arrival_batch_semantics(spark):
+    """The batch twin on a planted corpus: exact duplicates collapse to
+    the min-doc_id copy; a distinct-shingle doc survives; acceptance is
+    the all-buckets conjunction (a doc beaten in ANY bucket drops)."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0 -> dropped
+        (2, base + " extra"),           # near-dup of 0 -> shares buckets
+        (3, "one two three four five six seven eight nine"),  # distinct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in sdedup.neardup_first_arrival(docs).collect()
+    }
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept                 # identical signature, later id
+    # near-dup 2: dropped iff it shares >=1 band bucket with 0 — verify
+    # the operator agrees with the LSH candidate generator on that
+    from graphframes_rs_spark.pipeline import dedup as bdedup
+
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in bdedup.minhash_lsh_candidates(
+            bdedup.minhash_signatures(docs)
+        ).collect()
+    }
+    assert ((0, 2) in cands) == (2 not in kept)
+
+
+def test_streaming_neardup_equals_batch(spark, tmp_path):
+    """streaming==batch equality gate (r12 verdict task 6): three
+    microbatches (maxFilesPerTrigger=1, files in order) through the
+    foreachBatch bucket-claim ingest produce exactly the batch twin's
+    accepted set on the concatenated input — including a cross-batch
+    near-dup (batch-2 re-crawl of a batch-0 doc) being dropped."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight nine ten",
+        2: "red orange yellow green blue indigo violet ultra",
+    }
+    batches = [
+        [(0, texts[0], 0.0), (1, texts[1], 1.0)],
+        [(2, texts[2], 2.0)],
+        [(3, texts[0], 3.0), (4, texts[1] + " eleven", 4.0)],  # re-crawls
+    ]
+    schema = "doc_id long, text string, ts double"
+    src = str(tmp_path / "nd_src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    index_dir = str(tmp_path / "nd_index")
+    out_dir = str(tmp_path / "nd_out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = sdedup.streaming_neardup_dedup(
+        stream,
+        index_dir,
+        out_dir,
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+        order_col="ts",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in sdedup.neardup_first_arrival(
+            all_docs, order_col="ts"
+        ).collect()
+    }
+    assert streamed == batch_kept
+    assert 0 in streamed and 3 not in streamed  # re-crawl dropped
+    # the index holds bucket claims, not documents: schema + bounded rows
+    idx = spark.read.parquet(index_dir)
+    assert set(idx.columns) == {"band", "bucket", "ord", "doc_id"}
+
+
+def test_neardup_ingest_horizon_evicts(spark, tmp_path):
+    """The watermark analog: with horizon=1.0, a bucket claimed at ts=0
+    is evicted once a batch at ts=10 lands, so a ts=11 re-crawl of the
+    ts=0 doc re-emits (bounded state => re-emit trade, same as
+    dropDuplicatesWithinWatermark)."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    schema = "doc_id long, text string, ts double"
+    t0 = "alpha beta gamma delta epsilon zeta eta theta"
+    index_dir = str(tmp_path / "h_index")
+    b0 = spark.createDataFrame([(0, t0, 0.0)], schema)
+    a0 = sdedup.neardup_ingest_batch(b0, index_dir, order_col="ts", horizon=1.0)
+    assert [r["doc_id"] for r in a0.collect()] == [0]
+    b1 = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine", 10.0)], schema
+    )
+    sdedup.neardup_ingest_batch(b1, index_dir, order_col="ts", horizon=1.0)
+    # ts=0 claims are now past the horizon -> evicted -> re-crawl re-emits
+    b2 = spark.createDataFrame([(2, t0, 11.0)], schema)
+    a2 = sdedup.neardup_ingest_batch(b2, index_dir, order_col="ts", horizon=1.0)
+    assert [r["doc_id"] for r in a2.collect()] == [2]
+
+
 def test_event_transitions_hand_computed(spark):
     """Per-user time-ordered journeys: u1 a->b->a gives (a,b) and (b,a);
     u2 a->a gives (a,a); probabilities normalize per source type."""
