@@ -195,13 +195,17 @@ def _scale_graph(spark, tier):
 # WCC clusters) must recover exactly those triples at corpus scale.
 SCALE_DOCS = {"n_docs": 200_000, "words": 50, "vocab": 200}
 _scale_docs_path = []
+_scale_docs_n_paths = {}
 
 
-def _prepare_scale_docs(spark):
-    if _scale_docs_path:
+def _prepare_scale_docs_n(spark, n_docs):
+    """The SCALE_DOCS corpus recipe at an arbitrary document count (same
+    planted near-dup triples every 10 ids, same vocab/length) — the
+    growth-arm generalization, mirroring _prepare_scale_emb_n."""
+    if n_docs in _scale_docs_n_paths:
         return
     dims = SCALE_DOCS
-    base = tempfile.mkdtemp(prefix="gf_scale_docs_")
+    base = tempfile.mkdtemp(prefix=f"gf_scale_docs{n_docs}_")
     vocab = F.array(*[F.lit(f"w{i:03d}") for i in range(dims["vocab"])])
     content_id = F.when(
         F.col("id") % 10 >= 8, F.col("id") - (F.col("id") % 10)
@@ -223,10 +227,17 @@ def _prepare_scale_docs(spark):
             F.concat(F.lit("extra"), (F.col("id") % 10).cast("string")),
         ),
     ).otherwise(F.concat_ws(" ", words))
-    spark.range(dims["n_docs"]).select(
+    spark.range(n_docs).select(
         F.col("id").alias("doc_id"), text.alias("text")
     ).write.mode("overwrite").parquet(base + "/documents")
-    _scale_docs_path.append(base + "/documents")
+    _scale_docs_n_paths[n_docs] = base + "/documents"
+
+
+def _prepare_scale_docs(spark):
+    if _scale_docs_path:
+        return
+    _prepare_scale_docs_n(spark, SCALE_DOCS["n_docs"])
+    _scale_docs_path.append(_scale_docs_n_paths[SCALE_DOCS["n_docs"]])
 
 
 def _bench_scale_dedup(spark, sf_dir):
@@ -259,6 +270,33 @@ def _bench_scale_exactsubstr(spark, sf_dir):
     _prepare_scale_docs(spark)
     docs = spark.read.parquet(_scale_docs_path[0])
     return _dd.exact_substr_spans(docs, min_len=60, min_count=2)
+
+
+def _bench_scale_exactsubstr_keepfirst(spark, sf_dir):
+    # keep_first at the same dials as scale_exactsubstr_200k, so the
+    # row delta IS the survivor policy's cost: the extra min-(doc_id,pos)
+    # struct aggregate per window content + the protected-vs-unprotected
+    # endpoint event sweep (r12 verdict: the sweep was untimed at scale)
+    from graphframes_rs_spark.pipeline import dedup as _dd
+
+    _prepare_scale_docs(spark)
+    docs = spark.read.parquet(_scale_docs_path[0])
+    return _dd.exact_substr_spans(docs, min_len=60, min_count=2,
+                                  keep_first=True)
+
+
+def _bench_scale_exactsubstr_1m(spark, sf_dir):
+    # 5x the 200k arm (~1M docs, ~250M chars => ~190M window positions)
+    # with the ROLLING hasher — the measured-crossover winner at L=60
+    # (gram ~1.6x slower there) and the O(n) scale path for large L; the
+    # gram-vs-rolling choice is re-checkable by diffing this row against
+    # scale_exactsubstr_200k x5 (gram) across rounds
+    from graphframes_rs_spark.pipeline import dedup as _dd
+
+    _prepare_scale_docs_n(spark, 1_000_000)
+    docs = spark.read.parquet(_scale_docs_n_paths[1_000_000])
+    return _dd.exact_substr_spans(docs, min_len=60, min_count=2,
+                                  hasher="rolling")
 
 
 def _bench_scale_dsir(spark, sf_dir):
@@ -809,6 +847,11 @@ BENCH_QUERIES = {
     # char-exact ExactSubstr spans over the same corpus: ~50M hashed
     # window positions through one count + semi join + island merge
     "scale_exactsubstr_200k": _bench_scale_exactsubstr,
+    # survivor-policy cost arm: same dials + keep_first=True (delta vs
+    # the row above = the protect-one-copy sweep)
+    "scale_exactsubstr_keepfirst_200k": _bench_scale_exactsubstr_keepfirst,
+    # 1M-doc growth arm, rolling hasher (~190M window positions)
+    "scale_exactsubstr_1m": _bench_scale_exactsubstr_1m,
     "scale_dsir_200k": _bench_scale_dsir,
     # similarity scale proof: IVF over 100x the sf0.1 embeddings (8x
     # faster than exact at recall 0.93 — see SCALE_EMB)
@@ -963,6 +1006,9 @@ CLEAN_FLOORS = {
     "scale_node2vec_6m": 11.9,    # BENCH_r08
     "scale_matching_6m": 11.3,    # BENCH_r11
     "scale_dedup_200k": 10.4,     # BENCH_r10
+    # seeded from the r13 quiet-box introduction measurements
+    "scale_exactsubstr_keepfirst_200k": 11.3,
+    "scale_exactsubstr_1m": 48.2,
 }
 # tiers expensive enough that ONE contaminated sample dominates the
 # artifact: re-probe the box immediately before measuring them
@@ -1107,6 +1153,8 @@ def main():
         _prepare_scale_emb(spark)
     if any(n.endswith("_400k") for n in bench_queries):
         _prepare_scale_emb_n(spark, 400_000)  # untimed, same reason
+    if any(n.endswith("_1m") for n in bench_queries):
+        _prepare_scale_docs_n(spark, 1_000_000)  # untimed, same reason
 
     # The iterative graph algorithms run many short jobs and are the most
     # sensitive to JVM/GC state (observed ±40% across identical runs, and
@@ -1148,6 +1196,9 @@ def main():
         "scale_kcore_skew18m_pregel", "scale_wcc_18m_onehop", "scale_wcc_54m",
         "scale_neardup_ivf_200k", "scale_neardup_ivf_400k",
         "scale_louvain_6m",
+        # ~50-75s growth arm: exists for the 1m/200k RATIO; best-of-2
+        # would add ~a minute of bench for a ratio the floor rule guards
+        "scale_exactsubstr_1m",
     }
     # iterative round-5 queries: many short jobs -> GC-sensitive, but big
     # enough that best-of-3 would dominate wall-clock; best-of-2.

@@ -1290,9 +1290,16 @@ def exact_substr_spans(
     read amplification dominates; both hashers produce identical spans
     (hash family differs, detection is per-position either way).
     Measured on a 200k-doc/~250-char corpus (local[32], warm): L=60 gram
-    10.5s vs rolling 6.7s (~1.6x), converging by L=200 where short docs
-    drop out — prefer rolling from L≈50 up on trusted corpora (see the
-    collision caveat above for hostile input).
+    10.5s vs rolling 6.7s (~1.6x) in the r12 session; an r13 interleaved
+    re-measure on a calib-quiet box put them statistically EQUAL at L=60
+    (gram 5.95-6.66s vs rolling 5.21-7.33s alternating in one session) —
+    at ~250-char docs the shuffle dominates and the L-fold read
+    amplification is in the noise. At 5x the corpus (1M docs, quiet box)
+    rolling wins clearly: 48s vs gram 118s — the read amplification
+    surfaces once the count aggregate spills past cache. Net guidance:
+    either hasher below ~10^5 docs; rolling for large corpora or
+    L ≳ 100 on trusted input (see the collision caveat above for
+    hostile input).
     """
     L = min_len
     grams = _position_grams(docs, text_col, L, hasher)
