@@ -170,12 +170,13 @@ def neardup_ingest_batch(
     batch_best = bb.groupBy("band", "bucket").agg(
         F.min(F.struct(F.col("__ord").alias("ord"), "doc_id")).alias("w")
     )
-    try:
-        idx = spark.read.parquet(index_dir)
-        have_index = True
-    except Exception:
-        have_index = False
+    import os as _os
+
+    # existence check, not try/except: a CORRUPT index must raise, not
+    # silently reset the dedup state to empty
+    have_index = _os.path.isdir(index_dir)
     if have_index:
+        idx = spark.read.parquet(index_dir)
         prior = idx.select(
             "band",
             "bucket",
@@ -251,7 +252,15 @@ def streaming_neardup_dedup(
     ever claimed — bounded by bucket cardinality, not corpus size, and
     further bounded by ``horizon`` (evict claims older than the newest
     batch minus horizon; the watermark analog). Returns the started
-    StreamingQuery."""
+    StreamingQuery.
+
+    Failure semantics: arbitration is retry-idempotent (a replayed batch
+    re-finds its own claims at the same ``(ord, doc_id)`` and accepts
+    the same rows), but the parquet ``append`` to ``out_dir`` is not —
+    a crash between the index swap and the append can duplicate rows on
+    replay, the standard foreachBatch at-least-once trade; dedup
+    ``out_dir`` on doc_id downstream or swap the sink for a
+    transactional table format when exactly-once matters."""
 
     def _ingest(batch: DataFrame, _batch_id: int) -> None:
         accepted = neardup_ingest_batch(
