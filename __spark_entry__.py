@@ -1241,6 +1241,25 @@ def _q_dedup_incremental(spark, sf_dir):
     )
 
 
+def _q_dedup_incr_indexed(spark, sf_dir):
+    """Same incremental-ingestion contract as dedup_incremental, but
+    through a prebuilt pipeline.dedup.MinHashIndex (the corpus's banded
+    signature + shingle tables precomputed once and reused per batch —
+    the MinHash-space index object mirroring similarity.IVFIndex and
+    ExactSubstrIndex). Query-time params default to the index's stored
+    build provenance. The oracle is byte-identical to dedup_incremental's
+    — the index changes WHERE the corpus pipeline is paid, never the
+    emitted pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = dedup.minhash_index(
+        docs.filter(F.col("doc_id") < 400), k=MINHASH_K, bands=MINHASH_BANDS
+    )
+    return dedup.dedup_against_index(
+        docs.filter(F.col("doc_id") >= 400), idx, threshold=JACCARD_T,
+        max_bucket_size=None,
+    )
+
+
 def _q_ngram_dup_coverage(spark, sf_dir):
     """Exact-substring-dedup estimate: per-doc fraction of 3-gram
     positions (and of tokens, via span-union coverage) duplicated across
@@ -3390,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_first_arrival": _q_neardup_first_arrival,
         "jaccard_pairs": _q_jaccard_pairs,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incr_indexed": _q_dedup_incr_indexed,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
         "dedup_clusters": _q_dedup_clusters,
@@ -4896,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates": _lsh_candidates_sql(),
         "neardup_first_arrival": _neardup_first_arrival_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
+        "dedup_incr_indexed": _dedup_incremental_sql(),
         "tfidf_topk": (
             "WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM ("
             "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t "

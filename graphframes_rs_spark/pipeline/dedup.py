@@ -186,13 +186,13 @@ def minhash_lsh_candidates(
 
 def dedup_against_index(
     new_docs: DataFrame,
-    index_docs: DataFrame,
+    index_docs: "DataFrame | MinHashIndex",
     text_col: str = "text",
-    k: int = 16,
-    bands: int = 4,
-    n: int = 3,
+    k: int | None = None,
+    bands: int | None = None,
+    n: int | None = None,
     threshold: float = 0.5,
-    seed: int = 42,
+    seed: int | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     skip_same_id: bool = False,
 ) -> DataFrame:
@@ -232,16 +232,55 @@ def dedup_against_index(
     colliding new doc into |bucket| candidates). Verification joins each
     candidate to the two shingle arrays — per-pair payload bounded by
     document length. Exact (cap None) for oracle use; capped default for
-    production."""
+    production.
+
+    ``index_docs`` may be a prebuilt :class:`MinHashIndex` instead of a
+    raw document frame: the corpus-side signature/shingle pipelines are
+    then read from the index (paid once at :func:`minhash_index` time)
+    and ``k``/``bands``/``n``/``seed`` default to its build provenance —
+    an explicit conflicting value raises, because a mismatched hash
+    family silently never collides. With a raw frame the classic
+    defaults (16, 4, 3, 42) apply."""
+    if isinstance(index_docs, MinHashIndex):
+        for pname, given, built in (
+            ("k", k, index_docs.k),
+            ("bands", bands, index_docs.bands),
+            ("n", n, index_docs.n),
+            ("seed", seed, index_docs.seed),
+        ):
+            if given is not None and given != built:
+                raise ValueError(
+                    f"{pname}={given!r} conflicts with the MinHashIndex's "
+                    f"build provenance ({built!r}) — band keys would "
+                    "silently never collide"
+                )
+        k, bands, n, seed = (
+            index_docs.k, index_docs.bands, index_docs.n, index_docs.seed
+        )
+        banded_idx = index_docs.banded.select(
+            F.col("doc_id").alias("index_id"), "band", "bucket"
+        )
+        sh_idx = index_docs.shingle_arrays.select(
+            F.col("doc_id").alias("index_id"), F.col("__sh").alias("__sh_i")
+        )
+    else:
+        k = 16 if k is None else k
+        bands = 4 if bands is None else bands
+        n = 3 if n is None else n
+        seed = 42 if seed is None else seed
+        b_idx, s_idx = _minhash_index_tables(
+            index_docs, text_col, k, bands, n, seed
+        )
+        banded_idx = b_idx.select(
+            F.col("doc_id").alias("index_id"), "band", "bucket"
+        )
+        sh_idx = s_idx.select(
+            F.col("doc_id").alias("index_id"), F.col("__sh").alias("__sh_i")
+        )
     sig_new = minhash_signatures(new_docs, text_col=text_col, k=k, n=n, seed=seed)
-    sig_idx = minhash_signatures(index_docs, text_col=text_col, k=k, n=n, seed=seed)
     keys = _lsh_band_keys(k, bands)
     banded_new = sig_new.select(
         F.col("doc_id").alias("new_id"),
-        F.posexplode(F.array(*keys)).alias("band", "bucket"),
-    )
-    banded_idx = sig_idx.select(
-        F.col("doc_id").alias("index_id"),
         F.posexplode(F.array(*keys)).alias("band", "bucket"),
     )
     if max_bucket_size is not None:
@@ -274,10 +313,6 @@ def dedup_against_index(
     sh_new = new_docs.select(
         F.col("doc_id").alias("new_id"),
         shingles(F.col(text_col), n).alias("__sh_n"),
-    )
-    sh_idx = index_docs.select(
-        F.col("doc_id").alias("index_id"),
-        shingles(F.col(text_col), n).alias("__sh_i"),
     )
     inter = F.size(F.array_intersect(F.col("__sh_n"), F.col("__sh_i")))
     union = F.size("__sh_n") + F.size("__sh_i") - inter
@@ -345,6 +380,150 @@ def embedding_dedup_against_index(
         "index_id",
         F.round(_sim.cosine_expr(F.col("qv"), F.col("nv")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+class MinHashIndex:
+    """Precomputed MinHash state of an accepted corpus, wrapped with its
+    ``(k, bands, n, seed)`` build provenance — the MinHash-space peer of
+    :class:`similarity.IVFIndex` and :class:`ExactSubstrIndex`, closing
+    the index-object symmetry across the three dedup spaces. Holds the
+    two tables every ingestion batch needs:
+
+    * ``banded`` ``[doc_id, band, bucket]`` — the exploded LSH band keys
+      (candidate stage; the expensive signature pipeline paid once);
+    * ``shingle_arrays`` ``[doc_id, __sh]`` — the distinct word-n-gram
+      arrays (exact Jaccard verification stage).
+
+    Pass the object straight to :func:`dedup_against_index` as
+    ``index_docs``: the per-batch cost drops to the BATCH's own narrow
+    signature map + the band join — the corpus is never re-shingled. A
+    silent param mismatch between index build and query would make band
+    keys never collide (different hash family) and wave re-crawled
+    duplicates through, so query-time params that conflict with the
+    stored provenance raise instead (same discipline as the other two
+    index classes)."""
+
+    def __init__(
+        self,
+        banded: DataFrame,
+        shingle_arrays: DataFrame,
+        k: int,
+        bands: int,
+        n: int,
+        seed: int,
+    ):
+        self.banded = banded
+        self.shingle_arrays = shingle_arrays
+        self.k = k
+        self.bands = bands
+        self.n = n
+        self.seed = seed
+
+    def save(self, path: str) -> None:
+        """Persist under ``path`` (parquet: ``banded/`` + ``shingles/`` +
+        a one-row ``meta/`` carrying the provenance). Reload with
+        :func:`minhash_index_load`; grow in place with
+        :func:`minhash_index_append`."""
+        spark = self.banded.sparkSession
+        self.banded.write.mode("overwrite").parquet(path + "/banded")
+        self.shingle_arrays.write.mode("overwrite").parquet(path + "/shingles")
+        spark.createDataFrame(
+            [(int(self.k), int(self.bands), int(self.n), int(self.seed))],
+            "k int, bands int, n int, seed int",
+        ).write.mode("overwrite").parquet(path + "/meta")
+
+    def append(self, accepted_docs: DataFrame, text_col: str = "text") -> "MinHashIndex":
+        """A new LAZY index = this one ∪ an accepted batch, computed with
+        the stored provenance (the in-memory form of daily growth; for
+        the persisted form use :func:`minhash_index_append`, which
+        appends only the batch's rows to the parquet dirs)."""
+        b, sh = _minhash_index_tables(
+            accepted_docs, text_col, self.k, self.bands, self.n, self.seed
+        )
+        return MinHashIndex(
+            self.banded.unionByName(b),
+            self.shingle_arrays.unionByName(sh),
+            self.k, self.bands, self.n, self.seed,
+        )
+
+
+def _minhash_index_tables(
+    docs: DataFrame, text_col: str, k: int, bands: int, n: int, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """The (banded, shingle_arrays) pair for one frame — the single
+    construction shared by index build, append, and the non-indexed
+    dedup_against_index path, so band keys can never diverge between
+    the index and the batch."""
+    sig = minhash_signatures(docs, text_col=text_col, k=k, n=n, seed=seed)
+    keys = _lsh_band_keys(k, bands)
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "bucket")
+    )
+    sh = docs.select("doc_id", shingles(F.col(text_col), n).alias("__sh"))
+    return banded, sh
+
+
+def minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> MinHashIndex:
+    """Build a :class:`MinHashIndex` over an accepted corpus: the banded
+    signature table and the distinct-shingle arrays, both NARROW maps
+    over the documents (zero shuffle — see :func:`minhash_signatures`),
+    so the build rides one corpus scan. ``checkpoint_dir`` persists it
+    (via :meth:`MinHashIndex.save`) and reads it back, cutting lineage so
+    daily batches scan parquet instead of recomputing the corpus
+    pipeline — at 100 TB the re-read is the difference between a batch
+    costing O(batch) and O(corpus)."""
+    banded, sh = _minhash_index_tables(docs, text_col, k, bands, n, seed)
+    idx = MinHashIndex(banded, sh, k, bands, n, seed)
+    if checkpoint_dir is not None:
+        idx.save(checkpoint_dir)
+        return minhash_index_load(docs.sparkSession, checkpoint_dir)
+    return idx
+
+
+def minhash_index_load(spark, path: str) -> MinHashIndex:
+    """Reload a :meth:`MinHashIndex.save`'d index; fails fast with a
+    descriptive error when the meta table is missing/empty rather than
+    guessing provenance (a wrong guess silently matches nothing)."""
+    meta = spark.read.parquet(path + "/meta").collect()
+    if not meta:
+        raise ValueError(
+            f"minhash_index_load: {path}/meta is empty — the save dir is "
+            "missing or was only partially written; re-run MinHashIndex.save"
+        )
+    m = meta[0]
+    return MinHashIndex(
+        spark.read.parquet(path + "/banded"),
+        spark.read.parquet(path + "/shingles"),
+        int(m["k"]), int(m["bands"]), int(m["n"]), int(m["seed"]),
+    )
+
+
+def minhash_index_append(
+    spark, path: str, accepted_docs: DataFrame, text_col: str = "text"
+) -> MinHashIndex:
+    """Grow a persisted index by ONE accepted batch: compute the batch's
+    banded + shingle tables with the STORED provenance and parquet-append
+    them — O(batch) work and O(batch) new bytes, the corpus dirs are
+    never rewritten (contrast rebuilding, which re-pays the corpus scan
+    daily). Returns the reloaded (now larger) index. Not safe for two
+    concurrent appenders (plain parquet append, no transaction log) —
+    serialize appends or use a transactional table format at that
+    point."""
+    idx = minhash_index_load(spark, path)
+    b, sh = _minhash_index_tables(
+        accepted_docs, text_col, idx.k, idx.bands, idx.n, idx.seed
+    )
+    b.write.mode("append").parquet(path + "/banded")
+    sh.write.mode("append").parquet(path + "/shingles")
+    return minhash_index_load(spark, path)
 
 
 def ngram_jaccard_pairs(

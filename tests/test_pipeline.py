@@ -1721,6 +1721,68 @@ def test_dedup_against_index_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_minhash_index_equals_direct_path(spark, tmp_path):
+    """dedup_against_index over a prebuilt MinHashIndex returns exactly
+    the rows of the raw-frame path (same band construction by shared
+    helper), through a save/load round-trip and a parquet append."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated index content goes right here now")],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(3, "yet another accepted document with novel words throughout it")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, near), (11, "yet another accepted document with novel words throughout it")],
+        "doc_id long, text string",
+    )
+
+    def rows(out):
+        return sorted((r["new_id"], r["index_id"], r["jaccard"])
+                      for r in out.collect())
+
+    direct = rows(dedup.dedup_against_index(
+        new, corpus.union(extra), threshold=0.3))
+    # in-memory build + append
+    idx = dedup.minhash_index(corpus).append(extra)
+    assert rows(dedup.dedup_against_index(new, idx, threshold=0.3)) == direct
+    # persisted build + minhash_index_append growth
+    path = str(tmp_path / "mh_idx")
+    dedup.minhash_index(corpus, checkpoint_dir=path)
+    grown = dedup.minhash_index_append(spark, path, extra)
+    assert rows(dedup.dedup_against_index(new, grown, threshold=0.3)) == direct
+    # reload sees the appended rows too
+    reloaded = dedup.minhash_index_load(spark, path)
+    assert rows(dedup.dedup_against_index(new, reloaded, threshold=0.3)) == direct
+    assert direct  # the planted near-dup actually surfaced
+
+
+def test_minhash_index_provenance_conflict_raises(spark, tmp_path):
+    """Query params conflicting with the index's stored build provenance
+    raise instead of silently never colliding; matching explicit params
+    and provenance-defaulted params both work. An empty/missing save dir
+    fails fast in minhash_index_load."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh ii jj")], "doc_id long, text string"
+    )
+    idx = dedup.minhash_index(docs, k=8, bands=2, n=2, seed=7)
+    assert (idx.k, idx.bands, idx.n, idx.seed) == (8, 2, 2, 7)
+    with pytest.raises(ValueError, match="provenance"):
+        dedup.dedup_against_index(docs, idx, k=16)
+    with pytest.raises(ValueError, match="provenance"):
+        dedup.dedup_against_index(docs, idx, seed=42)
+    # explicit-but-matching and defaulted both resolve to the provenance
+    a = dedup.dedup_against_index(docs, idx, k=8, bands=2, n=2, seed=7,
+                                  threshold=0.5).collect()
+    b = dedup.dedup_against_index(docs, idx, threshold=0.5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    with pytest.raises(Exception):
+        dedup.minhash_index_load(spark, str(tmp_path / "nonexistent"))
+
+
 def test_ivf_topk_phase_stats_contract(spark, embeddings):
     """phase_stats fills (phase, rows, seconds) in fit/assign order when a
     list is passed, and the assign row count equals the base size; results
