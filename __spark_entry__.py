@@ -1363,6 +1363,20 @@ def _q_simhash_neardups(spark, sf_dir):
     )
 
 
+def _q_simhash_incr(spark, sf_dir):
+    """Incremental simhash ingestion dedup through a prebuilt
+    pipeline.dedup.SimHashIndex (doc_id<400 corpus, doc_id>=400 batch):
+    pigeonhole band collisions between the batch's signatures and the
+    index's stored ones, exact popcount filter. Cap off => provably
+    equal to the brute-force cross-side scan, which IS the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = dedup.simhash_index(docs.filter(F.col("doc_id") < 400), bits=32)
+    return dedup.simhash_against_index(
+        docs.filter(F.col("doc_id") >= 400), idx,
+        max_hamming=3, max_bucket_size=None,
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -3412,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incr_indexed": _q_dedup_incr_indexed,
         "simhash": _q_simhash,
         "simhash_neardups": _q_simhash_neardups,
+        "simhash_incr": _q_simhash_incr,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "token_pmi": _q_token_pmi,
@@ -5429,6 +5444,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+        ),
+        "simhash_incr": (
+            # brute-force cross-side popcount (batch x index only) — the
+            # banded incremental join with the cap off must equal it
+            f"WITH s AS MATERIALIZED ({_simhash_sql()}) "
+            "SELECT n.doc_id AS new_id, i.doc_id AS index_id, "
+            "CAST(bit_count(xor(n.simhash, i.simhash)) AS BIGINT) AS hamming "
+            "FROM s n JOIN s i ON n.doc_id >= 400 AND i.doc_id < 400 "
+            "WHERE bit_count(xor(n.simhash, i.simhash)) <= 3"
         ),
         "embedding_neardup": (
             "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings), "

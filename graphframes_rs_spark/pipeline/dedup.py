@@ -662,6 +662,29 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     return voted.select("doc_id", sig.alias("simhash"))
 
 
+def _simhash_band_vals(bits: int, max_hamming: int) -> Column:
+    """The array of ``max_hamming + 1`` band values of the ``simhash``
+    column — the pigeonhole banding shared by
+    :func:`simhash_near_duplicates` and :func:`simhash_against_index`
+    (one construction, so the index side and the batch side can never
+    band differently). Leftover bits are distributed over the leading
+    bands so every bit is covered (uneven widths preserve the pigeonhole
+    guarantee: any pair within the Hamming budget agrees on at least one
+    whole band)."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    widths = [width + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    return F.array(
+        *[
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias(f"b{i}")
+            for i in range(n_bands)
+        ]
+    )
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
@@ -680,21 +703,8 @@ def simhash_near_duplicates(
     Work is Σ_buckets |bucket|² like every LSH family; ``max_bucket_size``
     (default ON) drops degenerate buckets — a band value shared by
     thousands of docs means that band carries no signal for them."""
-    n_bands = max_hamming + 1
-    width = bits // n_bands
-    # distribute the leftover bits over the leading bands so every bit is
-    # covered (uneven widths preserve the pigeonhole guarantee)
-    widths = [width + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
     sigs = simhash(docs, text_col=text_col, bits=bits)
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
-    band_vals = F.array(
-        *[
-            F.shiftright(F.col("simhash"), offsets[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-            .alias(f"b{i}")
-            for i in range(n_bands)
-        ]
-    )
+    band_vals = _simhash_band_vals(bits, max_hamming)
     banded = sigs.select(
         "doc_id", "simhash", F.posexplode(band_vals).alias("band", "band_val")
     )
@@ -725,6 +735,165 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.distinct()
+
+
+class SimHashIndex:
+    """Persistent simhash state of an accepted corpus: the signature
+    table ``[doc_id, simhash]`` (8 bytes/doc — by far the lightest of the
+    four dedup-space indexes) plus the ``bits`` build provenance. Only
+    ``bits`` is provenance: the pigeonhole banding is derived from the
+    signatures at query time, so one saved index serves ANY
+    ``max_hamming`` budget — contrast :class:`MinHashIndex`, whose band
+    keys bake in (k, bands). Completes the incremental-index symmetry:
+    MinHash / embedding / exact-substr / simhash all reuse a
+    built-once corpus artifact per ingestion batch."""
+
+    def __init__(self, sigs: DataFrame, bits: int):
+        self.sigs = sigs
+        self.bits = bits
+
+    def save(self, path: str) -> None:
+        """Persist under ``path`` (parquet ``sigs/`` + one-row ``meta/``).
+        Reload with :func:`simhash_index_load`; grow with
+        :func:`simhash_index_append`."""
+        spark = self.sigs.sparkSession
+        self.sigs.write.mode("overwrite").parquet(path + "/sigs")
+        spark.createDataFrame(
+            [(int(self.bits),)], "bits int"
+        ).write.mode("overwrite").parquet(path + "/meta")
+
+    def append(self, accepted_docs: DataFrame, text_col: str = "text") -> "SimHashIndex":
+        """A new LAZY index = this one ∪ an accepted batch's signatures
+        (persisted growth: :func:`simhash_index_append`)."""
+        return SimHashIndex(
+            self.sigs.unionByName(
+                simhash(accepted_docs, text_col=text_col, bits=self.bits)
+            ),
+            self.bits,
+        )
+
+
+def simhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    checkpoint_dir: str | None = None,
+) -> SimHashIndex:
+    """Build a :class:`SimHashIndex` over an accepted corpus — one
+    token-explode + groupBy(doc_id) pass, after which every ingestion
+    batch pays only its OWN signature pass plus a band join against
+    8 bytes/corpus-doc. ``checkpoint_dir`` persists + reloads (lineage
+    cut, parquet scan thereafter)."""
+    idx = SimHashIndex(simhash(docs, text_col=text_col, bits=bits), bits)
+    if checkpoint_dir is not None:
+        idx.save(checkpoint_dir)
+        return simhash_index_load(docs.sparkSession, checkpoint_dir)
+    return idx
+
+
+def simhash_index_load(spark, path: str) -> SimHashIndex:
+    """Reload a :meth:`SimHashIndex.save`'d index; fails fast on a
+    missing/empty meta table rather than guessing ``bits``."""
+    meta = spark.read.parquet(path + "/meta").collect()
+    if not meta:
+        raise ValueError(
+            f"simhash_index_load: {path}/meta is empty — the save dir is "
+            "missing or was only partially written; re-run SimHashIndex.save"
+        )
+    return SimHashIndex(
+        spark.read.parquet(path + "/sigs"), int(meta[0]["bits"])
+    )
+
+
+def simhash_index_append(
+    spark, path: str, accepted_docs: DataFrame, text_col: str = "text"
+) -> SimHashIndex:
+    """Grow a persisted index by ONE accepted batch: parquet-append the
+    batch's signatures computed with the stored ``bits`` — O(batch) work
+    and bytes. Same single-appender caveat as
+    :func:`minhash_index_append` (plain parquet append)."""
+    idx = simhash_index_load(spark, path)
+    simhash(accepted_docs, text_col=text_col, bits=idx.bits).write.mode(
+        "append"
+    ).parquet(path + "/sigs")
+    return simhash_index_load(spark, path)
+
+
+def simhash_against_index(
+    new_docs: DataFrame,
+    index: "SimHashIndex | DataFrame",
+    text_col: str = "text",
+    bits: int | None = None,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    skip_same_id: bool = False,
+) -> DataFrame:
+    """[new_id, index_id, hamming]: NEW documents within ``max_hamming``
+    simhash bits of an EXISTING corpus — the simhash face of
+    :func:`dedup_against_index` (same incremental contract: only
+    new x index, never new x new or index x index; within-batch dedup
+    composes via :func:`simhash_near_duplicates` on the batch alone).
+
+    Candidates are pigeonhole band collisions between the batch's and
+    the index's signatures (``max_hamming + 1`` bands via the SHARED
+    :func:`_simhash_band_vals`, so the two sides can never band
+    differently); the exact popcount filter makes the output identical
+    to brute force (no misses possible with ``max_bucket_size=None``).
+    ``index`` may be a prebuilt :class:`SimHashIndex` (``bits`` defaults
+    to its provenance; an explicit conflict raises — signatures from
+    different widths are incomparable) or a raw document frame
+    (``bits`` defaults to 32). Same-id and bucket-cap policies mirror
+    :func:`dedup_against_index`: shared ids are ordinary cross-frame
+    comparisons (the re-ingestion signal) unless ``skip_same_id``; the
+    cap drops degenerate INDEX buckets only."""
+    if isinstance(index, SimHashIndex):
+        if bits is not None and bits != index.bits:
+            raise ValueError(
+                f"bits={bits!r} conflicts with the SimHashIndex's build "
+                f"provenance ({index.bits!r}) — signatures of different "
+                "widths are incomparable"
+            )
+        bits = index.bits
+        sig_idx = index.sigs
+    else:
+        bits = 32 if bits is None else bits
+        sig_idx = simhash(index, text_col=text_col, bits=bits)
+    sig_new = simhash(new_docs, text_col=text_col, bits=bits)
+    band_vals = _simhash_band_vals(bits, max_hamming)
+    banded_new = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("simhash").alias("__sig_n"),
+        F.posexplode(band_vals).alias("band", "band_val"),
+    )
+    banded_idx = sig_idx.select(
+        F.col("doc_id").alias("index_id"),
+        F.col("simhash").alias("__sig_i"),
+        F.posexplode(band_vals).alias("band", "band_val"),
+    )
+    if max_bucket_size is not None:
+        bucket_sizes = banded_idx.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("__bsz")
+        )
+        banded_idx = banded_idx.join(
+            bucket_sizes.filter(F.col("__bsz") <= max_bucket_size),
+            ["band", "band_val"],
+            "left_semi",
+        )
+    pairs = (
+        banded_new.join(banded_idx, ["band", "band_val"])
+        .select(
+            "new_id",
+            "index_id",
+            F.bit_count(F.col("__sig_n").bitwiseXOR(F.col("__sig_i")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    if skip_same_id:
+        pairs = pairs.filter(F.col("new_id") != F.col("index_id"))
+    return pairs
 
 
 # method="auto" crossover (rows): below this the exact blocked-BLAS sweep

@@ -1721,6 +1721,77 @@ def test_dedup_against_index_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_simhash_against_index_brute_force_equal(spark):
+    """The banded incremental simhash join with the cap off equals the
+    brute-force cross-side popcount scan (the pigeonhole guarantee),
+    and never emits within-side pairs."""
+    rows = [(i, f"doc {i} shared body words alpha beta gamma delta "
+                f"{'epsilon' if i % 3 == 0 else 'zeta eta'}")
+            for i in range(40)]
+    index = spark.createDataFrame(rows[:25], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i + 100, t) for i, t in rows[25:]], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["new_id"], r["index_id"], r["hamming"])
+        for r in dedup.simhash_against_index(
+            new, index, max_hamming=6, max_bucket_size=None
+        ).collect()
+    )
+    sig_n = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash(new).collect()}
+    sig_i = {r["doc_id"]: r["simhash"]
+             for r in dedup.simhash(index).collect()}
+    brute = sorted(
+        (a, b, bin(sa ^ sb).count("1"))
+        for a, sa in sig_n.items() for b, sb in sig_i.items()
+        if bin(sa ^ sb).count("1") <= 6
+    )
+    assert out == brute and out  # non-vacuous
+    assert all(n >= 100 and i < 100 for n, i, _ in out)
+
+
+def test_simhash_index_roundtrip_append_provenance(spark, tmp_path):
+    """SimHashIndex save/load + parquet append equal the direct path;
+    a conflicting explicit bits raises; load of a missing dir fails."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    extra = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+
+    def rows(out):
+        return sorted((r["new_id"], r["index_id"], r["hamming"])
+                      for r in out.collect())
+
+    direct = rows(dedup.simhash_against_index(
+        new, corpus.union(extra), max_hamming=8, max_bucket_size=None))
+    assert direct  # doc 10 == doc 1 verbatim -> hamming 0 at least
+    idx = dedup.simhash_index(corpus).append(extra)
+    assert rows(dedup.simhash_against_index(
+        new, idx, max_hamming=8, max_bucket_size=None)) == direct
+    path = str(tmp_path / "sh_idx")
+    dedup.simhash_index(corpus, checkpoint_dir=path)
+    grown = dedup.simhash_index_append(spark, path, extra)
+    assert rows(dedup.simhash_against_index(
+        new, grown, max_hamming=8, max_bucket_size=None)) == direct
+    assert rows(dedup.simhash_against_index(
+        new, dedup.simhash_index_load(spark, path),
+        max_hamming=8, max_bucket_size=None)) == direct
+    with pytest.raises(ValueError, match="provenance"):
+        dedup.simhash_against_index(new, grown, bits=16)
+    with pytest.raises(Exception):
+        dedup.simhash_index_load(spark, str(tmp_path / "missing"))
+
+
 def test_minhash_index_equals_direct_path(spark, tmp_path):
     """dedup_against_index over a prebuilt MinHashIndex returns exactly
     the rows of the raw-frame path (same band construction by shared
