@@ -133,9 +133,9 @@ def _lsh_band_keys(k: int, bands: int) -> List[Column]:
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame,
-    k: int = 16,
-    bands: int = 4,
+    signatures: "DataFrame | MinHashIndex",
+    k: int | None = None,
+    bands: int | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """[doc_a, doc_b] candidate near-dup pairs: docs sharing at least one
@@ -153,16 +153,35 @@ def minhash_lsh_candidates(
     The cap defaults ON (``DEFAULT_MAX_BUCKET_SIZE`` = 1024, bounding any
     single task at ~1M pair rows) so the degenerate-bucket blowup is never
     the default behavior at scale; pass ``max_bucket_size=None`` to opt in
-    to exact-all-buckets output."""
-    band_keys = _lsh_band_keys(k, bands)
-    # One posexplode over the per-row band-key array instead of a
-    # bands-way union of selects: a union re-executes the whole upstream
-    # signature pipeline (explode + groupBy agg) once per band — no
-    # ReusedExchange fires across union branches — while this scans it
-    # exactly once (measured at sf0.1: 13.8s -> one signature pass).
-    banded = signatures.select(
-        "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
-    )
+    to exact-all-buckets output.
+
+    ``signatures`` may be a prebuilt :class:`MinHashIndex` instead of a
+    signature frame: its stored banded table is grouped directly (the
+    within-corpus reuse of the same artifact the incremental path
+    queries), with ``k``/``bands`` defaulting to the index provenance and
+    an explicit conflict raising."""
+    if isinstance(signatures, MinHashIndex):
+        for pname, given, built in (
+            ("k", k, signatures.k), ("bands", bands, signatures.bands)
+        ):
+            if given is not None and given != built:
+                raise ValueError(
+                    f"{pname}={given!r} conflicts with the MinHashIndex's "
+                    f"build provenance ({built!r})"
+                )
+        banded = signatures.banded
+    else:
+        k = 16 if k is None else k
+        bands = 4 if bands is None else bands
+        band_keys = _lsh_band_keys(k, bands)
+        # One posexplode over the per-row band-key array instead of a
+        # bands-way union of selects: a union re-executes the whole upstream
+        # signature pipeline (explode + groupBy agg) once per band — no
+        # ReusedExchange fires across union branches — while this scans it
+        # exactly once (measured at sf0.1: 13.8s -> one signature pass).
+        banded = signatures.select(
+            "doc_id", F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+        )
     # Pair generation via bucket membership lists rather than a self-join:
     # a self-join would recompute the whole signature pipeline once per side
     # (measured: no ReusedExchange fires), while this computes it once and

@@ -1721,6 +1721,25 @@ def test_dedup_against_index_bucket_cap(spark):
     assert capped.count() == 0
 
 
+def test_minhash_lsh_candidates_accepts_index(spark):
+    """minhash_lsh_candidates over a MinHashIndex equals the signature
+    path (the stored banded table IS the posexploded band keys); an
+    explicit conflicting k raises."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"), (2, "aa bb cc dd ee ff gg hh"),
+         (3, "totally different words live here now friend")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, k=8)
+    direct = sorted(map(tuple, dedup.minhash_lsh_candidates(
+        sigs, k=8, bands=4).collect()))
+    idx = dedup.minhash_index(docs, k=8, bands=4)
+    via_index = sorted(map(tuple, dedup.minhash_lsh_candidates(idx).collect()))
+    assert via_index == direct and (1, 2) in direct
+    with pytest.raises(ValueError, match="provenance"):
+        dedup.minhash_lsh_candidates(idx, k=16)
+
+
 def test_simhash_against_index_brute_force_equal(spark):
     """The banded incremental simhash join with the cap off equals the
     brute-force cross-side popcount scan (the pigeonhole guarantee),
