@@ -27,6 +27,15 @@ Five families, all shuffle-conscious and Python-free in the hot path:
 
 All constants (hash family, modulus, seeds) are plain arithmetic on the
 md5-derived 60-bit hash so the DuckDB oracle reproduces values exactly.
+
+Every non-exact family also has an INCREMENTAL ingestion path against a
+persistent, provenance-carrying corpus index (build once, save to
+parquet, O(batch) append, query per batch): :class:`MinHashIndex` →
+:func:`dedup_against_index`, :class:`SimHashIndex` →
+:func:`simhash_against_index`, :class:`ExactSubstrIndex` →
+:func:`exact_substr_spans_against_index`, and
+:class:`similarity.IVFIndex` → :func:`embedding_dedup_against_index` —
+so a daily re-crawl pays O(batch), never O(corpus).
 """
 
 from __future__ import annotations
