@@ -1003,12 +1003,16 @@ CLEAN_FLOORS = {
     "scale_mst_6m": 20.1,         # BENCH_r09
     "scale_kcore_6m": 17.7,       # BENCH_r12
     "scale_wcc_6m": 16.8,         # BENCH_r09
+    "scale_wcc_skew18m": 25.9,    # r13 builder run 2 (0.2s steal)
     "scale_node2vec_6m": 11.9,    # BENCH_r08
-    "scale_matching_6m": 11.3,    # BENCH_r11
+    # r13 builder run 2 (0.18s steal) after the one-push round restructure
+    "scale_matching_6m": 10.7,
     "scale_dedup_200k": 10.4,     # BENCH_r10
     # seeded from the r13 quiet-box introduction measurements
     "scale_exactsubstr_keepfirst_200k": 11.3,
-    "scale_exactsubstr_1m": 48.2,
+    # 46.3s wall measured UNDER 10.2s steal (r13 builder run 2) — the
+    # wall upper-bounds the clean cost, so the floor moves down to it
+    "scale_exactsubstr_1m": 46.3,
 }
 # tiers expensive enough that ONE contaminated sample dominates the
 # artifact: re-probe the box immediately before measuring them
