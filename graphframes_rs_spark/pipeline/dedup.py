@@ -1875,6 +1875,39 @@ def exact_substr_index_load(
     return idx
 
 
+def exact_substr_index_append(
+    spark,
+    checkpoint_dir: str,
+    accepted_docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 50,
+    hasher: str = "gram",
+) -> "ExactSubstrIndex":
+    """Grow a checkpointed :func:`exact_substr_index` by ONE accepted
+    batch: compute the BATCH's distinct window hashes with the stored
+    params and parquet-append them — O(batch) work and bytes, the corpus
+    gram files are never rewritten (the docstring's "union + distinct of
+    the batch's grams only", now as an API). Appended grams may repeat
+    hashes already present (parquet append can't dedup across files);
+    that is harmless — the query side is a LEFT SEMI join, for which
+    presence is idempotent — and costs only the duplicate bytes, bounded
+    by the batch. ``(min_len, hasher)`` name the subpath, so appending
+    with the wrong params fails on a missing path instead of silently
+    mixing hash families. Single-appender only (plain parquet append)."""
+    idx = exact_substr_index_load(
+        spark, checkpoint_dir, min_len=min_len, hasher=hasher
+    )
+    batch = (
+        _position_grams(accepted_docs, text_col, min_len, hasher)
+        .select("gram")
+        .distinct()
+    )
+    batch.write.mode("append").parquet(checkpoint_dir + idx._subpath())
+    return exact_substr_index_load(
+        spark, checkpoint_dir, min_len=min_len, hasher=hasher
+    )
+
+
 def exact_substr_spans_against_index(
     new_docs: DataFrame,
     index: "ExactSubstrIndex | DataFrame",

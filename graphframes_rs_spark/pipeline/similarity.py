@@ -376,6 +376,39 @@ def ivf_index_load(spark, path: str) -> "IVFIndex":
     )
 
 
+def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> "IVFIndex":
+    """Grow an :meth:`IVFIndex.save`'d index by ONE accepted batch:
+    assign the batch's vectors to the STORED centroids (no re-fit — the
+    coarse quantizer is frozen, the standard IVF add path) and
+    parquet-append them to ``assigned/``. O(batch) work and bytes; the
+    corpus partition files are never rewritten. Returns the reloaded
+    index.
+
+    The frozen quantizer is the deliberate trade: cells drift from
+    optimal as the distribution shifts, but every vector is still
+    HOME-assigned to its true nearest stored center, so
+    :func:`ivf_search` / ``dedup.embedding_dedup_against_index`` recall
+    semantics are unchanged — re-fit (rebuild via :func:`ivf_index`)
+    when a recall probe says the centroids have aged out. Column names
+    must match the stored ``id_col``/``vec_col`` provenance (validated).
+    Single-appender only (plain parquet append, no transaction log)."""
+    idx = ivf_index_load(spark, path)
+    missing = [c for c in (idx.id_col, idx.vec_col)
+               if c not in new_embeddings.columns]
+    if missing:
+        raise ValueError(
+            f"ivf_index_append: batch is missing the index's stored "
+            f"column(s) {missing} (id_col={idx.id_col!r}, "
+            f"vec_col={idx.vec_col!r})"
+        )
+    batch = new_embeddings.select(
+        F.col(idx.id_col).alias("id"),
+        F.col(idx.vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("list_id", _nearest_center_udf(idx.centers)(F.col("vec")))
+    batch.write.mode("append").parquet(path + "/assigned")
+    return ivf_index_load(spark, path)
+
+
 def ivf_index(
     embeddings: DataFrame,
     nlist: int = 16,

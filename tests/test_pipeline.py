@@ -1270,6 +1270,100 @@ def test_exact_substr_against_index(spark, tmp_path):
     assert bare == spans
 
 
+def test_exact_substr_index_append_equals_rebuild(spark, tmp_path):
+    """Parquet-appending a batch's grams to a checkpointed exact-substr
+    index equals rebuilding over corpus ∪ batch (presence semantics are
+    append-idempotent); wrong params fail on the missing subpath."""
+    shared_a = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"
+    shared_b = "zyxwvutsrqponmlkjihgfedcba9876"
+    corpus = spark.createDataFrame(
+        [(1, "intro " + shared_a + " outro")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "pre " + shared_b + " post")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(100, "xx " + shared_a + " yy"),   # dups the original corpus
+         (101, "qq " + shared_b + " rr"),   # dups the APPENDED batch
+         (102, "completely fresh novel content here")],
+        "doc_id long, text string",
+    )
+    dedup.exact_substr_index(corpus, min_len=20, checkpoint_dir=str(tmp_path))
+    grown = dedup.exact_substr_index_append(
+        spark, str(tmp_path), batch, min_len=20
+    )
+    rebuilt = dedup.exact_substr_index(corpus.union(batch), min_len=20)
+
+    def spans(idx):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.exact_substr_spans_against_index(
+                new, idx
+            ).collect()
+        )
+
+    got = spans(grown)
+    assert got == spans(rebuilt)
+    assert {d for d, _, _ in got} == {100, 101}
+    # reload sees the appended grams too
+    assert spans(
+        dedup.exact_substr_index_load(spark, str(tmp_path), min_len=20)
+    ) == got
+    with pytest.raises(Exception):  # wrong params -> missing subpath
+        dedup.exact_substr_index_append(spark, str(tmp_path), batch,
+                                        min_len=30)
+
+
+def test_ivf_index_append_equals_frozen_center_assign(spark, tmp_path):
+    """ivf_index_append assigns the batch to the STORED centroids and
+    appends: search results over the grown index equal an in-memory
+    index built from the same frozen centers over corpus ∪ batch; a
+    batch missing the stored columns raises."""
+    from graphframes_rs_spark.pipeline import similarity as sim
+    import pyspark.sql.functions as SF
+
+    base = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    batch = spark.range(40, 60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    queries = base.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf")
+    idx = sim.ivf_index(base, nlist=4)
+    idx.save(path)
+    grown = sim.ivf_index_append(spark, path, batch)
+    assert grown.assigned.count() == 60
+    # manual frozen-center twin over the union
+    manual = sim.IVFIndex(
+        idx.centers,
+        base.union(batch).select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+        ).withColumn(
+            "list_id", sim._nearest_center_udf(idx.centers)(F.col("vec"))
+        ),
+        idx.nlist, idx.seed, idx.id_col, idx.vec_col,
+    )
+    a = sorted(map(tuple, sim.ivf_search(grown, queries, k=5).collect()))
+    b = sorted(map(tuple, sim.ivf_search(manual, queries, k=5).collect()))
+    assert a == b and a
+    with pytest.raises(ValueError, match="missing the index's stored"):
+        sim.ivf_index_append(
+            spark, path, batch.withColumnRenamed("embedding", "emb")
+        )
+
+
 def test_exact_substr_hashers_agree_on_real_corpus(spark, docs):
     """The JVM substring hasher and the numpy rolling hasher produce the
     same span set on the REAL sf0.01 documents table (planted-corpus
