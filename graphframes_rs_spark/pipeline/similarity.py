@@ -376,6 +376,49 @@ def ivf_index_load(spark, path: str) -> "IVFIndex":
     )
 
 
+def ann_recall(
+    index: "IVFIndex",
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    broadcast_queries: bool = True,
+) -> float:
+    """Measured recall@k of :func:`ivf_search` over this index against
+    the EXACT top-k on the same base — the library-side probe behind the
+    maintenance rule in :func:`ivf_index_append`'s docstring ("re-fit
+    when a recall probe says the centroids have aged"). A production
+    pipeline runs this on a small query sample after every few appends;
+    a drop below its recall budget (the repo gates 0.8 at k=5) means the
+    frozen coarse quantizer no longer matches the data distribution and
+    the index should be rebuilt with :func:`ivf_index`.
+
+    Scale shape: the exact baseline is :func:`cosine_topk_scan` (probe
+    sample broadcast, base stays distributed — never collect the
+    corpus), the comparison is one equi-join on (query_id, neighbor_id)
+    plus two counts; only the single ratio reaches the driver. Cost is
+    one full base scan per probe — that is what "exact baseline" costs;
+    keep the probe sample small (hundreds), not the probe rate high."""
+    approx = ivf_search(
+        index, queries, k=k, nprobe=nprobe,
+        vec_col=index.vec_col, id_col=index.id_col,
+        broadcast_queries=broadcast_queries,
+    ).select("query_id", "neighbor_id")
+    base = index.assigned.select(
+        F.col("id").alias(index.id_col), F.col("vec").alias(index.vec_col)
+    )
+    exact = cosine_topk_scan(
+        base, queries, k=k, vec_col=index.vec_col, id_col=index.id_col
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    if n_exact == 0:
+        raise ValueError(
+            "ann_recall: the exact baseline returned zero pairs — empty "
+            "query sample or empty index"
+        )
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    return n_hit / n_exact
+
+
 def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> "IVFIndex":
     """Grow an :meth:`IVFIndex.save`'d index by ONE accepted batch:
     assign the batch's vectors to the STORED centroids (no re-fit — the

@@ -1364,6 +1364,46 @@ def test_ivf_index_append_equals_frozen_center_assign(spark, tmp_path):
         )
 
 
+def test_ann_recall_probe(spark, tmp_path):
+    """ann_recall == 1.0 at full probe (nprobe >= nlist is exhaustive),
+    stays in (0, 1] at nprobe=1, works over an appended index, and
+    raises on an empty query sample."""
+    from graphframes_rs_spark.pipeline import similarity as sim
+
+    base = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 11).cast("double"),
+            (F.col("id") % 7).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    queries = base.filter(F.col("vec_id") < 5)
+    idx = sim.ivf_index(base, nlist=4)
+    assert sim.ann_recall(idx, queries, k=5, nprobe=4) == 1.0
+    r1 = sim.ann_recall(idx, queries, k=5, nprobe=1)
+    assert 0.0 < r1 <= 1.0
+    # still measurable after an append (the maintenance loop's usage)
+    path = str(tmp_path / "ivf_recall")
+    idx.save(path)
+    grown = sim.ivf_index_append(
+        spark, path,
+        spark.range(60, 80).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 11).cast("double"),
+                (F.col("id") % 7).cast("double"),
+                F.lit(1.0),
+            ).alias("embedding"),
+        ),
+    )
+    assert sim.ann_recall(grown, queries, k=5, nprobe=4) == 1.0
+    # empty probe sample fails loudly (either the exact scan's own empty
+    # guard or ann_recall's zero-pairs guard, both ValueError)
+    with pytest.raises(ValueError):
+        sim.ann_recall(idx, queries.filter(F.col("vec_id") < 0), k=5)
+
+
 def test_exact_substr_hashers_agree_on_real_corpus(spark, docs):
     """The JVM substring hasher and the numpy rolling hasher produce the
     same span set on the REAL sf0.01 documents table (planted-corpus
