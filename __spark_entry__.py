@@ -3480,29 +3480,20 @@ def _minhash_sig_sql() -> str:
 
 
 def _lsh_candidates_sql() -> str:
-    rows = MINHASH_K // MINHASH_BANDS
-    band_selects = []
-    for b in range(MINHASH_BANDS):
-        key = f"(mh_{b * rows} % 1000000007)"
-        for r in range(1, rows):
-            key = f"(({key} * 31 + mh_{b * rows + r}) % 1000000007)"
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sigs"
-        )
-    banded = " UNION ALL ".join(band_selects)
     return (
-        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({banded}) "
+        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({_banded_sql()}) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM banded a JOIN banded b ON a.band = b.band "
         "AND a.bucket = b.bucket AND a.doc_id < b.doc_id"
     )
 
 
-def _neardup_first_arrival_sql() -> str:
-    """Batch twin of the streaming bucket-claim ingest: same band keys
-    as _lsh_candidates_sql, min(doc_id) winner per bucket (the entry
-    uses order_col=None => doc_id arbitration), survivor = all-buckets
-    conjunction."""
+def _banded_sql() -> str:
+    """The UNION-ALL band-key CTE body shared by every MinHash-band
+    oracle (`_lsh_candidates_sql`, `_dedup_incremental_sql`,
+    `_neardup_first_arrival_sql`) — one construction, mirroring
+    `pipeline.dedup._lsh_band_keys`, so a band-hash change can never
+    silently break parity for only SOME entries."""
     rows = MINHASH_K // MINHASH_BANDS
     band_selects = []
     for b in range(MINHASH_BANDS):
@@ -3512,14 +3503,24 @@ def _neardup_first_arrival_sql() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sigs"
         )
-    banded = " UNION ALL ".join(band_selects)
+    return " UNION ALL ".join(band_selects)
+
+
+def _neardup_first_arrival_sql() -> str:
+    """Batch twin of the streaming bucket-claim ingest: same band keys
+    as _lsh_candidates_sql, min(doc_id) winner per bucket (the entry
+    uses order_col=None => doc_id arbitration), survivor = all-buckets
+    conjunction. NULL-text docs (none in the test tables) are accepted
+    unconditionally, matching the operator's nothing-to-collide-on
+    policy."""
     return (
-        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({banded}), "
+        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({_banded_sql()}), "
         "w AS (SELECT band, bucket, min(doc_id) AS wdoc "
         "FROM banded GROUP BY 1, 2), "
         "cl AS (SELECT b.doc_id, bool_and(b.doc_id = w.wdoc) AS ok "
         "FROM banded b JOIN w USING (band, bucket) GROUP BY 1) "
-        "SELECT doc_id FROM cl WHERE ok"
+        "SELECT doc_id FROM cl WHERE ok "
+        "UNION ALL SELECT doc_id FROM documents WHERE text IS NULL"
     )
 
 
@@ -3529,18 +3530,8 @@ def _dedup_incremental_sql() -> str:
     _lsh_candidates_sql restricted to cross-corpus collisions, then the
     same shingle-intersection Jaccard as the jaccard_pairs oracle on the
     surviving candidates."""
-    rows = MINHASH_K // MINHASH_BANDS
-    band_selects = []
-    for b in range(MINHASH_BANDS):
-        key = f"(mh_{b * rows} % 1000000007)"
-        for r in range(1, rows):
-            key = f"(({key} * 31 + mh_{b * rows + r}) % 1000000007)"
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, {key} AS bucket FROM sigs"
-        )
-    banded = " UNION ALL ".join(band_selects)
     return (
-        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({banded}), "
+        f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({_banded_sql()}), "
         "cand AS (SELECT DISTINCT nb.doc_id AS new_id, ib.doc_id AS index_id "
         "FROM banded nb JOIN banded ib ON nb.band = ib.band "
         "AND nb.bucket = ib.bucket "

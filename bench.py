@@ -1475,13 +1475,16 @@ def main():
         # contaminated commit must not become next round's "normal". A
         # kept sample >1.5x the tier's cleanest-ever committed wall gets
         # one confirmation rerun (min-wall keeps; both samples recorded).
-        # Skipped when the regression rule already rerarmed this row —
-        # two confirmations of the same wave add wall, not information.
+        # Skipped when the regression OR steal rule already reran this
+        # row — a third run of the same wave adds wall, not information
+        # (r13 run 2: scale_wcc_54m drew 158/109/151.6s across the steal
+        # + regression reruns; a floor rerun would have been a fourth).
         _floor = CLEAN_FLOORS.get(name)
         if (
             _floor
             and best > 1.5 * _floor
             and name not in regression_reruns
+            and name not in steal_reruns
             and floor_rerun_budget > 0
         ):
             floor_rerun_budget -= 1
@@ -1565,7 +1568,10 @@ def main():
             # GATE, not just evidence: the sf0.01 pytests gate recall at
             # toy scale — a recall collapse that only manifests at the
             # benched tier (bad fit sample, degenerate cells) must not
-            # pass silently. Loud marker + nonzero exit at the end.
+            # pass silently. Loud stderr marker + *_FAILED_GATE flag in
+            # the committed detail; deliberately NOT a nonzero exit — the
+            # driver would record the whole bench as failed, losing the
+            # artifact that shows the collapse.
             if _ann_recall[_arm] < 0.8:
                 _ann_recall[f"{_arm}_FAILED_GATE"] = True
                 print(

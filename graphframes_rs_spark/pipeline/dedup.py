@@ -519,7 +519,15 @@ def minhash_index(
 def minhash_index_load(spark, path: str) -> MinHashIndex:
     """Reload a :meth:`MinHashIndex.save`'d index; fails fast with a
     descriptive error when the meta table is missing/empty rather than
-    guessing provenance (a wrong guess silently matches nothing)."""
+    guessing provenance (a wrong guess silently matches nothing).
+
+    Also validates the banded/shingles tables are CONSISTENT (banded
+    rows == bands x shingle rows — every doc contributes exactly
+    ``bands`` banded rows and one shingle row): a crash between
+    :func:`minhash_index_append`'s two parquet appends leaves a torn
+    index whose extra banded rows would generate candidates that the
+    shingle join then silently DROPS — true duplicates reported clean.
+    The two counts are parquet-footer metadata reads, not scans."""
     meta = spark.read.parquet(path + "/meta").collect()
     if not meta:
         raise ValueError(
@@ -527,10 +535,19 @@ def minhash_index_load(spark, path: str) -> MinHashIndex:
             "missing or was only partially written; re-run MinHashIndex.save"
         )
     m = meta[0]
+    banded = spark.read.parquet(path + "/banded")
+    sh = spark.read.parquet(path + "/shingles")
+    nb, ns = banded.count(), sh.count()
+    if nb != int(m["bands"]) * ns:
+        raise ValueError(
+            f"minhash_index_load: {path} is torn — banded has {nb} rows "
+            f"but shingles x bands = {ns} x {m['bands']} = "
+            f"{ns * int(m['bands'])} (a crashed minhash_index_append "
+            "leaves this state); rebuild with minhash_index or re-append "
+            "the missing batch table"
+        )
     return MinHashIndex(
-        spark.read.parquet(path + "/banded"),
-        spark.read.parquet(path + "/shingles"),
-        int(m["k"]), int(m["bands"]), int(m["n"]), int(m["seed"]),
+        banded, sh, int(m["k"]), int(m["bands"]), int(m["n"]), int(m["seed"])
     )
 
 
@@ -544,13 +561,22 @@ def minhash_index_append(
     daily). Returns the reloaded (now larger) index. Not safe for two
     concurrent appenders (plain parquet append, no transaction log) —
     serialize appends or use a transactional table format at that
-    point."""
+    point. The two appends are also not atomic against a crash between
+    them; the reload below (and every :func:`minhash_index_load`)
+    detects that torn state via the banded == bands x shingles row
+    invariant and raises rather than silently waving duplicates through
+    (the silent mode: banded rows without shingle twins generate
+    candidates the shingle join then drops)."""
     idx = minhash_index_load(spark, path)
     b, sh = _minhash_index_tables(
         accepted_docs, text_col, idx.k, idx.bands, idx.n, idx.seed
     )
-    b.write.mode("append").parquet(path + "/banded")
+    # shingles first: if the crash lands between the two appends, the
+    # torn state is extra shingle rows — inert even for a reader that
+    # skips the load invariant (candidates come from banded) — instead
+    # of the dangerous direction (banded without shingles)
     sh.write.mode("append").parquet(path + "/shingles")
+    b.write.mode("append").parquet(path + "/banded")
     return minhash_index_load(spark, path)
 
 

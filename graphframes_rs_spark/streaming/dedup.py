@@ -62,6 +62,12 @@ def _banded_buckets(
         minhash_signatures,
     )
 
+    # NULL-text docs would produce NULL signatures -> NULL buckets, and
+    # the null-unsafe claim joins downstream would silently DROP them
+    # (absence means rejection in this family); they carry no content to
+    # collide on, so the consumers accept them unconditionally instead —
+    # keep them out of the bucket pipeline entirely
+    docs = docs.filter(F.col(text_col).isNotNull())
     sigs = minhash_signatures(docs, text_col=text_col, k=k, n=n, seed=seed)
     if order_col is not None:
         sigs = sigs.join(docs.select("doc_id", order_col), "doc_id").withColumn(
@@ -123,11 +129,18 @@ def neardup_first_arrival(
             & (F.col("w.doc_id") == F.col("doc_id"))
         ).alias("claimed"),
     )
-    return (
+    survivors = (
         claims.groupBy("doc_id")
         .agg(F.bool_and("claimed").alias("__all"))
         .filter(F.col("__all"))
         .select("doc_id")
+    )
+    # NULL-text docs have no shingles, hence nothing to collide on:
+    # accepted unconditionally (they never enter the bucket pipeline —
+    # see _banded_buckets — so without this union they would silently
+    # vanish from the output, which reads as rejection)
+    return survivors.unionByName(
+        docs.filter(F.col(text_col).isNull()).select("doc_id")
     )
 
 
@@ -165,13 +178,31 @@ def neardup_ingest_batch(
     concatenated input — pinned by the streaming==batch pytest. With
     out-of-order arrival, acceptance is first-PROCESSED-wins: an early
     row arriving late cannot retroactively un-emit a winner."""
+    import os as _os
+    import shutil as _sh
+
     spark = batch.sparkSession
-    bb = _banded_buckets(batch, text_col, order_col, k, bands, n, seed)
+    staged = index_dir.rstrip("/") + ".staging"
+    old = index_dir.rstrip("/") + ".old"
+    # Crash recovery for the write-then-swap below. The only window where
+    # index_dir is absent mid-swap leaves ".old" behind (the swap renames
+    # the live index aside before promoting the staged one); restoring it
+    # is exact — the crashed batch's acceptances were never appended by
+    # the caller either, so the replay re-arbitrates from the pre-batch
+    # state. Leftover ".staging"/".old" beside a LIVE index are artifacts
+    # of a crash after promotion; the live dir is authoritative.
+    if not _os.path.isdir(index_dir) and _os.path.isdir(old):
+        _os.rename(old, index_dir)
+    _sh.rmtree(staged, ignore_errors=True)
+    _sh.rmtree(old, ignore_errors=True)
+
+    # the banded pipeline feeds three separate actions below (batch_best,
+    # the claims join, the horizon max) — persist so the md5+minhash scan
+    # runs once per microbatch, not once per action
+    bb = _banded_buckets(batch, text_col, order_col, k, bands, n, seed).persist()
     batch_best = bb.groupBy("band", "bucket").agg(
         F.min(F.struct(F.col("__ord").alias("ord"), "doc_id")).alias("w")
     )
-    import os as _os
-
     # existence check, not try/except: a CORRUPT index must raise, not
     # silently reset the dedup state to empty
     have_index = _os.path.isdir(index_dir)
@@ -201,6 +232,12 @@ def neardup_ingest_batch(
         .agg(F.bool_and("claimed").alias("__all"))
         .filter(F.col("__all"))
         .select("doc_id")
+        # NULL-text docs carry nothing to collide on — accepted
+        # unconditionally (they are excluded from the bucket pipeline,
+        # see _banded_buckets, so absence here would silently reject)
+        .unionByName(
+            batch.filter(F.col(text_col).isNull()).select("doc_id")
+        )
     )
     # materialize acceptances BEFORE the index overwrite: `accepted`
     # reads the old index lazily, and overwriting it first would corrupt
@@ -213,17 +250,28 @@ def neardup_ingest_batch(
     if horizon is not None:
         hi = bb.agg(F.max("__ord")).collect()[0][0]
         if hi is not None:
-            new_index = new_index.filter(F.col("ord") >= hi - horizon)
-    # write-then-swap: parquet overwrite of a table being read is unsafe,
-    # so stage to a sibling dir and atomically rename over the old one
-    import os
-    import shutil as _sh
+            import datetime as _dt
 
-    staged = index_dir.rstrip("/") + ".staging"
+            # order_col may be a timestamp — horizon is then seconds
+            # (the watermark analog); numeric orders subtract directly
+            cutoff = hi - (
+                _dt.timedelta(seconds=horizon)
+                if isinstance(hi, _dt.datetime)
+                else horizon
+            )
+            new_index = new_index.filter(F.col("ord") >= F.lit(cutoff))
+    # Write-then-swap. Order matters for crash safety (the recovery
+    # prologue above understands exactly these states): stage the new
+    # index, move the live one ASIDE (never delete before the promote —
+    # an rmtree-then-rename window would read as "no index = empty
+    # corpus" after a crash and silently reset dedup state), promote,
+    # then drop the old.
     new_index.write.mode("overwrite").parquet(staged)
-    if os.path.isdir(index_dir):
-        _sh.rmtree(index_dir)
-    os.rename(staged, index_dir)
+    bb.unpersist()
+    if _os.path.isdir(index_dir):
+        _os.rename(index_dir, old)
+    _os.rename(staged, index_dir)
+    _sh.rmtree(old, ignore_errors=True)
     return accepted
 
 

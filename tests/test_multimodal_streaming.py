@@ -652,6 +652,79 @@ def test_neardup_ingest_horizon_evicts(spark, tmp_path):
     assert [r["doc_id"] for r in a2.collect()] == [2]
 
 
+def test_neardup_null_text_accepted_not_dropped(spark, tmp_path):
+    """A NULL-text doc has nothing to collide on: it must be ACCEPTED by
+    both the batch twin and the ingest path — before the fix its NULL
+    buckets fell out of the null-unsafe claim joins and absence read as
+    rejection (silent row loss at the ingestion door)."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, None)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in sdedup.neardup_first_arrival(docs).collect()}
+    assert kept == {0, 2}  # dup 1 dropped; null-text 2 accepted
+    idx = str(tmp_path / "null_idx")
+    a = sdedup.neardup_ingest_batch(docs, idx)
+    assert {r["doc_id"] for r in a.select("doc_id").collect()} == {0, 2}
+    # and the claim index never holds NULL buckets
+    assert spark.read.parquet(idx).filter(
+        F.col("bucket").isNull()
+    ).count() == 0
+
+
+def test_neardup_ingest_timestamp_horizon(spark, tmp_path):
+    """horizon works with a TIMESTAMP order column (seconds semantics —
+    the watermark analog), not just numeric orders."""
+    import datetime as dt
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = "alpha beta gamma delta epsilon zeta eta theta"
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    idx = str(tmp_path / "ts_idx")
+    a0 = sdedup.neardup_ingest_batch(
+        spark.createDataFrame([(0, t0, base)], schema), idx,
+        order_col="ts", horizon=60.0,
+    )
+    assert [r["doc_id"] for r in a0.collect()] == [0]
+    # 10 minutes later: the ts=0 claim is past the 60s horizon -> evicted
+    sdedup.neardup_ingest_batch(
+        spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine",
+              base + dt.timedelta(minutes=10))], schema),
+        idx, order_col="ts", horizon=60.0,
+    )
+    a2 = sdedup.neardup_ingest_batch(
+        spark.createDataFrame(
+            [(2, t0, base + dt.timedelta(minutes=11))], schema),
+        idx, order_col="ts", horizon=60.0,
+    )
+    assert [r["doc_id"] for r in a2.collect()] == [2]
+
+
+def test_neardup_ingest_crash_recovery(spark, tmp_path):
+    """The swap's crash window (index renamed aside, staged not yet
+    promoted) self-heals: the next batch restores the '.old' index and
+    re-arbitrates — dedup state is NOT silently reset to empty."""
+    import os
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    idx = str(tmp_path / "crash_idx")
+    b0 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    sdedup.neardup_ingest_batch(b0, idx)
+    # simulate the crash window: live index moved aside, promote not done
+    os.rename(idx, idx + ".old")
+    assert not os.path.isdir(idx)
+    # replayed/next batch: a re-crawl of doc 0 must still be REJECTED
+    b1 = spark.createDataFrame([(5, base)], "doc_id long, text string")
+    a1 = sdedup.neardup_ingest_batch(b1, idx)
+    assert a1.count() == 0
+    assert not os.path.isdir(idx + ".old")  # recovery cleaned up
+
+
 def test_event_transitions_hand_computed(spark):
     """Per-user time-ordered journeys: u1 a->b->a gives (a,b) and (b,a);
     u2 a->a gives (a,a); probabilities normalize per source type."""

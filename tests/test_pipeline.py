@@ -1364,6 +1364,25 @@ def test_ivf_index_append_equals_frozen_center_assign(spark, tmp_path):
         )
 
 
+def test_minhash_index_torn_append_detected(spark, tmp_path):
+    """A crash between minhash_index_append's two parquet appends leaves
+    banded != bands x shingles; minhash_index_load must raise loudly
+    (the silent mode would report true duplicates as clean)."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "torn")
+    dedup.minhash_index(docs, checkpoint_dir=path)
+    # simulate the torn state: append banded rows with no shingle twin
+    extra = spark.createDataFrame(
+        [(2, "ii jj kk ll mm nn oo pp")], "doc_id long, text string"
+    )
+    b, _sh = dedup._minhash_index_tables(extra, "text", 16, 4, 3, 42)
+    b.write.mode("append").parquet(path + "/banded")
+    with pytest.raises(ValueError, match="torn"):
+        dedup.minhash_index_load(spark, path)
+
+
 def test_ann_recall_probe(spark, tmp_path):
     """ann_recall == 1.0 at full probe (nprobe >= nlist is exhaustive),
     stays in (0, 1] at nprobe=1, works over an appended index, and
