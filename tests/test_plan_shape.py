@@ -529,3 +529,40 @@ def test_exact_substr_plan_shape(spark):
     assert head.count("HashAggregate") == 2, plan
     assert "Exchange" not in head, plan
     assert plan.count("Window") == 2, plan
+
+
+def test_minhash_index_path_reads_parquet_not_recompute(spark, tmp_path):
+    """The whole point of a persisted MinHashIndex: a batch query's plan
+    must SCAN the index parquet (banded + shingles) and must NOT contain
+    the corpus-side signature pipeline. The corpus pipeline's signature
+    in a plan is its md5 projection (hash60 is md5-based) — the indexed
+    plan may contain exactly the BATCH side's one, never two; and both
+    index dirs must appear as FileScans."""
+    from graphframes_rs_spark.pipeline import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} aa bb cc dd ee ff") for i in range(6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "corpus doc 3 aa bb cc dd ee ff")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_plan_idx")
+    idx = dedup.minhash_index(corpus, checkpoint_dir=path)
+    df = dedup.dedup_against_index(new, idx, threshold=0.1)
+    df.collect()  # settle AQE
+    # both persisted index tables are scanned from disk (inputFiles is
+    # immune to plan-string truncation, unlike executedPlan().toString())
+    files = df.inputFiles()
+    assert any("/banded/" in f for f in files), files
+    assert any("/shingles/" in f for f in files), files
+    plan = _executed_plan(df)
+    if "== Initial Plan ==" in plan:
+        plan = plan[: plan.index("== Initial Plan ==")]
+    # the md5-based shingle/minhash pipeline appears at most ONCE (the
+    # batch's own narrow map) — twice would mean the corpus is being
+    # re-hashed despite the index
+    assert plan.count("md5") <= 1, plan
+    # still no cartesian / nested-loop anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
