@@ -37,6 +37,14 @@ Verdict: keep the r12-level CLEAN_FLOORS for the k-core family (17.7 /
 elevated k-core walls WITH changed round_seconds shape (one round
 ballooning) or changed round_changes, that is a real finding — this
 experiment is the template for separating the two cases.
+
+Direct confirmation (same evening, ~1h after run 2): standalone warm
+kcore_18m with the bench's exact callable and scratch topology —
+calib-before 9.95s (wave still active), walls 106.9 / 36.5 / 31.6 /
+33.2s as the wave passed, calib-after 0.726s (quiet). min warm 31.62s
+== the 30.9s floor within noise, on byte-identical code. Environment
+confirmed; the 106.9s first draw doubles as a sample of what the wave
+does to this tier.
 """
 
 if __name__ == "__main__":
