@@ -344,7 +344,7 @@ def dedup_against_index(
     )
     inter = F.size(F.array_intersect(F.col("__sh_n"), F.col("__sh_i")))
     union = F.size("__sh_n") + F.size("__sh_i") - inter
-    return (
+    pairs = (
         cands.join(sh_new, "new_id")
         .join(sh_idx, "index_id")
         .select(
@@ -354,6 +354,15 @@ def dedup_against_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if isinstance(index_docs, MinHashIndex):
+        # A REPLAYED minhash_index_append (the at-least-once foreachBatch
+        # world) stores the batch's rows twice in both index tables; the
+        # candidate distinct() absorbs the banded copies, but each
+        # duplicated shingle row re-emits its pair here with the same
+        # (identical-array) jaccard. Dedup on the OUTPUT — bounded by
+        # emitted-pair count — instead of the corpus-sized shingle table.
+        pairs = pairs.dropDuplicates(["new_id", "index_id"])
+    return pairs
 
 
 def embedding_dedup_against_index(
@@ -516,7 +525,9 @@ def minhash_index(
     return idx
 
 
-def minhash_index_load(spark, path: str) -> MinHashIndex:
+def minhash_index_load(
+    spark, path: str, repair_torn: bool = False
+) -> MinHashIndex:
     """Reload a :meth:`MinHashIndex.save`'d index; fails fast with a
     descriptive error when the meta table is missing/empty rather than
     guessing provenance (a wrong guess silently matches nothing).
@@ -525,9 +536,21 @@ def minhash_index_load(spark, path: str) -> MinHashIndex:
     rows == bands x shingle rows — every doc contributes exactly
     ``bands`` banded rows and one shingle row): a crash between
     :func:`minhash_index_append`'s two parquet appends leaves a torn
-    index whose extra banded rows would generate candidates that the
-    shingle join then silently DROPS — true duplicates reported clean.
-    The two counts are parquet-footer metadata reads, not scans."""
+    index whose orphan rows would skew the two-stage dedup. The two
+    counts are parquet-footer metadata reads, not scans.
+
+    ``repair_torn``: when the tear is the append order's expected
+    direction (shingles written, banded crash — extra shingle rows, the
+    INERT side), trim the orphan shingle rows back to the banded doc set
+    via a staged rewrite + rename-aside swap, then re-append the whole
+    batch with :func:`minhash_index_append`. The repair rewrites the
+    shingles dir (one corpus-shingle pass — a rare recovery cost, not a
+    steady-state one). A tear in the other direction (banded rows
+    without shingle twins — impossible from the append's write order,
+    so it means external surgery) always requires a full rebuild."""
+    import os as _os
+    import shutil as _sh
+
     meta = spark.read.parquet(path + "/meta").collect()
     if not meta:
         raise ValueError(
@@ -539,12 +562,36 @@ def minhash_index_load(spark, path: str) -> MinHashIndex:
     sh = spark.read.parquet(path + "/shingles")
     nb, ns = banded.count(), sh.count()
     if nb != int(m["bands"]) * ns:
+        if repair_torn and nb < int(m["bands"]) * ns:
+            # orphan shingle rows (the crash-between-appends state):
+            # keep only shingle rows whose doc_id has banded twins,
+            # staged write + rename-aside so a crash mid-repair never
+            # leaves a worse state than the one being repaired
+            staged = path + "/shingles.staging"
+            old = path + "/shingles.old"
+            _sh.rmtree(staged, ignore_errors=True)
+            _sh.rmtree(old, ignore_errors=True)
+            sh.join(
+                banded.select("doc_id").distinct(), "doc_id", "left_semi"
+            ).write.mode("overwrite").parquet(staged)
+            _os.rename(path + "/shingles", old)
+            _os.rename(staged, path + "/shingles")
+            _sh.rmtree(old, ignore_errors=True)
+            return minhash_index_load(spark, path)
         raise ValueError(
             f"minhash_index_load: {path} is torn — banded has {nb} rows "
             f"but shingles x bands = {ns} x {m['bands']} = "
-            f"{ns * int(m['bands'])} (a crashed minhash_index_append "
-            "leaves this state); rebuild with minhash_index or re-append "
-            "the missing batch table"
+            f"{ns * int(m['bands'])} (a crash between "
+            "minhash_index_append's two appends leaves this state). "
+            + (
+                "Rebuild with minhash_index — banded rows without shingle "
+                "twins cannot come from the append path, so the repair "
+                "flag does not cover this direction."
+                if nb > int(m["bands"]) * ns
+                else "Recover with minhash_index_load(..., repair_torn="
+                "True) to trim the orphan shingle rows, then re-append "
+                "the interrupted batch; or rebuild with minhash_index."
+            )
         )
     return MinHashIndex(
         banded, sh, int(m["k"]), int(m["bands"]), int(m["n"]), int(m["seed"])
@@ -566,7 +613,15 @@ def minhash_index_append(
     detects that torn state via the banded == bands x shingles row
     invariant and raises rather than silently waving duplicates through
     (the silent mode: banded rows without shingle twins generate
-    candidates the shingle join then drops)."""
+    candidates the shingle join then drops) — recover with
+    ``minhash_index_load(..., repair_torn=True)`` then re-append.
+
+    A fully REPLAYED append (both writes committed twice — the
+    at-least-once foreachBatch world) passes the torn invariant with the
+    batch's rows duplicated in both tables; :func:`dedup_against_index`
+    absorbs that at query time (candidate ``distinct()`` + an emitted-
+    pair dedup on the MinHashIndex path), so replays cost index bytes,
+    never duplicate or wrong output pairs."""
     idx = minhash_index_load(spark, path)
     b, sh = _minhash_index_tables(
         accepted_docs, text_col, idx.k, idx.bands, idx.n, idx.seed

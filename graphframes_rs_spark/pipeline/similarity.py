@@ -447,7 +447,25 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> "IVFIndex":
     batch = new_embeddings.select(
         F.col(idx.id_col).alias("id"),
         F.col(idx.vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("list_id", _nearest_center_udf(idx.centers)(F.col("vec")))
+    )
+    # dim check BEFORE the write: a mismatched batch would otherwise die
+    # deep inside the assignment UDF's matmul with an executor stack
+    # trace (or append garbage if the shapes happen to broadcast), after
+    # the column validation above implied everything matched
+    probe = batch.filter(F.col("vec").isNotNull()).select(
+        F.size("vec").alias("d")
+    ).first()
+    dim = int(idx.centers.shape[1])
+    if probe is not None and int(probe["d"]) != dim:
+        raise ValueError(
+            f"ivf_index_append: batch vectors have dim {int(probe['d'])} "
+            f"but the stored index centroids have dim {dim} — the batch "
+            "belongs to a different embedding space; rebuild with "
+            "ivf_index if the space changed"
+        )
+    batch = batch.withColumn(
+        "list_id", _nearest_center_udf(idx.centers)(F.col("vec"))
+    )
     batch.write.mode("append").parquet(path + "/assigned")
     return ivf_index_load(spark, path)
 

@@ -84,6 +84,30 @@ def _banded_buckets(
     )
 
 
+def _require_local_path(path: str, caller: str) -> str:
+    """Validate that ``path`` targets the driver-local filesystem and
+    return it with any ``file:`` scheme stripped (so ``os`` and Spark
+    agree on the location). The crash-safe index swap in this module is
+    implemented with driver-local ``os.rename``/``shutil.rmtree``; on a
+    non-local store those checks silently see "no index" and reset dedup
+    state, so any other URI scheme raises instead."""
+    if "://" in path or (":" in path.split("/", 1)[0] if "/" in path else ":" in path):
+        scheme, _, rest = path.partition(":")
+        if scheme.lower() != "file":
+            raise ValueError(
+                f"{caller}: index_dir {path!r} uses scheme {scheme!r}, but "
+                "the persistent claim index is LOCAL-FILESYSTEM ONLY (the "
+                "existence check and crash-safe rename swap run through "
+                "driver-local os/shutil; a non-local store would silently "
+                "read as 'no index' and reset dedup state). Use a plain "
+                "local path or file: URI, or front the index with a "
+                "transactional table format."
+            )
+        # file:///tmp/x -> ///tmp/x (empty authority); file:/tmp/x -> /tmp/x
+        return rest[2:] if rest.startswith("///") else rest
+    return path
+
+
 def neardup_first_arrival(
     docs: DataFrame,
     text_col: str = "text",
@@ -177,10 +201,23 @@ def neardup_ingest_batch(
     across batches EQUALS :func:`neardup_first_arrival` on the
     concatenated input — pinned by the streaming==batch pytest. With
     out-of-order arrival, acceptance is first-PROCESSED-wins: an early
-    row arriving late cannot retroactively un-emit a winner."""
+    row arriving late cannot retroactively un-emit a winner.
+
+    LOCAL-FILESYSTEM ONLY: ``index_dir`` must be a plain path (or
+    ``file:`` URI) on a filesystem the DRIVER shares with Spark — the
+    existence check and the crash-safe rename swap run through
+    driver-local ``os``/``shutil``. On HDFS/S3 (or a cluster where the
+    driver doesn't mount the store) ``os.path.isdir`` would return False
+    and the batch would silently re-arbitrate against an EMPTY index —
+    exactly the dedup-state reset this function must never allow — so a
+    non-local URI raises up front. Porting to a shared store means
+    routing these four filesystem ops through Hadoop's FileSystem API
+    (``jvm.org.apache.hadoop.fs.FileSystem``) or a transactional table
+    format; the arbitration dataflow itself is already cluster-safe."""
     import os as _os
     import shutil as _sh
 
+    index_dir = _require_local_path(index_dir, "neardup_ingest_batch")
     spark = batch.sparkSession
     staged = index_dir.rstrip("/") + ".staging"
     old = index_dir.rstrip("/") + ".old"
@@ -308,7 +345,12 @@ def streaming_neardup_dedup(
     a crash between the index swap and the append can duplicate rows on
     replay, the standard foreachBatch at-least-once trade; dedup
     ``out_dir`` on doc_id downstream or swap the sink for a
-    transactional table format when exactly-once matters."""
+    transactional table format when exactly-once matters.
+
+    ``index_dir`` is LOCAL-FILESYSTEM ONLY (driver-local crash-safe
+    swap — see :func:`neardup_ingest_batch`; non-local URIs raise).
+    ``out_dir``/``checkpoint_dir`` are written by Spark itself and may
+    live on any supported filesystem."""
 
     def _ingest(batch: DataFrame, _batch_id: int) -> None:
         accepted = neardup_ingest_batch(

@@ -725,6 +725,28 @@ def test_neardup_ingest_crash_recovery(spark, tmp_path):
     assert not os.path.isdir(idx + ".old")  # recovery cleaned up
 
 
+def test_neardup_ingest_nonlocal_uri_raises(spark, tmp_path):
+    """The claim index's existence check + crash-safe swap are driver-
+    local os/shutil ops: on HDFS/S3 they'd silently read 'no index' and
+    reset dedup state, so non-local URIs must raise up front; file: URIs
+    are local and must behave exactly like the plain path."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b0 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    for bad in ("hdfs://nn:8020/idx", "s3a://bucket/idx"):
+        with pytest.raises(ValueError, match="LOCAL-FILESYSTEM"):
+            sdedup.neardup_ingest_batch(b0, bad)
+    # file: URI resolves to the same local dir as the plain path
+    plain = str(tmp_path / "file_uri_idx")
+    sdedup.neardup_ingest_batch(b0, "file://" + plain)
+    import os
+
+    assert os.path.isdir(plain)
+    b1 = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    assert sdedup.neardup_ingest_batch(b1, plain).count() == 0  # re-crawl
+
+
 def test_event_transitions_hand_computed(spark):
     """Per-user time-ordered journeys: u1 a->b->a gives (a,b) and (b,a);
     u2 a->a gives (a,a); probabilities normalize per source type."""

@@ -1362,6 +1362,15 @@ def test_ivf_index_append_equals_frozen_center_assign(spark, tmp_path):
         sim.ivf_index_append(
             spark, path, batch.withColumnRenamed("embedding", "emb")
         )
+    # dim mismatch fails fast with a descriptive error, BEFORE any write
+    # (r13 ADVICE: previously died inside the assignment UDF's matmul)
+    bad_dim = batch.select(
+        "vec_id",
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="dim 2 .* dim 3"):
+        sim.ivf_index_append(spark, path, bad_dim)
+    assert sim.ivf_index_load(spark, path).assigned.count() == 60  # no write
 
 
 def test_minhash_index_torn_append_detected(spark, tmp_path):
@@ -1381,6 +1390,64 @@ def test_minhash_index_torn_append_detected(spark, tmp_path):
     b.write.mode("append").parquet(path + "/banded")
     with pytest.raises(ValueError, match="torn"):
         dedup.minhash_index_load(spark, path)
+
+
+def test_minhash_index_torn_repair_path(spark, tmp_path):
+    """The append-order tear (shingles written, banded crash) is
+    recoverable: load raises pointing at repair_torn=True, the repair
+    trims the orphan shingle rows, and re-appending the interrupted
+    batch then matches a clean rebuild — the error message's recovery
+    instruction actually works (r13 ADVICE: it previously named a
+    re-append path that could never run)."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "repair")
+    dedup.minhash_index(docs, checkpoint_dir=path)
+    batch = spark.createDataFrame(
+        [(2, "ii jj kk ll mm nn oo pp")], "doc_id long, text string"
+    )
+    # simulate minhash_index_append crashing between its two writes:
+    # shingles committed (the write order's first append), banded not
+    _b, sh2 = dedup._minhash_index_tables(batch, "text", 16, 4, 3, 42)
+    sh2.write.mode("append").parquet(path + "/shingles")
+    with pytest.raises(ValueError, match="repair_torn"):
+        dedup.minhash_index_load(spark, path)
+    repaired = dedup.minhash_index_load(spark, path, repair_torn=True)
+    assert repaired.shingle_arrays.count() == 1  # orphan trimmed
+    # the recovery instruction: re-append the interrupted batch
+    grown = dedup.minhash_index_append(spark, path, batch)
+    rebuilt = dedup.minhash_index(docs.union(batch))
+    probe = spark.createDataFrame(
+        [(9, "ii jj kk ll mm nn oo pp")], "doc_id long, text string"
+    )
+    got = sorted(map(tuple, dedup.dedup_against_index(probe, grown).collect()))
+    want = sorted(map(tuple, dedup.dedup_against_index(probe, rebuilt).collect()))
+    assert got == want and got
+
+
+def test_minhash_index_replayed_append_no_duplicate_pairs(spark, tmp_path):
+    """A REPLAYED append (at-least-once delivery: both writes committed
+    twice) passes the torn invariant with the batch duplicated in both
+    tables; dedup_against_index must still emit each (new_id, index_id)
+    pair exactly once (r13 ADVICE: the duplicates previously multiplied
+    output rows)."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "replay")
+    dedup.minhash_index(docs, checkpoint_dir=path)
+    batch = spark.createDataFrame(
+        [(2, "ii jj kk ll mm nn oo pp")], "doc_id long, text string"
+    )
+    dedup.minhash_index_append(spark, path, batch)
+    replayed = dedup.minhash_index_append(spark, path, batch)  # the replay
+    assert replayed.shingle_arrays.count() == 3  # 1 + batch twice
+    probe = spark.createDataFrame(
+        [(9, "ii jj kk ll mm nn oo pp")], "doc_id long, text string"
+    )
+    rows = dedup.dedup_against_index(probe, replayed).collect()
+    assert [(r["new_id"], r["index_id"]) for r in rows] == [(9, 2)]
 
 
 def test_ann_recall_probe(spark, tmp_path):
