@@ -2158,6 +2158,23 @@ def _q_bpe_encode(spark, sf_dir):
     return txt.bpe_encode(docs, _BPE_ENTRY_MERGES)
 
 
+def _q_bpe_encode_fixed(spark, sf_dir):
+    """Fixed-vocab BPE encoding (the production tokenizer contract): the
+    symbol vocabulary is FROZEN on a train slice (doc_id % 5 != 0) —
+    distinct characters ∪ each merge's fused symbol, dense sorted ids,
+    id 0 reserved for unk — then a DISJOINT batch (doc_id % 5 == 0) is
+    encoded against it, so ids match the train corpus's assignments and
+    never drift batch-to-batch (contrast `bpe_encode`, whose ids are
+    corpus-relative). OOV symbols keep their text with token_id = 0.
+    Oracle: same recursive-CTE merge replay over the batch + the same
+    chars-∪-fused vocabulary from the train slice, LEFT JOIN, unk 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = txt.bpe_vocab(
+        docs.filter(F.col("doc_id") % 5 != 0), merges=_BPE_ENTRY_MERGES
+    )
+    return txt.bpe_encode(docs.filter(F.col("doc_id") % 5 == 0), vocab=vocab)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al., NeurIPS 2023): per-doc
     hashed-n-gram log-likelihood ratio of a target slice (sources
@@ -3433,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": _q_ngram_containment,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "bpe_encode_fixed": _q_bpe_encode_fixed,
         "dsir_weights": _q_dsir_weights,
         "hard_negatives": _q_hard_negatives,
         "fastrp_embedding": _q_fastrp,
@@ -5230,6 +5248,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT token FROM positioned)) "
             "SELECT p.doc_id, p.pos, p.token, v.token_id "
             "FROM positioned p JOIN vocab v USING (token)"
+        ),
+        "bpe_encode_fixed": (
+            # frozen tokenizer: vocab = train slice's distinct chars ∪
+            # fused merge symbols (sorted dense ids, 0 = unk); the batch
+            # slice replays the same merges and LEFT-joins the vocab
+            "WITH RECURSIVE merges(rank, pat, rep) AS (VALUES "
+            + ", ".join(
+                f"({i + 1}, ' {l} {r} ', ' {l}{r} ')"
+                for i, (l, r) in enumerate(_BPE_ENTRY_MERGES)
+            )
+            + "), "
+            "tchars AS (SELECT DISTINCT c AS token FROM ("
+            "SELECT unnest(string_split(w, '')) AS c FROM ("
+            "SELECT unnest(string_split(lower(text), ' ')) AS w "
+            "FROM documents WHERE doc_id % 5 <> 0) WHERE w <> '') "
+            "WHERE c <> ''), "
+            "fused AS (SELECT * FROM (VALUES "
+            + ", ".join(f"('{l}{r}')" for l, r in _BPE_ENTRY_MERGES)
+            + ") AS f(token)), "
+            "vocab AS (SELECT token, CAST(row_number() OVER "
+            "(ORDER BY token) AS BIGINT) AS token_id FROM "
+            "(SELECT token FROM tchars UNION SELECT token FROM fused)), "
+            "wstream AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, "
+            "unnest(ws) AS word FROM (SELECT doc_id, "
+            "string_split(lower(text), ' ') AS ws FROM documents "
+            "WHERE doc_id % 5 = 0)), "
+            "words AS (SELECT DISTINCT word FROM wstream WHERE word <> ''), "
+            "steps(word, seq, r) AS ("
+            "SELECT word, ' ' || array_to_string(string_split(word, ''), ' ') "
+            "|| ' ', 1 FROM words "
+            "UNION "
+            "SELECT s.word, "
+            "CASE WHEN contains(s.seq, m.pat) "
+            "THEN replace(s.seq, m.pat, m.rep) ELSE s.seq END, "
+            "CASE WHEN contains(s.seq, m.pat) THEN s.r ELSE s.r + 1 END "
+            "FROM steps s JOIN merges m ON m.rank = s.r), "
+            "enc AS (SELECT word, string_split(trim(seq), ' ') AS syms "
+            f"FROM steps WHERE r = {len(_BPE_ENTRY_MERGES) + 1}), "
+            "stream AS (SELECT ws.doc_id, ws.wpos, "
+            "generate_subscripts(e.syms, 1) AS spos, unnest(e.syms) AS token "
+            "FROM wstream ws JOIN enc e ON ws.word = e.word), "
+            "positioned AS (SELECT doc_id, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY wpos, spos) - 1 AS BIGINT) AS pos, "
+            "token FROM stream) "
+            "SELECT p.doc_id, p.pos, p.token, "
+            "CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token_id "
+            "FROM positioned p LEFT JOIN vocab v USING (token)"
         ),
         "dsir_weights": (
             # identical md5-hash60 buckets + integer micro-unit dot product

@@ -1121,11 +1121,122 @@ def bpe_train(
     )
 
 
+class BPEVocab:
+    """A trained BPE tokenizer's PERSISTENT state: the rank-ordered merge
+    list plus a FIXED symbol vocabulary [token, token_id] — what
+    :func:`bpe_encode`'s corpus-relative id mode lacks (there,
+    ``token_id`` is the dense rank over THAT corpus's distinct symbols,
+    so encoding tomorrow's batch can shift every id). Build with
+    :func:`bpe_vocab`, persist with :meth:`save` / :func:`bpe_vocab_load`
+    (the MinHashIndex/IVFIndex persistence pattern), then pass as
+    ``bpe_encode(docs, vocab=...)`` for ids that are STABLE across
+    batches forever.
+
+    Vocabulary construction: the training corpus's distinct single
+    characters ∪ each merge's fused symbol — exactly the closed symbol
+    space merge replay can emit (every replay output is either a lone
+    char or some merge's ``left+right``), so a future batch can only
+    fall outside it by containing a NEVER-SEEN character. Ids are the
+    dense 1-based rank in sorted token order; **id 0 is reserved for
+    unknown** (the explicit unk policy: an OOV symbol keeps its text in
+    ``token`` and gets ``token_id = 0``, so downstream can count, drop,
+    or re-train on unks without a lossy placeholder string)."""
+
+    def __init__(self, merges: list, vocab: DataFrame):
+        self.merges = [tuple(m) for m in merges]
+        self.vocab = vocab
+
+    def save(self, path: str) -> None:
+        """Persist under ``path`` (parquet: ``merges/`` [rank, left,
+        right] + ``vocab/`` [token, token_id]). Reload with
+        :func:`bpe_vocab_load`."""
+        spark = self.vocab.sparkSession
+        spark.createDataFrame(
+            [(i + 1, l, r) for i, (l, r) in enumerate(self.merges)],
+            "rank long, left string, right string",
+        ).write.mode("overwrite").parquet(path + "/merges")
+        self.vocab.write.mode("overwrite").parquet(path + "/vocab")
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges=None,
+    num_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab_words: int = 50_000,
+) -> BPEVocab:
+    """Train (or adopt) a merge list and freeze its symbol vocabulary
+    into a :class:`BPEVocab`. ``merges`` may be a ``bpe_train`` output
+    frame, a rank-ordered list of (left, right) tuples, or None to train
+    here with ``num_merges``/``min_count``/``max_vocab_words``.
+
+    Scale shape: the character inventory is one distinct aggregate over
+    the corpus's distinct-word frame (combine-enabled, vocabulary-sized
+    output) and the merge list is driver-sized by construction — the
+    vocab freeze adds no corpus-scale work beyond what training already
+    paid."""
+    if merges is None:
+        merges = bpe_train(
+            docs,
+            num_merges=num_merges,
+            text_col=text_col,
+            min_count=min_count,
+            max_vocab_words=max_vocab_words,
+        )
+    if isinstance(merges, DataFrame):
+        merge_list = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        merge_list = [tuple(m) for m in merges]
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    chars = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w") != "")
+        .select(F.explode(F.split(F.col("w"), "")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    fused = spark.createDataFrame(
+        [(l + r,) for l, r in merge_list], "token string"
+    )
+    vocab = (
+        chars.unionByName(fused)
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy("token")).cast("long"),
+        )
+    )
+    return BPEVocab(merge_list, vocab)
+
+
+def bpe_vocab_load(spark, path: str) -> BPEVocab:
+    """Reload a :meth:`BPEVocab.save`'d tokenizer; fails fast when the
+    vocab table is missing/empty (a half-written save would otherwise
+    silently encode everything to unk)."""
+    merges = [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(path + "/merges").orderBy("rank").collect()
+    ]
+    vocab = spark.read.parquet(path + "/vocab")
+    if not vocab.take(1):
+        raise ValueError(
+            f"bpe_vocab_load: {path}/vocab is empty — the save dir is "
+            "missing or was only partially written; re-run BPEVocab.save"
+        )
+    return BPEVocab(merges, vocab)
+
+
 def bpe_encode(
     docs: DataFrame,
-    merges,
+    merges=None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: "BPEVocab | None" = None,
 ) -> DataFrame:
     """[doc_id, pos, token, token_id] — each document's BPE symbol
     sequence under a trained merge list (``bpe_train`` output, a
@@ -1134,7 +1245,17 @@ def bpe_encode(
     the document (word order, then symbol order within the word);
     ``token_id`` is the dense 1-based rank of the symbol in the sorted
     corpus-wide symbol vocabulary (deterministic: same corpus + merges
-    => same ids).
+    => same ids — but CORPUS-RELATIVE: tomorrow's batch can assign
+    different ids; a production pipeline passes ``vocab=`` instead).
+
+    ``vocab``: a :class:`BPEVocab` (or a path string saved by
+    :meth:`BPEVocab.save`) replaces BOTH the merge list and the id
+    assignment with the frozen tokenizer state — ids are stable across
+    batches, and a symbol outside the stored vocabulary keeps its text
+    with ``token_id = 0`` (the explicit unk policy). Passing ``merges``
+    alongside ``vocab`` raises: the vocabulary was frozen against ONE
+    merge list, and encoding with another would silently mint symbols
+    the id table has never seen.
 
     Scale shape (the trainer's dual): merge replay — the only Python —
     runs once per DISTINCT word (vocabulary-bounded Arrow-batched
@@ -1148,7 +1269,18 @@ def bpe_encode(
     list with a recursive CTE (see ``__spark_entry__.oracle_sql``)."""
     from pyspark.sql import Window
 
-    if isinstance(merges, DataFrame):
+    if vocab is not None:
+        if merges is not None:
+            raise ValueError(
+                "bpe_encode: pass merges OR vocab, not both — the "
+                "vocabulary was frozen against its own merge list"
+            )
+        if isinstance(vocab, str):
+            vocab = bpe_vocab_load(docs.sparkSession, vocab)
+        merge_list = vocab.merges
+    elif merges is None:
+        raise ValueError("bpe_encode: one of merges/vocab is required")
+    elif isinstance(merges, DataFrame):
         merge_list = [
             (r["left"], r["right"])
             for r in merges.orderBy("rank").collect()
@@ -1184,7 +1316,17 @@ def bpe_encode(
     positioned = stream.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("long")
     )
-    vocab = (
+    if vocab is not None:
+        # frozen ids: left join against the stored table, OOV -> unk (0)
+        return positioned.join(
+            F.broadcast(vocab.vocab), "token", "left"
+        ).select(
+            id_col,
+            "pos",
+            "token",
+            F.coalesce("token_id", F.lit(0)).cast("long").alias("token_id"),
+        )
+    ids = (
         positioned.select("token")
         .distinct()
         .withColumn(
@@ -1194,7 +1336,7 @@ def bpe_encode(
             .cast("long"),
         )
     )
-    return positioned.join(F.broadcast(vocab), "token").select(
+    return positioned.join(F.broadcast(ids), "token").select(
         id_col, "pos", "token", "token_id"
     )
 

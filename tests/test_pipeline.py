@@ -1679,6 +1679,55 @@ def test_bpe_encode_fixpoint_adjacent_runs(spark):
     assert [r["token"] for r in out] == ["aa", "aa", "aa", "a", "a"]
 
 
+def test_bpe_vocab_stable_ids_across_batches(spark, tmp_path):
+    """The fixed-vocab path (r13 verdict task 3): ids frozen at
+    bpe_vocab time are STABLE across disjoint future batches (the
+    corpus-relative mode re-ranks per corpus), OOV symbols keep their
+    text with token_id=0 (the explicit unk policy), the tokenizer
+    round-trips through save/load, and merges+vocab together raise."""
+    train = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab ab ba x")], ["doc_id", "text"]
+    )
+    vocab = text.bpe_vocab(train, merges=[("a", "b"), ("ab", "ab")])
+    # vocab = chars {a, b, x} ∪ fused {ab, abab}, sorted:
+    ids = {r["token"]: r["token_id"] for r in vocab.vocab.collect()}
+    assert ids == {"a": 1, "ab": 2, "abab": 3, "b": 4, "x": 5}
+
+    b1 = spark.createDataFrame([(10, "abab ba")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(20, "ab abab x qq")], ["doc_id", "text"])
+    e1 = {(r["token"], r["token_id"])
+          for r in text.bpe_encode(b1, vocab=vocab).collect()}
+    e2 = {(r["token"], r["token_id"])
+          for r in text.bpe_encode(b2, vocab=vocab).collect()}
+    # shared symbols across disjoint batches carry identical frozen ids
+    assert ("abab", 3) in e1 and ("abab", 3) in e2
+    assert ("b", 4) in e1 and ("ab", 2) in e2
+    # 'q' never appeared in training: OOV -> unk id 0, text preserved
+    assert ("q", 0) in e2
+    # contrast: corpus-relative mode re-ranks ids per corpus
+    rel = {r["token"]: r["token_id"]
+           for r in text.bpe_encode(b1, [("a", "b"), ("ab", "ab")]).collect()}
+    assert rel["abab"] != 3  # only {a, b, abab} exist in b1's encoding
+
+    # save/load round-trip: identical merges, identical encode output
+    path = str(tmp_path / "bpe")
+    vocab.save(path)
+    loaded = text.bpe_vocab_load(spark, path)
+    assert loaded.merges == vocab.merges
+    assert {(r["token"], r["token_id"])
+            for r in text.bpe_encode(b2, vocab=loaded).collect()} == e2
+    # a path string is accepted directly
+    assert {(r["token"], r["token_id"])
+            for r in text.bpe_encode(b2, vocab=path).collect()} == e2
+
+    with pytest.raises(ValueError, match="merges OR vocab"):
+        text.bpe_encode(b1, [("a", "b")], vocab=vocab)
+    with pytest.raises(ValueError, match="merges/vocab"):
+        text.bpe_encode(b1)
+    with pytest.raises(Exception):  # missing dir (or empty vocab table)
+        text.bpe_vocab_load(spark, str(tmp_path / "nope"))
+
+
 def test_dsir_weights_directionality(spark):
     # target docs use token "good", raw-only docs use "bad": the weight
     # of a target-like doc must exceed a raw-like doc's.
