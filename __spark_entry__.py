@@ -1206,6 +1206,39 @@ def _q_neardup_first_arrival(spark, sf_dir):
     )
 
 
+def _q_simhash_first_arrival(spark, sf_dir):
+    """First-arrival-wins near-dup in the SIMHASH space (the batch twin
+    of streaming_simhash_dedup): a doc survives iff it is the min-doc_id
+    claimant of BOTH of its pigeonhole band buckets (bits=32,
+    max_hamming=1 => two 16-bit bands; any pair within the Hamming
+    budget shares a whole band — the door-filter default, sized so
+    spurious bucket collisions stay rare: see the operator's band-width
+    rule). Oracle: the simhash signature SQL + the same band
+    extraction, min per bucket, all-buckets conjunction."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sdedup.simhash_first_arrival(docs)
+
+
+def _q_embedding_first_arrival(spark, sf_dir):
+    """First-arrival-wins near-dup in EMBEDDING space (the batch twin of
+    streaming_embedding_dedup): a vector survives iff no smaller-id
+    vector has cosine >= threshold with it — every processed vector
+    claims, accepted or not (the microbatch-invariance property).
+    method="blocked" pins the exact candidate path so the DuckDB
+    cross-pair oracle is exact. Oracle: pairwise round-6 cosine, drop
+    the larger id of every qualifying pair, NULL vectors pass."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return sdedup.embedding_first_arrival(
+        emb, threshold=NEARDUP_COS_T, method="blocked"
+    )
+
+
 def _q_lsh_candidates(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, k=MINHASH_K)
@@ -3438,6 +3471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": _q_minhash_sigs,
         "lsh_candidates": _q_lsh_candidates,
         "neardup_first_arrival": _q_neardup_first_arrival,
+        "simhash_first_arrival": _q_simhash_first_arrival,
+        "embedding_first_arrival": _q_embedding_first_arrival,
         "jaccard_pairs": _q_jaccard_pairs,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incr_indexed": _q_dedup_incr_indexed,
@@ -3533,6 +3568,26 @@ def _neardup_first_arrival_sql() -> str:
     policy."""
     return (
         f"WITH sigs AS ({_minhash_sig_sql()}), banded AS ({_banded_sql()}), "
+        "w AS (SELECT band, bucket, min(doc_id) AS wdoc "
+        "FROM banded GROUP BY 1, 2), "
+        "cl AS (SELECT b.doc_id, bool_and(b.doc_id = w.wdoc) AS ok "
+        "FROM banded b JOIN w USING (band, bucket) GROUP BY 1) "
+        "SELECT doc_id FROM cl WHERE ok "
+        "UNION ALL SELECT doc_id FROM documents WHERE text IS NULL"
+    )
+
+
+def _simhash_first_arrival_sql() -> str:
+    """Batch twin of the simhash claim-index ingest: the signature SQL of
+    the simhash entry + the operator's pigeonhole banding (bits=32,
+    max_hamming=1 => two 16-bit bands at offsets 0/16), min(doc_id)
+    winner per bucket, all-buckets conjunction; NULL-text docs accepted
+    unconditionally (nothing to collide on)."""
+    return (
+        f"WITH sigs AS ({_simhash_sql()}), "
+        "banded AS (SELECT doc_id, CAST(b AS BIGINT) AS band, "
+        "(simhash >> CAST(16 * b AS INT)) & 65535 AS bucket "
+        "FROM sigs, unnest([0, 1]) AS t(b)), "
         "w AS (SELECT band, bucket, min(doc_id) AS wdoc "
         "FROM banded GROUP BY 1, 2), "
         "cl AS (SELECT b.doc_id, bool_and(b.doc_id = w.wdoc) AS ok "
@@ -5515,6 +5570,18 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS cosine "
             "FROM e a JOIN e b ON a.id < b.id) "
             f"SELECT * FROM s WHERE cosine >= {NEARDUP_COS_T}"
+        ),
+        "simhash_first_arrival": _simhash_first_arrival_sql(),
+        "embedding_first_arrival": (
+            # first-arrival: drop the larger id of every qualifying pair
+            # (order_col=None => id arbitration); NULL vectors pass
+            "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            f"p AS (SELECT b.id AS idb FROM e a JOIN e b ON a.id < b.id "
+            f"AND round({cos_ab}, 6) >= {NEARDUP_COS_T}) "
+            "SELECT id AS vec_id FROM e "
+            "WHERE id NOT IN (SELECT idb FROM p) "
+            "UNION ALL SELECT vec_id FROM embeddings WHERE embedding IS NULL"
         ),
         "embedding_dedup_incr": (
             # exact closed form of the full-probe incremental path: every

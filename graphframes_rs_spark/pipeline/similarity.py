@@ -470,6 +470,79 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> "IVFIndex":
     return ivf_index_load(spark, path)
 
 
+def ivf_index_maintain(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    probe_queries: DataFrame,
+    recall_floor: float = 0.8,
+    k: int = 5,
+    nprobe: int = 4,
+    nlist: int | None = None,
+    fit_points: int = 100,
+) -> tuple["IVFIndex", dict]:
+    """The closed IVF maintenance loop (append → probe → rebuild-on-
+    drift): grow the saved index at ``path`` by one batch
+    (:func:`ivf_index_append` — frozen centroids, O(batch)), probe
+    recall@``k`` on ``probe_queries`` (:func:`ann_recall` — exact
+    baseline over the whole base, so keep the probe sample small), and
+    when recall sags below ``recall_floor``, REBUILD: re-fit centroids
+    over the accumulated corpus (``nlist`` defaults to the stored value)
+    and atomically swap the new index in via the rename-aside pattern
+    (stage → move live aside → promote → drop old; a crash mid-swap is
+    healed by the recovery prologue on the next call, and a torn staged
+    write is never live). Returns ``(index, evidence)`` where evidence =
+    ``{"recall": probed, "rebuilt": bool, "recall_after": float|None}``.
+
+    This is the production answer to the frozen-quantizer trade
+    documented on :func:`ivf_index_append`: cells drift as the
+    distribution shifts; the probe is the detector, the rebuild the
+    repair, and the swap keeps every reader consistent (readers loaded
+    before the swap keep their collected centroids; the parquet scan
+    they hold is the old dir, dropped only after promote — start new
+    reads via :func:`ivf_index_load`). LOCAL-FILESYSTEM ONLY (driver-
+    local rename swap — same contract as the streaming claim indexes)."""
+    import os as _os
+    import shutil as _sh
+
+    from graphframes_rs_spark.streaming.dedup import _require_local_path
+
+    path = _require_local_path(path, "ivf_index_maintain").rstrip("/")
+    staged, old = path + ".staging", path + ".old"
+    # crash recovery: the only window where the live dir is absent
+    # mid-swap leaves ".old" behind — restore it (exact: the crashed
+    # rebuild never promoted, so the pre-rebuild index is authoritative)
+    if not _os.path.isdir(path) and _os.path.isdir(old):
+        _os.rename(old, path)
+    _sh.rmtree(staged, ignore_errors=True)
+    _sh.rmtree(old, ignore_errors=True)
+
+    idx = ivf_index_append(spark, path, new_embeddings)
+    recall = ann_recall(idx, probe_queries, k=k, nprobe=nprobe)
+    if recall >= recall_floor:
+        return idx, {"recall": recall, "rebuilt": False, "recall_after": None}
+    base = idx.assigned.select(
+        F.col("id").alias(idx.id_col), F.col("vec").alias(idx.vec_col)
+    )
+    rebuilt = ivf_index(
+        base,
+        nlist=idx.nlist if nlist is None else nlist,
+        vec_col=idx.vec_col,
+        id_col=idx.id_col,
+        seed=idx.seed,
+        fit_points=fit_points,
+    )
+    rebuilt.save(staged)
+    _os.rename(path, old)
+    _os.rename(staged, path)
+    _sh.rmtree(old, ignore_errors=True)
+    fresh = ivf_index_load(spark, path)
+    recall_after = ann_recall(fresh, probe_queries, k=k, nprobe=nprobe)
+    return fresh, {
+        "recall": recall, "rebuilt": True, "recall_after": recall_after,
+    }
+
+
 def ivf_index(
     embeddings: DataFrame,
     nlist: int = 16,

@@ -747,6 +747,174 @@ def test_neardup_ingest_nonlocal_uri_raises(spark, tmp_path):
     assert sdedup.neardup_ingest_batch(b1, plain).count() == 0  # re-crawl
 
 
+def test_streaming_simhash_equals_batch(spark, tmp_path):
+    """streaming==batch equality for the SIMHASH face (r13 verdict task
+    4): three microbatches through the foreachBatch claim-index ingest
+    produce exactly simhash_first_arrival's accepted set on the
+    concatenated input — including a cross-batch re-crawl dropping."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight nine ten",
+        2: "red orange yellow green blue indigo violet ultra",
+    }
+    batches = [
+        [(0, texts[0], 0.0), (1, texts[1], 1.0)],
+        [(2, texts[2], 2.0)],
+        [(3, texts[0], 3.0), (4, texts[1] + " eleven", 4.0)],  # re-crawls
+    ]
+    schema = "doc_id long, text string, ts double"
+    src = str(tmp_path / "sh_src")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out_dir = str(tmp_path / "sh_out")
+    q = sdedup.streaming_simhash_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        str(tmp_path / "sh_index"),
+        out_dir,
+        checkpoint_dir=str(tmp_path / "sh_ckpt"),
+        order_col="ts",
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    batch_kept = {
+        r["doc_id"]
+        for r in sdedup.simhash_first_arrival(
+            all_docs, order_col="ts"
+        ).collect()
+    }
+    assert streamed == batch_kept
+    assert 0 in streamed and 3 not in streamed  # exact re-crawl dropped
+
+
+def test_simhash_first_arrival_semantics(spark):
+    """Identical text -> identical signature -> later copy drops; a
+    NULL-text doc is accepted unconditionally; banding agrees with the
+    batch pipeline's pigeonhole candidates (drop iff >=1 shared band)."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, "one two three four five six"), (3, None)],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"] for r in sdedup.simhash_first_arrival(docs).collect()
+    }
+    assert 0 in kept and 1 not in kept and 3 in kept
+    # doc 2: dropped iff it shares a band with an earlier doc under the
+    # operator's own default banding (bits=32, max_hamming=1 -> two
+    # 16-bit bands)
+    bb = sdedup._simhash_buckets(docs, "text", None, 32, 1)
+    shared = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .collect()
+    )
+    collides_with_earlier = {r[1] for r in shared}
+    assert (2 not in kept) == (2 in collides_with_earlier)
+
+
+def test_streaming_embedding_equals_batch(spark, tmp_path):
+    """streaming==batch equality for the EMBEDDING face: three
+    microbatches through the IVF-index foreachBatch ingest (full probe:
+    nprobe >= nlist => exact) equal embedding_first_arrival on the
+    concatenated input, including a cross-batch near-dup dropping and a
+    NULL-vector row passing through."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    v = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0],
+        2: [0.0, 0.0, 1.0],
+        3: [0.999, 0.001, 0.0],   # near-dup of 0, arrives batch 3
+        4: [0.0, 1.0, 0.05],      # near-dup of 1, arrives batch 3
+        5: [0.7, 0.7, 0.0],       # distinct direction
+    }
+    batches = [
+        [(0, v[0], 0.0), (1, v[1], 1.0)],
+        [(2, v[2], 2.0), (6, None, 2.5)],
+        [(3, v[3], 3.0), (4, v[4], 4.0), (5, v[5], 5.0)],
+    ]
+    schema = "vec_id long, embedding array<double>, ts double"
+    src = str(tmp_path / "emb_src")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out_dir = str(tmp_path / "emb_out")
+    q = sdedup.streaming_embedding_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        str(tmp_path / "emb_index"),
+        out_dir,
+        checkpoint_dir=str(tmp_path / "emb_ckpt"),
+        threshold=0.98,
+        order_col="ts",
+        nlist=2,
+        nprobe=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {r["vec_id"] for r in spark.read.parquet(out_dir).collect()}
+    all_vecs = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    batch_kept = {
+        r["vec_id"]
+        for r in sdedup.embedding_first_arrival(
+            all_vecs, threshold=0.98, order_col="ts"
+        ).collect()
+    }
+    assert streamed == batch_kept
+    assert {0, 1, 2, 5, 6} <= streamed       # null-vec 6 passes through
+    assert 3 not in streamed and 4 not in streamed  # cross-batch dups
+
+
+def test_embedding_ingest_replay_idempotent(spark, tmp_path):
+    """A REPLAYED embedding microbatch (at-least-once foreachBatch)
+    re-accepts exactly the same rows — its own indexed copies are not
+    strictly earlier by (ord, id), so the batch is not annihilated; a
+    true re-crawl at a LATER ord still drops."""
+    from graphframes_rs_spark.streaming import dedup as sdedup
+
+    schema = "vec_id long, embedding array<double>, ts double"
+    idx = str(tmp_path / "replay_idx")
+    b0 = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0.0), (1, [0.0, 1.0], 1.0)], schema
+    )
+    a0 = sdedup.embedding_ingest_batch(
+        b0, idx, threshold=0.98, order_col="ts", nlist=2, nprobe=4
+    )
+    assert {r["vec_id"] for r in a0.collect()} == {0, 1}
+    # replay: same ids, same ords -> same acceptance, not empty
+    a0r = sdedup.embedding_ingest_batch(
+        b0, idx, threshold=0.98, order_col="ts", nlist=2, nprobe=4
+    )
+    assert {r["vec_id"] for r in a0r.collect()} == {0, 1}
+    # re-crawl of vec 0 at a later ord (even with the same id) drops
+    b1 = spark.createDataFrame([(0, [1.0, 0.0], 9.0)], schema)
+    assert sdedup.embedding_ingest_batch(
+        b1, idx, threshold=0.98, order_col="ts", nlist=2, nprobe=4
+    ).count() == 0
+
+
 def test_event_transitions_hand_computed(spark):
     """Per-user time-ordered journeys: u1 a->b->a gives (a,b) and (b,a);
     u2 a->a gives (a,a); probabilities normalize per source type."""

@@ -1450,6 +1450,74 @@ def test_minhash_index_replayed_append_no_duplicate_pairs(spark, tmp_path):
     assert [(r["new_id"], r["index_id"]) for r in rows] == [(9, 2)]
 
 
+def test_ivf_index_maintain_rebuild_loop(spark, tmp_path):
+    """The closed maintenance loop (r13 verdict task 5): appends drift
+    the distribution until the recall probe drops below the floor, which
+    triggers a centroid re-fit + atomic rename-aside swap; after the
+    swap the index equals a from-scratch build over the accumulated
+    corpus (same seed/fit dials => identical centroids => identical
+    search), and the crash window (live dir renamed aside, promote not
+    done) self-heals on the next call."""
+    import os
+
+    from graphframes_rs_spark.pipeline import similarity as sim
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    # initial corpus: a tight cluster along +x (z = 0) — all 4 stale
+    # centroids land at x=1 differing only in tiny y offsets
+    base = vecs([(i, [1.0, 0.001 * i, 0.0]) for i in range(30)])
+    path = str(tmp_path / "maint")
+    sim.ivf_index(base, nlist=4, fit_points=10).save(path)
+    # drifted batch: similarity lives in the x-z ANGLE (consecutive i
+    # are cosine neighbors), but the stale centroids only discriminate
+    # on the tiny cycling y term — so every 4 consecutive NEIGHBORS land
+    # in 4 DIFFERENT cells while each query probes one, and nprobe=1
+    # collapses
+    import math
+
+    y_cycle = [0.0, 0.01, 0.018, 0.026]
+    drift = vecs([
+        (100 + i,
+         [math.cos(0.05 + 0.1 * i), y_cycle[i % 4],
+          math.sin(0.05 + 0.1 * i)])
+        for i in range(40)
+    ])
+    queries = vecs([
+        (900 + j,
+         [math.cos(0.1 + 0.4 * j), 0.0, math.sin(0.1 + 0.4 * j)])
+        for j in range(10)
+    ])
+    idx, ev = sim.ivf_index_maintain(
+        spark, path, drift, queries, recall_floor=0.8, k=5, nprobe=1,
+        fit_points=10,
+    )
+    assert ev["rebuilt"] and ev["recall"] < 0.8
+    assert ev["recall_after"] > ev["recall"]
+    assert not os.path.isdir(path + ".old")  # swap completed clean
+    # post-swap equality with a from-scratch build over the same corpus
+    direct = sim.ivf_index(
+        base.union(drift), nlist=4, fit_points=10
+    )
+    a = sorted(map(tuple, sim.ivf_search(idx, queries, k=3, nprobe=4).collect()))
+    b = sorted(map(tuple, sim.ivf_search(direct, queries, k=3, nprobe=4).collect()))
+    assert a == b and a
+    # crash window: live index renamed aside, promote never happened —
+    # the next maintain call restores it and proceeds
+    os.rename(path, path + ".old")
+    tiny = vecs([(500, [0.0, -1.0, 0.0])])
+    idx2, ev2 = sim.ivf_index_maintain(
+        spark, path, tiny, queries, recall_floor=0.0, k=3, nprobe=4,
+        fit_points=10,
+    )
+    assert os.path.isdir(path) and not os.path.isdir(path + ".old")
+    assert not ev2["rebuilt"]  # floor 0.0 never triggers
+    assert idx2.assigned.count() == 71  # 30 + 40 + 1: nothing was lost
+
+
 def test_ann_recall_probe(spark, tmp_path):
     """ann_recall == 1.0 at full probe (nprobe >= nlist is exhaustive),
     stays in (0, 1] at nprobe=1, works over an appended index, and
