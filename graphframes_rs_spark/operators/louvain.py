@@ -327,7 +327,24 @@ class LouvainBuilder:
         ``enriched`` down stays hash-placed on v: best-move groupBy and
         the apply join plan with no further Exchange. Measured on the 6m
         tier (identical total moves): level-0 rounds
-        10.1/8.4/5.7s -> 7.5/5.4/5.3s; query wall 56 -> 49s."""
+        10.1/8.4/5.7s -> 7.5/5.4/5.3s; query wall 56 -> 49s.
+
+        r14 refinement — ONE edge-scale exchange per round, keyed on v
+        (the k-core specialized loop's round shape, k_core.py
+        _run_specialized): the neighbour-message stream is explicitly
+        repartitioned on ``v`` BEFORE the (v, uc) aggregation, so the
+        groupBy is satisfied by HashPartitioning(v) (subset-of-keys
+        clustering) without inserting its own (v, uc) exchange, and the
+        ``enriched`` join then reads the aggregate ALREADY placed on v —
+        the old plan's second candidate-scale exchange (repartitioning
+        the (v, uc) aggregate onto v for the enrich join) disappears.
+        Trade: the v-exchange carries raw neighbour messages instead of
+        map-side (v, uc)-combined pairs — early rounds communities are
+        near-singletons so that combine removed almost nothing, and the
+        bytes saved by skipping the second exchange dominate. Measured
+        on the 6m tier (bit-identical outputs, same 6,124,345 total
+        moves): per-plan Exchanges 5 -> 4; see OPTIMIZATION_r14.md for
+        the wall numbers."""
         # vertex-scale: each node learns its community's current total
         tot = nodes.groupBy("comm").agg(F.sum("k").alias("tot"))
         ntot = nodes.join(tot, "comm")  # [comm, v, k, tot]
@@ -343,6 +360,8 @@ class LouvainBuilder:
                 ),
                 "u",
             )
+            .select("v", "uc", "w", "tot_c")
+            .repartition(shuffle_n, "v")
             .groupBy("v", "uc")
             .agg(F.sum("w").alias("kvc"), F.max("tot_c").alias("tot_c"))
         )

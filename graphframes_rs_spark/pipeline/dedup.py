@@ -660,7 +660,17 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |A| per doc is the DISTINCT-shingle count and shingles() already
+    # returns a distinct array, so size() computes it as a NARROW map —
+    # the explode + groupBy(doc_id) form paid one full corpus exchange
+    # and a second explode pass just to re-count what the array already
+    # knows (guide §2.4: remove shuffles outright). A NULL-text doc has
+    # no shingles hence no candidate pairs, so its sizes row (absent
+    # before, size=NULL now) can never reach the inner joins below —
+    # outputs are bit-identical.
+    sizes = docs.select(
+        "doc_id", F.size(shingles(F.col(text_col), n)).cast("long").alias("n_sh")
+    )
     # Inverted index as posting lists (shingle -> sorted doc ids), pairs by
     # in-array explosion: one scan of the shingle pipeline instead of the
     # self-join's two (no ReusedExchange fires for the join form). Posting
@@ -718,7 +728,10 @@ def ngram_containment_pairs(
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # narrow distinct-shingle count — see ngram_jaccard_pairs (r14)
+    sizes = docs.select(
+        "doc_id", F.size(shingles(F.col(text_col), n)).cast("long").alias("n_sh")
+    )
     postings = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     ).filter(F.size("ds") > 1)
@@ -1669,6 +1682,7 @@ def exact_substr_spans(
     count_docs: bool = False,
     hasher: str = "gram",
     keep_first: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """[doc_id, span_start, span_end): maximal character spans covered by
     a VERBATIM substring of length >= ``min_len`` occurring at least
@@ -1757,9 +1771,29 @@ def exact_substr_spans(
     either hasher below ~10^5 docs; rolling for large corpora or
     L ≳ 100 on trusted input (see the collision caveat above for
     hostile input).
+    ``materialize`` (default True) pins the position-gram stream with an
+    eager ``localCheckpoint`` before the frequency/duplicate branches
+    consume it. The stream has TWO consumers — the per-gram occurrence
+    count and the dup-position join — and without pinning BOTH execute
+    the generation pass from scratch (plan-verified r14: 2 MapInPandas
+    nodes for ``hasher="rolling"``, 2 Generate+xxhash64 subtrees for
+    ``hasher="gram"`` — the heaviest stage of the operator paid twice;
+    guide §2.4/§5: two ops keyed off the same expensive subtree should
+    share one materialization). Same three-mode contract as
+    ``dsir_weights``: True = eager localCheckpoint (fastest; executor
+    storage only — lost blocks unrecoverable, fine locally and on healthy
+    clusters); False = pure lazy plan (the generation pass runs once per
+    consumer — for callers who only explain() or who checkpoint
+    upstream). Measured on the 1M-doc bench tier (rolling, L=60):
+    see OPTIMIZATION_r14.md.
     """
     L = min_len
     grams = _position_grams(docs, text_col, L, hasher)
+    if materialize:
+        # eager, not lazy/persist: the two consumer branches' map stages
+        # are independent (a join's children), so a lazy cache lets them
+        # race and BOTH compute the generation pass anyway
+        grams = grams.localCheckpoint()
 
     if count_docs:
         freq = (
@@ -1810,6 +1844,7 @@ def exact_substr_strip(
     count_docs: bool = False,
     hasher: str = "gram",
     keep_first: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """[doc_id, n_chars, n_kept, text_clean]: the REWRITE half of true
     exact-substring dedup — every character inside a
@@ -1835,6 +1870,7 @@ def exact_substr_strip(
         count_docs=count_docs,
         hasher=hasher,
         keep_first=keep_first,
+        materialize=materialize,
     )
     return _rebuild_without_spans(docs, spans, text_col)
 
