@@ -1013,6 +1013,16 @@ CLEAN_FLOORS = {
     # 46.3s wall measured UNDER 10.2s steal (r13 builder run 2) — the
     # wall upper-bounds the clean cost, so the floor moves down to it
     "scale_exactsubstr_1m": 46.3,
+    # r14 quiet-box standalone confirmation of the r13 weak row (120ms
+    # steal, calib shuffle 1.32s): 10.799s — below even the 12.1s r13
+    # builder measure; the r13 driver's 20.7s was the box
+    "scale_pagerank_18m": 10.8,
+    # r13 committed walls whose kept samples carried <0.5s steal — valid
+    # clean upper bounds, so the floor rule can see these tiers too
+    "scale_ann_200k": 10.9,      # BENCH_r13 (90ms steal)
+    "scale_ivfpq_200k": 11.0,    # BENCH_r13 (300ms steal)
+    "scale_dsir_200k": 12.7,     # BENCH_r13 (100ms steal)
+    "scale_neardup_ivf_400k": 12.7,  # BENCH_r13 (200ms steal)
 }
 # tiers expensive enough that ONE contaminated sample dominates the
 # artifact: re-probe the box immediately before measuring them.
