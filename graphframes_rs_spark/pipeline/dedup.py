@@ -1622,23 +1622,34 @@ def _subtract_protected_spans(marked: DataFrame, L: int) -> DataFrame:
     reported iff unprotected coverage is active and protected coverage is
     not; adjacent segments merge. One (doc_id, coord) aggregate + two
     per-doc windows — the same per-doc-bounded shuffle class as
-    :func:`_merge_covered_spans`."""
+    :func:`_merge_covered_spans`.
+
+    Both endpoint events come from ONE pass over ``marked`` via
+    explode(array(start_event, end_event)) — the earlier unionAll of two
+    selects made ``marked`` a two-consumer subtree, so its whole upstream
+    (the dup join and, inside it, the gram-frequency aggregate) executed
+    once per branch in the same action (guide §2.4; plan-verified r14 —
+    see OPTIMIZATION_r14.md for the 4x-freq executed plan and the
+    interleaved A/B)."""
     from pyspark.sql.window import Window
 
-    up = F.lit(1) - F.col("__isp")
+    up = (F.lit(1) - F.col("__isp")).cast("int")
+    dp = F.col("__isp").cast("int")
     ev = marked.select(
         "doc_id",
-        F.col("pos").alias("c"),
-        up.alias("du"),
-        F.col("__isp").alias("dp"),
-    ).unionAll(
-        marked.select(
-            "doc_id",
-            (F.col("pos") + L).alias("c"),
-            (-up).alias("du"),
-            (-F.col("__isp")).alias("dp"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pos").alias("c"), up.alias("du"), dp.alias("dp")
+                ),
+                F.struct(
+                    (F.col("pos") + L).alias("c"),
+                    (-up).alias("du"),
+                    (-dp).alias("dp"),
+                ),
+            )
+        ).alias("__e"),
+    ).select("doc_id", "__e.c", "__e.du", "__e.dp")
     ag = ev.groupBy("doc_id", "c").agg(
         F.sum("du").alias("du"), F.sum("dp").alias("dp")
     )
@@ -1786,6 +1797,11 @@ def exact_substr_spans(
     consumer — for callers who only explain() or who checkpoint
     upstream). Measured on the 1M-doc bench tier (rolling, L=60):
     see OPTIMIZATION_r14.md.
+    Under ``keep_first=True`` the flag additionally pins the dup-position
+    stream, which that branch consumes twice (canonical-occurrence
+    aggregate + marked join) — without the pin the freq aggregate and dup
+    join execute once per consumer (see the branch comment; interleaved
+    A/B: 11.7 -> 9.4s quiet mins at the 200k tier).
     """
     L = min_len
     grams = _position_grams(docs, text_col, L, hasher)
@@ -1808,6 +1824,15 @@ def exact_substr_spans(
         freq.where(F.col("__occ") >= min_count).select("gram"), "gram"
     )
     if keep_first:
+        if materialize:
+            # `dup` has two consumers in this branch (the canonical-
+            # occurrence aggregate and the marked join's probe side), so
+            # without a pin the freq aggregate + dup join execute once
+            # per consumer — 4x freq in the executed plan before the
+            # sweep's explode fix, 2x after (guide §2.4). Interleaved
+            # A/B at the 200k bench tier (quiet mins): unpinned 11.7s,
+            # explode-only 10.0s, pinned 9.4s — OPTIMIZATION_r14.md.
+            dup = dup.localCheckpoint()
         # canonical occurrence per duplicated window content: the min
         # (doc_id, pos) — combine-enabled struct-min. A char is reported
         # iff covered by some NON-canonical dup window AND NOT covered by

@@ -1426,12 +1426,25 @@ def knn_graph(
         F.col("neighbor_id").alias("dst"),
         "cosine",
     )
+    # both orientations from ONE pass over the ANN result: the earlier
+    # self-union made `nn` (the full scoring pass — BLAS broadcast top-k
+    # or the IVF probe) a two-consumer subtree, executed once per branch
+    # in the same action (guide §2.4; same shape as the exact-substring
+    # sweep fix, OPTIMIZATION_r14.md)
     return (
-        directed.unionByName(
-            directed.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
-            )
+        directed.select(
+            F.explode(
+                F.array(
+                    F.struct("src", "dst", "cosine"),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("cosine").alias("cosine"),
+                    ),
+                )
+            ).alias("__e")
         )
+        .select("__e.src", "__e.dst", "__e.cosine")
         .groupBy("src", "dst")
         .agg(F.max("cosine").alias("cosine"))
     )

@@ -531,6 +531,46 @@ def test_exact_substr_plan_shape(spark):
     assert plan.count("Window") == 2, plan
 
 
+def test_exact_substr_keepfirst_plan_shape(spark):
+    """The keep_first branch's r14 plan contract: the sweep generates
+    both endpoint events from ONE pass over the marked frame (explode,
+    never a self-union — the union made the dup join + gram-frequency
+    aggregate execute once per branch), and with materialize=True the
+    dup stream is pinned, so the canonical-occurrence struct-min
+    aggregate appears exactly once (one partial+final pair) and the
+    gram-frequency aggregate is behind the pin, not re-planned."""
+    from graphframes_rs_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 4), (2, "abcdefghij" * 4), (3, "unique text")],
+        "doc_id long, text string",
+    )
+    df = dedup.exact_substr_spans(docs, min_len=10, keep_first=True)
+    df.collect()  # settle AQE so executedPlan is final
+    plan = _executed_plan(df)
+    if "== Initial Plan ==" in plan:
+        plan = plan[: plan.index("== Initial Plan ==")]
+    assert "Union" not in plan, plan
+    assert "Generate explode" in plan, plan
+    # exactly one struct-min aggregate pair (partial+final) for the
+    # canonical occurrence — the pre-r14 plan carried two, one per
+    # consumer of `marked`
+    assert plan.count("SortAggregate") + plan.count(
+        "ObjectHashAggregate"
+    ) == 2, plan
+    # the rest is identical across materialize modes (row-level pin)
+    rows_pinned = sorted(map(tuple, df.collect()))
+    rows_lazy = sorted(
+        map(
+            tuple,
+            dedup.exact_substr_spans(
+                docs, min_len=10, keep_first=True, materialize=False
+            ).collect(),
+        )
+    )
+    assert rows_pinned == rows_lazy
+
+
 def test_minhash_index_path_reads_parquet_not_recompute(spark, tmp_path):
     """The whole point of a persisted MinHashIndex: a batch query's plan
     must SCAN the index parquet (banded + shingles) and must NOT contain

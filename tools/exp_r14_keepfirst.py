@@ -91,16 +91,18 @@ def _subtract_protected_spans_new(marked, Lw):
     )
 
 
-def spans_keepfirst_new(docs, min_len=50, min_count=2, hasher="gram"):
+def spans_keepfirst_new(docs, min_len=50, min_count=2, hasher="gram",
+                        pin_dup=True):
     """exact_substr_spans(keep_first=True, materialize=True) with the two
-    r14 edits: dup pinned, sweep events exploded."""
+    r14 edits: dup pinned (optional), sweep events exploded."""
     grams = dedup._position_grams(docs, "text", min_len, hasher)
     grams = grams.localCheckpoint()
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__occ"))
     dup = grams.join(
         freq.where(F.col("__occ") >= min_count).select("gram"), "gram"
     )
-    dup = dup.localCheckpoint()
+    if pin_dup:
+        dup = dup.localCheckpoint()
     first = (
         dup.groupBy("gram")
         .agg(F.min(F.struct("doc_id", "pos")).alias("__f"))
@@ -121,7 +123,9 @@ def checksum(df):
     return df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
-            F.xxhash64("doc_id", "span_start", "span_end")
+            F.xxhash64("doc_id", "span_start", "span_end").cast(
+                "decimal(38,0)"
+            )
         ).alias("h"),
     ).collect()[0]
 
@@ -137,29 +141,37 @@ c_new = checksum(spans_keepfirst_new(docs, min_len=L, min_count=2))
 print(f"# checksum old={tuple(c_old)} new={tuple(c_new)}", flush=True)
 assert tuple(c_old) == tuple(c_new), "OLD/NEW OUTPUTS DIFFER — ABORT"
 
-results = {"old": [], "new": []}
+ARMS = {
+    "old": lambda: dedup.exact_substr_spans(
+        docs, min_len=L, min_count=2, keep_first=True
+    ),
+    "explode": lambda: spans_keepfirst_new(
+        docs, min_len=L, min_count=2, pin_dup=False
+    ),
+    "pinexp": lambda: spans_keepfirst_new(
+        docs, min_len=L, min_count=2, pin_dup=True
+    ),
+}
+results = {a: [] for a in ARMS}
+order = list(ARMS.items())
 for p in range(PAIRS):
-    for label in ("old", "new"):
+    # rotate arm order per pair so a box wave striking a fixed slot in
+    # the cycle cannot systematically contaminate one arm
+    rot = order[p % len(order):] + order[:p % len(order)]
+    for label, build in rot:
         spark.catalog.clearCache()
         s0 = bench._steal_ms()
         t0 = time.monotonic()
-        if label == "old":
-            out = dedup.exact_substr_spans(
-                docs, min_len=L, min_count=2, keep_first=True
-            )
-        else:
-            out = spans_keepfirst_new(docs, min_len=L, min_count=2)
-        n = out.count()
+        n = build().count()
         wall = round(time.monotonic() - t0, 2)
         steal = bench._steal_ms() - s0
         results[label].append((wall, steal))
         print(f"# keepfirst200k {label} pair{p}: {wall}s steal={steal}ms rows={n}",
               flush=True)
 
-o = [w for w, _ in results["old"]]
-n = [w for w, _ in results["new"]]
-print(f"== keepfirst200k: old min={min(o)} all={o} | new min={min(n)} all={n}",
-      flush=True)
+for label, rs in results.items():
+    w = [x for x, _ in rs]
+    print(f"== keepfirst200k {label}: min={min(w)} all={rs}", flush=True)
 
 spark.stop()
 if bench._RAM_TMP_BASE is not None:
