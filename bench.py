@@ -1022,7 +1022,8 @@ CLEAN_FLOORS = {
     "scale_ann_200k": 10.9,      # BENCH_r13 (90ms steal)
     "scale_ivfpq_200k": 11.0,    # BENCH_r13 (300ms steal)
     # r14 end-of-round attempt 1: the row itself landed in a quiet gap of
-    # an otherwise stormy run (250ms steal on a 10.98s wall)
+    # an otherwise stormy run (250ms steal on a 10.98s wall —
+    # plans/r14/bench_attempt1_storm.json)
     "scale_dsir_200k": 10.9,
     "scale_neardup_ivf_400k": 12.7,  # BENCH_r13 (200ms steal)
 }
