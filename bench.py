@@ -1353,11 +1353,30 @@ def main():
     # primary defense, the measure-then-rerun budgets are capped at
     # 4 + 4 + 2 = 10 total and skipped reruns are logged, so a
     # persistently contended box costs attribution notes, not 2x wall.
+    # r15 (verdict task 6): the caps are now TIER-WEIGHTED — r14's storm
+    # spent the whole steal budget on the first small rows (gone by
+    # scale_wcc_18m), leaving the expensive tail unprotected. Half of
+    # each budget is reserved for rows whose expected cost (clean floor
+    # or previous committed wall) is >= EXPENSIVE_RERUN_S; cheap rows may
+    # only spend the budget down to that reserve.
+    EXPENSIVE_RERUN_S = 20.0
     regression_rerun_budget = 4
     steal_rerun_budget = 4
+    STEAL_RESERVE = 2
+    REGRESSION_RESERVE = 2
+    FLOOR_RESERVE = 1
     rerun_skips = []
     floor_reruns = {}
     floor_rerun_budget = 2
+
+    def _expensive(q: str) -> bool:
+        # expected cost of the row: cleanest committed wall or the
+        # previous round's committed wall, whichever is known/larger
+        return (
+            max(CLEAN_FLOORS.get(q, 0.0), prev_walls.get(q, 0.0))
+            >= EXPENSIVE_RERUN_S
+        )
+
     pre_tier_calib = {}
     for name, fn in bench_queries.items():
         if name in RESTART_BEFORE:
@@ -1465,7 +1484,7 @@ def main():
             and steal_best is not None
             and steal_best > 0.10 * best * 1000.0
         ):
-            if steal_rerun_budget > 0:
+            if steal_rerun_budget > (0 if _expensive(name) else STEAL_RESERVE):
                 steal_rerun_budget -= 1
                 time.sleep(5.0)
                 re_elapsed, re_gc, re_steal, re_stats = _one_run()
@@ -1481,8 +1500,8 @@ def main():
                 rerun_skips.append({"query": name, "rule": "steal",
                                     "s": best, "steal_ms": steal_best})
                 print(
-                    f"# steal rerun SKIPPED (budget spent): {name} {best}s "
-                    f"with {steal_best}ms steal kept as-is",
+                    f"# steal rerun SKIPPED (budget spent/reserved): "
+                    f"{name} {best}s with {steal_best}ms steal kept as-is",
                     file=sys.stderr,
                 )
         # Regression-confirmation rule (r11): the steal veto above only
@@ -1497,24 +1516,27 @@ def main():
         # Quiet box => no reruns, zero cost. 2s floor: tiny rows can't
         # move the subtotal and their ratios are timer noise.
         prev_wall = prev_walls.get(name)
+        _reg_avail = regression_rerun_budget > (
+            0 if _expensive(name) else REGRESSION_RESERVE
+        )
         if (
             prev_wall
             and best > 1.3 * prev_wall
             and best > 2.0
-            and regression_rerun_budget <= 0
+            and not _reg_avail
         ):
             rerun_skips.append({"query": name, "rule": "regression",
                                 "s": best, "prev_round_s": prev_wall})
             print(
-                f"# regression rerun SKIPPED (budget spent): {name} {best}s "
-                f"vs prev {prev_wall}s kept as-is",
+                f"# regression rerun SKIPPED (budget spent/reserved): "
+                f"{name} {best}s vs prev {prev_wall}s kept as-is",
                 file=sys.stderr,
             )
         if (
             prev_wall
             and best > 1.3 * prev_wall
             and best > 2.0
-            and regression_rerun_budget > 0
+            and _reg_avail
         ):
             regression_rerun_budget -= 1
             time.sleep(5.0)
@@ -1551,7 +1573,7 @@ def main():
             and best > 1.5 * _floor
             and name not in regression_reruns
             and name not in steal_reruns
-            and floor_rerun_budget > 0
+            and floor_rerun_budget > (0 if _expensive(name) else FLOOR_RESERVE)
         ):
             floor_rerun_budget -= 1
             print(

@@ -24,9 +24,15 @@ output is bit-identical to the reference's regardless of hash family.
 ``finite_axpb`` itself ships in ``functions/hashes.py`` for parity.
 
 Scale notes: each round shrinks the edge set geometrically; the heavy ops
-are two relabel joins + a distinct, all keyed on vertex ids (AQE handles
-skew from giant components). Edges and the mapping are checkpointed per
-round to truncate lineage.
+are two relabel joins + a dedup, all keyed on vertex ids. Edges and the
+per-round rep maps are checkpointed as BUCKETED parquet tables (r15,
+guide §2.4): the scans come back declaring HashPartitioning(key, n), so
+the per-round reps aggregate (groupBy src over the src-bucketed edges)
+and relabel join 1 (src == reps.v, reps bucketed on v) plan with NO
+Exchange — only join 2's dst re-key and the pre-write src repartition
+move the edge frame, ~2 edge-scale exchanges per round instead of ~5
+(the exchange-count story that matters when shuffles are network-bound;
+tools/exp_wcc.py prototyped and verified the shape bit-identical in r6).
 
 **Local-finish tail collapse**: geometric contraction means that after
 O(1) distributed rounds the surviving graph fits in a single task no
@@ -171,19 +177,31 @@ def _local_components(edges: DataFrame) -> DataFrame:
     return edges.select(SRC, DST).coalesce(1).mapInPandas(solve, "v long, rep long")
 
 
-def _relabel_edges(edges: DataFrame, reps: DataFrame) -> DataFrame:
+def _relabel_edges(
+    edges: DataFrame, reps: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """(u, w) -> (rep(u), rep(w)), self-loops dropped, deduplicated
-    (mirrors relabel_edges, connected_components.rs:70-96)."""
+    (mirrors relabel_edges, connected_components.rs:70-96).
+
+    With ``num_partitions`` the dedup runs as repartition(n, src) +
+    dropDuplicates([src, dst]) instead of a plain ``distinct()``:
+    HashPartitioning(src) clusters the (src, dst) groups (subset-of-keys),
+    so the dedup aggregate adds NO exchange of its own and the output
+    arrives hash-placed on src — exactly the layout the next round's
+    bucketed edge checkpoint wants (write becomes sort-only under
+    ``assume_partitioned``). Same row multiset either way."""
     src_rel = (
         edges.join(reps, edges[SRC] == reps["v"], "inner")
         .select(F.col("rep").alias(SRC), F.col(DST))
     )
-    return (
+    rel = (
         src_rel.join(reps, src_rel[DST] == reps["v"], "inner")
         .filter(F.col(SRC) != F.col("rep"))
         .select(F.col(SRC), F.col("rep").alias(DST))
-        .distinct()
     )
+    if num_partitions is None:
+        return rel.distinct()
+    return rel.repartition(num_partitions, SRC).dropDuplicates([SRC, DST])
 
 
 class ConnectedComponentsBuilder:
@@ -227,13 +245,30 @@ class ConnectedComponentsBuilder:
         # prepare: drop self-loops, symmetrize, dedup (cc.rs "prepare" step).
         # Edge counts ride the checkpoint writes as observe() metrics — loop
         # control never pays a separate count job over the edge set.
+        # r15 restructure (guide §2.4, the shape tools/exp_wcc.py measured
+        # bit-identical): the edge frame is stored as a BUCKETED checkpoint
+        # keyed on src, so the scan comes back *declaring*
+        # HashPartitioning(src, shuffle_n) — the per-round reps aggregate
+        # (groupBy src) and relabel join 1 (src == reps.v, reps bucketed on
+        # v below) plan with NO Exchange. A plain parquet re-read carries no
+        # partitioning metadata, so the old push_partitioned form paid ~5
+        # edge-scale Exchanges per round; bucketed rounds pay 2 (join 2's
+        # dst re-key + the pre-write src repartition). Dedup runs AFTER the
+        # src repartition: HashPartitioning(src) clusters (src, dst) groups
+        # (subset-of-keys), so dropDuplicates adds no exchange of its own
+        # and the write is sort-only (assume_partitioned).
         self.phase_stats_ = []
         t0 = time.monotonic()
         obs = Observation()
-        edges = symmetrize_edges(
-            self.graph.edges.select(SRC, DST), deduplicate=True
-        ).observe(obs, F.count(F.lit(1)).alias("n"))
-        edges = ckpt.push_partitioned(edges, SRC, shuffle_n, "edges")
+        edges = (
+            symmetrize_edges(self.graph.edges.select(SRC, DST), deduplicate=False)
+            .repartition(shuffle_n, SRC)
+            .dropDuplicates([SRC, DST])
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        edges = ckpt.push_bucketed(
+            edges, SRC, shuffle_n, "edges", assume_partitioned=True
+        )
         n_edges = obs.get["n"]
         self.phase_stats_.append(("prep", n_edges, round(time.monotonic() - t0, 2)))
 
@@ -279,8 +314,14 @@ class ConnectedComponentsBuilder:
                 # Pushed into the edges pool (not reps_ckpt) so the loop's
                 # evict_all_but_latest(1) reclaims it right after the doubled
                 # map — the only frame back-propagation needs — is written.
-                reps = ckpt.push_partitioned(
-                    reps, "rep", shuffle_n, f"hop_{iteration}"
+                # Bucketed by v, assume_partitioned: the aggregate's output
+                # is already HashPartitioning(v, shuffle_n) (groupBy over the
+                # src-bucketed scan), so the write is sort-only AND each
+                # doubling join's probe side (keyed on __d_v == v) scans the
+                # buckets exchange-free.
+                reps = ckpt.push_bucketed(
+                    reps, "v", shuffle_n, f"hop_{iteration}",
+                    assume_partitioned=True,
                 )
             for _ in range(doublings):
                 r2 = reps.select(
@@ -291,16 +332,25 @@ class ConnectedComponentsBuilder:
                 ).select(
                     "v", F.coalesce("__d_rep", "rep").alias("rep")
                 )
-            reps = reps_ckpt.push_partitioned(
-                reps, "rep", shuffle_n, f"reps_{iteration}"
+            # Stored bucketed by v (not rep): relabel join 1 consumes reps on
+            # v against the src-bucketed edge frame — matching bucket counts
+            # make that an Exchange-free SMJ. Back-propagation joins each
+            # frame on its rep, which was an exchange under the old rep-keyed
+            # parquet layout too (a plain parquet read-back declares no
+            # partitioning), so nothing is lost there — and backprop runs
+            # once over geometrically-shrinking frames, not per round.
+            reps = reps_ckpt.push_bucketed(
+                reps, "v", shuffle_n, f"reps_{iteration}",
+                assume_partitioned=(doublings == 0),
             )
             reps_frames.append(reps)
             obs = Observation()
-            new_edges = ckpt.push_partitioned(
-                _relabel_edges(edges, reps).observe(obs, F.count(F.lit(1)).alias("n")),
-                SRC,
-                shuffle_n,
-                "edges",
+            new_edges = (
+                _relabel_edges(edges, reps, shuffle_n)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+            )
+            new_edges = ckpt.push_bucketed(
+                new_edges, SRC, shuffle_n, "edges", assume_partitioned=True
             )
             ckpt.evict_all_but_latest(1)
             edges = new_edges

@@ -1318,6 +1318,7 @@ def duplicated_ngram_coverage(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """[doc_id, n_tokens, n_grams, dup_grams, dup_tokens, dup_gram_frac,
     dup_token_frac]: how much of each document is covered by word n-grams
@@ -1337,7 +1338,15 @@ def duplicated_ngram_coverage(
     operators there is NO candidate-pair stage, so ultra-common grams
     cost a skewed groupBy count (AQE-splittable), never a |df|^2 pair
     explosion — no ``max_doc_freq`` cap is needed. Docs shorter than
-    ``n`` tokens contribute zero grams and report zero fractions."""
+    ``n`` tokens contribute zero grams and report zero fractions.
+
+    ``materialize`` (default True) pins the positional-gram stream with
+    an eager ``localCheckpoint`` — it has THREE consumers here (the
+    doc-frequency aggregate, the dup semi join's probe side, and the
+    per-doc gram count), so without the pin the tokenize+hash generation
+    pass executes once per consumer in one action (guide §2.4/§5; the
+    same two-consumer shape exact_substr_spans pins). False = pure lazy
+    plan."""
     toks = F.split(F.col(text_col), " ")
     base = docs.select("doc_id", toks.alias("__t"))
     # full-width grams only; sequence() must not see start > stop (it
@@ -1354,6 +1363,12 @@ def duplicated_ngram_coverage(
             )
         ).alias("__p0", "gram"),
     ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
+    if materialize:
+        # eager, not lazy/persist: the consumer branches are a join's
+        # independent children and would race a lazy cache, each
+        # computing the generation pass anyway (same rationale as
+        # exact_substr_spans)
+        grams = grams.localCheckpoint()
 
     doc_freq = (
         grams.select("gram", "doc_id")
@@ -1364,6 +1379,12 @@ def duplicated_ngram_coverage(
     dup = grams.join(
         doc_freq.where(F.col("__dfreq") >= min_docs).select("gram"), "gram"
     )
+    if materialize:
+        # `dup` also has two consumers (token-coverage explode + per-doc
+        # dup-gram count); unpinned, the doc-frequency aggregate and the
+        # semi join execute once per consumer (the keep_first shape the
+        # r14 pass measured at 4x freq in one plan)
+        dup = dup.localCheckpoint()
     cov = dup.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tok"),
@@ -1411,6 +1432,7 @@ def strip_duplicated_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """[doc_id, n_tokens, n_kept, text_clean]: the REWRITE half of
     exact-substring deduplication (Lee et al. 2022, arXiv:2107.06499):
@@ -1437,7 +1459,13 @@ def strip_duplicated_spans(
     be stripped from another (cross-doc frequency decides, per Lee's
     dedup-once policy there is no "keep one canonical copy" carve-out —
     compose with ``dedup_keep_best`` for survivor selection). Docs
-    shorter than ``n`` tokens pass through untouched."""
+    shorter than ``n`` tokens pass through untouched.
+
+    ``materialize`` (default True) pins the positional-gram stream with
+    an eager ``localCheckpoint`` — two consumers (doc-frequency aggregate
+    + dup semi join probe side) otherwise execute the tokenize+hash
+    generation pass once each (guide §2.4/§5, same shape as
+    exact_substr_spans). False = pure lazy plan."""
     toks = F.split(F.col(text_col), " ")
     base = docs.select("doc_id", toks.alias("__t"))
     positions = F.when(
@@ -1452,6 +1480,11 @@ def strip_duplicated_spans(
             )
         ).alias("__p0", "gram"),
     ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "gram")
+    if materialize:
+        # eager pin, same rationale as duplicated_ngram_coverage: the
+        # frequency aggregate and the dup join probe are a join's
+        # independent children
+        grams = grams.localCheckpoint()
     doc_freq = (
         grams.select("gram", "doc_id")
         .distinct()

@@ -384,7 +384,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def tfidf_topk_terms(
-    docs: DataFrame, k: int = 5, text_col: str = "text"
+    docs: DataFrame, k: int = 5, text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """[doc_id, token, tf, dfreq, tfidf, rank] — each document's ``k``
     highest-TF-IDF tokens: the per-document keyword signal used for
@@ -399,7 +400,20 @@ def tfidf_topk_terms(
     partitioned BY DOCUMENT (each partition holds one doc's distinct
     tokens — bounded by doc length, never corpus-sized; compare
     ``token_topk``'s note on unpartitioned windows). The corpus size N
-    rides a 1-row broadcast, not a driver-side count action."""
+    rides a 1-row broadcast, not a driver-side count action.
+
+    ``materialize`` (default True) pins the per-(doc, token) count with
+    an eager ``localCheckpoint``: ``tf`` has two consumers (the document-
+    frequency aggregate and the scoring join) and the optimizer
+    column-prunes the dfreq branch into a DIFFERENT subtree (a distinct-
+    style aggregate without the count), so the two exchanges are NOT
+    ReusedExchange-eligible and the corpus tokenize+explode pass executed
+    once per consumer (plan-verified r15 — the r14 reuse-eligibility
+    claim was wrong; see plans/r15/tfidf_topk_before.txt). The pin makes
+    the generation pass run exactly once; dfreq stays a combine-enabled
+    groupBy (skew-safe for hot tokens — a token-partitioned window would
+    buffer a corpus-scale partition per hot token at 100 TB). False =
+    pure lazy plan."""
     tf = (
         docs.select(
             "doc_id",
@@ -408,6 +422,10 @@ def tfidf_topk_terms(
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if materialize:
+        # eager, not lazy/persist: the two consumers are a join's
+        # independent children and would race a lazy cache
+        tf = tf.localCheckpoint()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     total = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
@@ -628,6 +646,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """[doc_id, score, rank] — the corpus's ``k`` best documents for a
     bag-of-words query under Okapi BM25 (Robertson & Walker, SIGIR'94):
@@ -646,7 +665,13 @@ def bm25_search(
     over the filtered tf table. The final top-k is ``orderBy().limit(k)``
     (plans as TakeOrderedAndProject — per-partition top-k, no global
     sort at 100 TB) with the rank window applied only to the <= k
-    survivors."""
+    survivors.
+
+    ``materialize`` (default True) pins the query-term tf table (tiny:
+    <= |query_terms| rows per doc) with an eager ``localCheckpoint`` —
+    its two consumers (per-term df aggregate + scoring join) otherwise
+    each re-run the corpus-scale tokenize + explode + filter pass
+    (same shape as tfidf_topk_terms; guide §2.4). False = lazy plan."""
     terms = F.array(*[F.lit(t) for t in query_terms])
     base = docs.select(
         "doc_id",
@@ -661,6 +686,8 @@ def bm25_search(
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if materialize:
+        tf = tf.localCheckpoint()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfq"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

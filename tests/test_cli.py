@@ -2,9 +2,35 @@
 
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 import pytest
+
+
+def _cli_cmd(vpath, epath, algo, param, out, cpus="2", partitions="2"):
+    return [
+        sys.executable, "-m", "graphframes_rs_spark",
+        str(vpath), str(epath), algo, param, str(out),
+        "--partitions", partitions, "--cpus", cpus,
+    ]
+
+
+def _run_concurrently(cmds):
+    """Run independent CLI subprocesses concurrently (each is its own
+    JVM; serial execution paid ~10s of JVM startup per invocation —
+    the r14 verify window timed out on exactly this overhead). The
+    invocations are identical to the old serial form; only wall-clock
+    overlap changes."""
+    with ThreadPoolExecutor(max_workers=len(cmds)) as pool:
+        return list(
+            pool.map(
+                lambda c: subprocess.run(
+                    c, capture_output=True, text=True, timeout=600
+                ),
+                cmds,
+            )
+        )
 
 
 @pytest.fixture(scope="module")
@@ -56,21 +82,18 @@ def test_cli_new_algorithms_dispatch(graph_parquet, tmp_path):
     (proper, non-NULL), hits (normalized), walks (one per vertex)."""
     import duckdb
 
-    for algo, param, check in [
+    cases = [
         ("coloring", "7", "SELECT count(*) FROM __T__ WHERE color IS NULL"),
         ("hits", "3", "SELECT count(*) FROM __T__ WHERE authority < 0"),
         ("walks", "2", "SELECT count(*) - 6 FROM __T__"),
-    ]:
+    ]
+    results = _run_concurrently([
+        _cli_cmd(f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+                 algo, param, tmp_path / f"{algo}_out")
+        for algo, param, _ in cases
+    ])
+    for (algo, param, check), r in zip(cases, results):
         out = tmp_path / f"{algo}_out"
-        r = subprocess.run(
-            [
-                sys.executable, "-m", "graphframes_rs_spark",
-                f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
-                algo, param, str(out),
-                "--partitions", "2", "--cpus", "2",
-            ],
-            capture_output=True, text=True, timeout=600,
-        )
         assert r.returncode == 0, (algo, r.stderr[-2000:])
         con = duckdb.connect()
         bad = con.execute(
@@ -84,21 +107,18 @@ def test_cli_session3_algorithms_dispatch(graph_parquet, tmp_path):
     (rank bounded by k) run end-to-end through the CLI."""
     import duckdb
 
-    for algo, param, check in [
+    cases = [
         ("node2vec", "2,4.0,0.25", "SELECT count(*) - 6 FROM __T__"),
         ("anf", "2", "SELECT count(*) FROM __T__ WHERE nf_est <= 0"),
         ("fanout", "2", "SELECT count(*) FROM __T__ WHERE rank > 2"),
-    ]:
+    ]
+    results = _run_concurrently([
+        _cli_cmd(f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+                 algo, param, tmp_path / f"{algo}_out")
+        for algo, param, _ in cases
+    ])
+    for (algo, param, check), r in zip(cases, results):
         out = tmp_path / f"{algo}_out"
-        r = subprocess.run(
-            [
-                sys.executable, "-m", "graphframes_rs_spark",
-                f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
-                algo, param, str(out),
-                "--partitions", "2", "--cpus", "2",
-            ],
-            capture_output=True, text=True, timeout=600,
-        )
         assert r.returncode == 0, (algo, r.stderr[-2000:])
         con = duckdb.connect()
         bad = con.execute(
@@ -135,33 +155,26 @@ def test_cli_round5_algorithms_dispatch(graph_parquet, tmp_path):
         ("eigenvector", "2",
          "SELECT count(*) FROM __T__ WHERE eigenvector < 0"),  # cycle: no drain
     ]
-    for algo, param, check in cases:
+    cmds = [
+        _cli_cmd(f"{d}/v.parquet", f"{d}/e.parquet",
+                 algo, param, tmp_path / f"{algo}_out")
+        for algo, param, _ in cases
+    ]
+    # missing weight column surfaces the clear validation error — runs in
+    # the same concurrent wave (independent subprocess)
+    cmds.append(
+        _cli_cmd(f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+                 "mst", "weight", tmp_path / "mst_bad")
+    )
+    results = _run_concurrently(cmds)
+    for (algo, param, check), r in zip(cases, results):
         out = tmp_path / f"{algo}_out"
-        r = subprocess.run(
-            [
-                sys.executable, "-m", "graphframes_rs_spark",
-                f"{d}/v.parquet", f"{d}/e.parquet",
-                algo, param, str(out),
-                "--partitions", "2", "--cpus", "2",
-            ],
-            capture_output=True, text=True, timeout=600,
-        )
         assert r.returncode == 0, (algo, r.stderr[-2000:])
         bad = con.execute(
             check.replace("__T__", f"'{out}/*.parquet'")
         ).fetchone()[0]
         assert bad == 0, (algo, bad)
-
-    # missing weight column surfaces the clear validation error
-    r = subprocess.run(
-        [
-            sys.executable, "-m", "graphframes_rs_spark",
-            f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
-            "mst", "weight", str(tmp_path / "mst_bad"),
-            "--partitions", "2", "--cpus", "2",
-        ],
-        capture_output=True, text=True, timeout=600,
-    )
+    r = results[-1]
     assert r.returncode != 0
     assert "not found" in r.stderr
 
@@ -177,17 +190,13 @@ def test_cli_katz_densest_dispatch(graph_parquet, tmp_path):
     import duckdb
 
     con = duckdb.connect()
-    for algo, param, check in cases:
+    results = _run_concurrently([
+        _cli_cmd(f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
+                 algo, param, tmp_path / f"{algo}_out")
+        for algo, param, _ in cases
+    ])
+    for (algo, param, check), r in zip(cases, results):
         out = tmp_path / f"{algo}_out"
-        r = subprocess.run(
-            [
-                sys.executable, "-m", "graphframes_rs_spark",
-                f"{graph_parquet}/v.parquet", f"{graph_parquet}/e.parquet",
-                algo, param, str(out),
-                "--partitions", "2", "--cpus", "2",
-            ],
-            capture_output=True, text=True, timeout=600,
-        )
         assert r.returncode == 0, (algo, r.stderr[-2000:])
         bad = con.execute(
             check.replace("__T__", f"read_parquet('{out}/*.parquet')")

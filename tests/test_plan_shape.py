@@ -441,8 +441,16 @@ def test_bm25_filters_before_group_and_takes_ordered(spark):
     plan = _executed_plan(out)
     assert "TakeOrderedAndProject" in plan, plan
     # array_contains filter applies pre-aggregate (appears in a Filter or
-    # Generate stage, not after HashAggregate)
-    assert "array_contains" in plan, plan
+    # Generate stage, not after HashAggregate). With the r15 materialize
+    # pin the tf generation subtree lives behind a localCheckpoint scan,
+    # so assert the generation-shape contract on the LAZY plan — and that
+    # the pinned default returns the same rows.
+    lazy = bm25_search(docs, ["alpha"], k=5, materialize=False)
+    lazy_plan = _executed_plan(lazy)
+    assert "array_contains" in lazy_plan, lazy_plan
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
 
 
 def test_louvain_neighbour_join_is_shuffle_free(spark, tmp_path):
@@ -606,3 +614,64 @@ def test_minhash_index_path_reads_parquet_not_recompute(spark, tmp_path):
     # still no cartesian / nested-loop anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r15_materialize_pins_single_generation_pass(spark):
+    """r15 plan contract for the two-consumer pins (guide §2.4): with the
+    default materialize=True the corpus generation pass (tokenize +
+    explode) runs exactly once — the executed plan consumes a checkpoint
+    scan, zero Generate nodes — while the lazy plan re-plans the
+    generation subtree once per consumer. Rows identical either way.
+    Covers tfidf_topk_terms (the r14 ReusedExchange-eligibility claim was
+    WRONG: the dfreq branch column-prunes into a different subtree, so
+    without the pin the explode executes twice) and the word-gram pair
+    duplicated_ngram_coverage / strip_duplicated_spans."""
+    from graphframes_rs_spark.pipeline import dedup, text
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{(i * 3) % 7} common word here w{i % 3} x y")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+
+    # tfidf: pinned default -> no Generate in the final plan (the one
+    # generation pass ran inside the eager localCheckpoint); lazy -> >= 2
+    pinned = text.tfidf_topk_terms(docs, k=2)
+    pinned.collect()
+    plan = _executed_plan(pinned)
+    if "== Initial Plan ==" in plan:
+        plan = plan[: plan.index("== Initial Plan ==")]
+    assert plan.count("Generate explode") == 0, plan
+    lazy = text.tfidf_topk_terms(docs, k=2, materialize=False)
+    lazy.collect()
+    lazy_plan = _executed_plan(lazy)
+    if "== Initial Plan ==" in lazy_plan:
+        lazy_plan = lazy_plan[: lazy_plan.index("== Initial Plan ==")]
+    assert lazy_plan.count("Generate explode") >= 2, lazy_plan
+    assert sorted(map(tuple, pinned.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
+
+    # word-gram pins: the gram-stream posexplode is consumed from the
+    # checkpoint in the pinned final plan, so only strip's separate token
+    # rebuild posexplode may remain (coverage: 0, strip: 1); lazily the
+    # gram generation re-plans once per consumer. Rows identical.
+    for fn, n_pinned, n_lazy in (
+        (dedup.duplicated_ngram_coverage, 0, 2),
+        (dedup.strip_duplicated_spans, 1, 3),
+    ):
+        p = fn(docs, n=2)
+        p.collect()
+        pp = _executed_plan(p)
+        if "== Initial Plan ==" in pp:
+            pp = pp[: pp.index("== Initial Plan ==")]
+        assert pp.count("Generate posexplode") == n_pinned, (fn.__name__, pp)
+        lz = fn(docs, n=2, materialize=False)
+        lz.collect()
+        lp = _executed_plan(lz)
+        if "== Initial Plan ==" in lp:
+            lp = lp[: lp.index("== Initial Plan ==")]
+        assert lp.count("Generate posexplode") >= n_lazy, (fn.__name__, lp)
+        assert sorted(map(tuple, p.collect())) == sorted(
+            map(tuple, lz.collect())
+        ), fn.__name__

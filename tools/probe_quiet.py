@@ -1,10 +1,18 @@
 """Standalone quiet-box probe: the bench's fixed-work shuffle calib
-(bench._shuffle_probe) plus the pure-python loop, run in a throwaway
-local session. Prints one JSON line. Used between full-bench attempts to
-decide when the box has left a bandwidth wave WITHOUT paying a full
-bench launch (r14: a run launched on <0.3%-steal samples still opened at
-shuffle_s 10.4s — steal does not see the bandwidth-wave mode, only an
-actual exchange does).
+(bench._shuffle_probe, imported — not duplicated — so the probe cannot
+drift from what the bench gates on) plus the pure-python loop, run in a
+throwaway local session. Prints one JSON line. Used between full-bench
+attempts to decide when the box has left a bandwidth wave WITHOUT paying
+a full bench launch (r14: a run launched on <0.3%-steal samples still
+opened at shuffle_s 10.4s — steal does not see the bandwidth-wave mode,
+only an actual exchange does).
+
+r15 ADVICE fixes: the session mirrors bench._make_session's partitioning
+(shuffle.partitions = SPARK_GRAFT_CPUS, not a hardcoded 32) so shuffle_s
+is comparable to the bench calib floor at any core count, and the
+reported ``shuffle_s`` is the MAX of the samples — the bench's gate takes
+a single sample, so a wave tail (slow sample 1, quiet sample 2) must not
+report a clearing min.
 """
 import json
 import os
@@ -12,6 +20,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _shuffle_probe  # noqa: E402
 
 
 def main():
@@ -28,20 +38,16 @@ def main():
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("probe_quiet")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
         .getOrCreate()
     )
     # warm one tiny job so JVM/codegen startup is not in the probe
     spark.range(1000).count()
-    samples = []
-    for _ in range(2):
-        t0 = time.monotonic()
-        spark.range(32_000_000).selectExpr("id % 100000 AS k").groupBy(
-            "k"
-        ).count().selectExpr("sum(count)").collect()
-        samples.append(round(time.monotonic() - t0, 3))
+    samples = [_shuffle_probe(spark) for _ in range(2)]
     spark.stop()
-    print(json.dumps({"py_loop_s": py_s, "shuffle_s": min(samples),
+    # go/no-go on the WORSE sample: the bench calib gate is single-sample
+    print(json.dumps({"py_loop_s": py_s, "shuffle_s": max(samples),
                       "shuffle_samples": samples}))
 
 
