@@ -24,15 +24,26 @@ output is bit-identical to the reference's regardless of hash family.
 ``finite_axpb`` itself ships in ``functions/hashes.py`` for parity.
 
 Scale notes: each round shrinks the edge set geometrically; the heavy ops
-are two relabel joins + a dedup, all keyed on vertex ids. Edges and the
-per-round rep maps are checkpointed as BUCKETED parquet tables (r15,
-guide §2.4): the scans come back declaring HashPartitioning(key, n), so
-the per-round reps aggregate (groupBy src over the src-bucketed edges)
-and relabel join 1 (src == reps.v, reps bucketed on v) plan with NO
-Exchange — only join 2's dst re-key and the pre-write src repartition
-move the edge frame, ~2 edge-scale exchanges per round instead of ~5
-(the exchange-count story that matters when shuffles are network-bound;
-tools/exp_wcc.py prototyped and verified the shape bit-identical in r6).
+are two relabel joins + a distinct, all keyed on vertex ids (AQE handles
+skew from giant components). Edges and the mapping are checkpointed per
+round to truncate lineage.
+
+**Bucketed-round restructure: measured and REJECTED (r15).** Storing the
+edge frame and rep maps as bucketed checkpoints removes ~3 of the ~5
+edge-scale Exchanges per round (the reps aggregate and relabel join 1
+consume declared HashPartitioning) and measured +11% on the uniform
+54M-edge tier — but **35% SLOWER on the power-law skew18m tier** (46.3s
+vs 34.3s warm interleaved, warmups agree; tools/exp_r15_wcc_bucketed.py
+at commit 45f32fc): AQE's skew-join splitting only applies when BOTH
+join sides are ENSURE_REQUIREMENTS shuffles, so a bucket-aligned relabel
+join cannot split the contracted giant-component supernode's partition,
+and after round 1 the surviving edges concentrate exactly there. No
+hybrid keeps both properties (any bucketed side of the join disables the
+split; an explicit repartition is REPARTITION_BY_NUM, which the skew
+rule also refuses to split). Power-law degree is the 100 TB norm, so
+skew-safety wins over exchange count here — this closes the r6 question
+(tools/exp_wcc.py, ~6% on uniform 18m) with the decisive skew
+counter-evidence.
 
 **Local-finish tail collapse**: geometric contraction means that after
 O(1) distributed rounds the surviving graph fits in a single task no
@@ -177,31 +188,19 @@ def _local_components(edges: DataFrame) -> DataFrame:
     return edges.select(SRC, DST).coalesce(1).mapInPandas(solve, "v long, rep long")
 
 
-def _relabel_edges(
-    edges: DataFrame, reps: DataFrame, num_partitions: int | None = None
-) -> DataFrame:
+def _relabel_edges(edges: DataFrame, reps: DataFrame) -> DataFrame:
     """(u, w) -> (rep(u), rep(w)), self-loops dropped, deduplicated
-    (mirrors relabel_edges, connected_components.rs:70-96).
-
-    With ``num_partitions`` the dedup runs as repartition(n, src) +
-    dropDuplicates([src, dst]) instead of a plain ``distinct()``:
-    HashPartitioning(src) clusters the (src, dst) groups (subset-of-keys),
-    so the dedup aggregate adds NO exchange of its own and the output
-    arrives hash-placed on src — exactly the layout the next round's
-    bucketed edge checkpoint wants (write becomes sort-only under
-    ``assume_partitioned``). Same row multiset either way."""
+    (mirrors relabel_edges, connected_components.rs:70-96)."""
     src_rel = (
         edges.join(reps, edges[SRC] == reps["v"], "inner")
         .select(F.col("rep").alias(SRC), F.col(DST))
     )
-    rel = (
+    return (
         src_rel.join(reps, src_rel[DST] == reps["v"], "inner")
         .filter(F.col(SRC) != F.col("rep"))
         .select(F.col(SRC), F.col("rep").alias(DST))
+        .distinct()
     )
-    if num_partitions is None:
-        return rel.distinct()
-    return rel.repartition(num_partitions, SRC).dropDuplicates([SRC, DST])
 
 
 class ConnectedComponentsBuilder:
@@ -245,30 +244,13 @@ class ConnectedComponentsBuilder:
         # prepare: drop self-loops, symmetrize, dedup (cc.rs "prepare" step).
         # Edge counts ride the checkpoint writes as observe() metrics — loop
         # control never pays a separate count job over the edge set.
-        # r15 restructure (guide §2.4, the shape tools/exp_wcc.py measured
-        # bit-identical): the edge frame is stored as a BUCKETED checkpoint
-        # keyed on src, so the scan comes back *declaring*
-        # HashPartitioning(src, shuffle_n) — the per-round reps aggregate
-        # (groupBy src) and relabel join 1 (src == reps.v, reps bucketed on
-        # v below) plan with NO Exchange. A plain parquet re-read carries no
-        # partitioning metadata, so the old push_partitioned form paid ~5
-        # edge-scale Exchanges per round; bucketed rounds pay 2 (join 2's
-        # dst re-key + the pre-write src repartition). Dedup runs AFTER the
-        # src repartition: HashPartitioning(src) clusters (src, dst) groups
-        # (subset-of-keys), so dropDuplicates adds no exchange of its own
-        # and the write is sort-only (assume_partitioned).
         self.phase_stats_ = []
         t0 = time.monotonic()
         obs = Observation()
-        edges = (
-            symmetrize_edges(self.graph.edges.select(SRC, DST), deduplicate=False)
-            .repartition(shuffle_n, SRC)
-            .dropDuplicates([SRC, DST])
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-        )
-        edges = ckpt.push_bucketed(
-            edges, SRC, shuffle_n, "edges", assume_partitioned=True
-        )
+        edges = symmetrize_edges(
+            self.graph.edges.select(SRC, DST), deduplicate=True
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
+        edges = ckpt.push_partitioned(edges, SRC, shuffle_n, "edges")
         n_edges = obs.get["n"]
         self.phase_stats_.append(("prep", n_edges, round(time.monotonic() - t0, 2)))
 
@@ -314,14 +296,8 @@ class ConnectedComponentsBuilder:
                 # Pushed into the edges pool (not reps_ckpt) so the loop's
                 # evict_all_but_latest(1) reclaims it right after the doubled
                 # map — the only frame back-propagation needs — is written.
-                # Bucketed by v, assume_partitioned: the aggregate's output
-                # is already HashPartitioning(v, shuffle_n) (groupBy over the
-                # src-bucketed scan), so the write is sort-only AND each
-                # doubling join's probe side (keyed on __d_v == v) scans the
-                # buckets exchange-free.
-                reps = ckpt.push_bucketed(
-                    reps, "v", shuffle_n, f"hop_{iteration}",
-                    assume_partitioned=True,
+                reps = ckpt.push_partitioned(
+                    reps, "rep", shuffle_n, f"hop_{iteration}"
                 )
             for _ in range(doublings):
                 r2 = reps.select(
@@ -332,25 +308,16 @@ class ConnectedComponentsBuilder:
                 ).select(
                     "v", F.coalesce("__d_rep", "rep").alias("rep")
                 )
-            # Stored bucketed by v (not rep): relabel join 1 consumes reps on
-            # v against the src-bucketed edge frame — matching bucket counts
-            # make that an Exchange-free SMJ. Back-propagation joins each
-            # frame on its rep, which was an exchange under the old rep-keyed
-            # parquet layout too (a plain parquet read-back declares no
-            # partitioning), so nothing is lost there — and backprop runs
-            # once over geometrically-shrinking frames, not per round.
-            reps = reps_ckpt.push_bucketed(
-                reps, "v", shuffle_n, f"reps_{iteration}",
-                assume_partitioned=(doublings == 0),
+            reps = reps_ckpt.push_partitioned(
+                reps, "rep", shuffle_n, f"reps_{iteration}"
             )
             reps_frames.append(reps)
             obs = Observation()
-            new_edges = (
-                _relabel_edges(edges, reps, shuffle_n)
-                .observe(obs, F.count(F.lit(1)).alias("n"))
-            )
-            new_edges = ckpt.push_bucketed(
-                new_edges, SRC, shuffle_n, "edges", assume_partitioned=True
+            new_edges = ckpt.push_partitioned(
+                _relabel_edges(edges, reps).observe(obs, F.count(F.lit(1)).alias("n")),
+                SRC,
+                shuffle_n,
+                "edges",
             )
             ckpt.evict_all_but_latest(1)
             edges = new_edges

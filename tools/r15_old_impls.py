@@ -3,13 +3,13 @@ kept for interleaved A/B harnesses and before-plan capture (same pattern
 as tools/r14_old_impls.py).
 
 ``old_wcc_run``: ConnectedComponentsBuilder.run() as of r14 HEAD —
-parquet-checkpointed rounds via push_partitioned (every relabel join and
-the per-round groupBy re-Exchange the edge frame because a plain parquet
-read-back carries no partitioning metadata). The r15 operator stores the
-edge frame and the per-round rep map as BUCKETED checkpoints instead
-(push_bucketed), so the reps aggregate and relabel join 1 plan with no
-Exchange at all and only two edge-scale Exchanges remain per round
-(join 2's dst re-key + the pre-write src repartition).
+parquet-checkpointed rounds via push_partitioned. The r15 round built a
+BUCKETED-checkpoint variant (commit 45f32fc) that removed ~3 edge-scale
+Exchanges per round, measured it with tools/exp_r15_wcc_bucketed.py
+(parity on 18m, +11% on 54m, **-35% on the power-law skew18m tier**
+because bucket-aligned relabel joins forfeit AQE skew-splitting) and
+REVERTED it — so at HEAD this function is identical to the shipped
+operator again. To reproduce the A/B, run the experiment at 45f32fc.
 """
 
 from __future__ import annotations
