@@ -1318,7 +1318,7 @@ def duplicated_ngram_coverage(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """[doc_id, n_tokens, n_grams, dup_grams, dup_tokens, dup_gram_frac,
     dup_token_frac]: how much of each document is covered by word n-grams
@@ -1340,13 +1340,19 @@ def duplicated_ngram_coverage(
     explosion — no ``max_doc_freq`` cap is needed. Docs shorter than
     ``n`` tokens contribute zero grams and report zero fractions.
 
-    ``materialize`` (default True) pins the positional-gram stream with
-    an eager ``localCheckpoint`` — it has THREE consumers here (the
+    ``materialize`` (default False) can pin the positional-gram stream
+    with an eager ``localCheckpoint`` — it has THREE consumers (the
     doc-frequency aggregate, the dup semi join's probe side, and the
-    per-doc gram count), so without the pin the tokenize+hash generation
-    pass executes once per consumer in one action (guide §2.4/§5; the
-    same two-consumer shape exact_substr_spans pins). False = pure lazy
-    plan."""
+    per-doc gram count), so lazily the tokenize+hash generation pass
+    executes once per consumer in one action. Default OFF, unlike
+    exact_substr_spans: measured r15 (interleaved A/B, quiet box), the
+    word-gram generation is a cheap narrow codegen map while the pin
+    serializes the full gram stream (~2x input size) to executor
+    storage — pinned 4.9-5.8s vs lazy 0.41-0.48s at the 200k-doc tier,
+    1.1-1.3s vs 0.25-0.28s at 5k docs. The pin pays only when the
+    generation pass is expensive relative to its output (the rolling-
+    hash Python pass in exact_substr; the post-aggregate tf in tfidf),
+    which word grams are not."""
     toks = F.split(F.col(text_col), " ")
     base = docs.select("doc_id", toks.alias("__t"))
     # full-width grams only; sequence() must not see start > stop (it
@@ -1432,7 +1438,7 @@ def strip_duplicated_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """[doc_id, n_tokens, n_kept, text_clean]: the REWRITE half of
     exact-substring deduplication (Lee et al. 2022, arXiv:2107.06499):
@@ -1461,11 +1467,13 @@ def strip_duplicated_spans(
     compose with ``dedup_keep_best`` for survivor selection). Docs
     shorter than ``n`` tokens pass through untouched.
 
-    ``materialize`` (default True) pins the positional-gram stream with
-    an eager ``localCheckpoint`` — two consumers (doc-frequency aggregate
-    + dup semi join probe side) otherwise execute the tokenize+hash
-    generation pass once each (guide §2.4/§5, same shape as
-    exact_substr_spans). False = pure lazy plan."""
+    ``materialize`` (default False) can pin the positional-gram stream
+    with an eager ``localCheckpoint`` — two consumers (doc-frequency
+    aggregate + dup semi join probe side) otherwise execute the
+    tokenize+hash generation pass once each. Default OFF: see
+    duplicated_ngram_coverage's docstring for the r15 measurement
+    (pinning the cheap narrow gram map costs 4-10x the recompute at
+    every tier tested)."""
     toks = F.split(F.col(text_col), " ")
     base = docs.select("doc_id", toks.alias("__t"))
     positions = F.when(

@@ -652,26 +652,28 @@ def test_r15_materialize_pins_single_generation_pass(spark):
         map(tuple, lazy.collect())
     )
 
-    # word-gram pins: the gram-stream posexplode is consumed from the
-    # checkpoint in the pinned final plan, so only strip's separate token
-    # rebuild posexplode may remain (coverage: 0, strip: 1); lazily the
-    # gram generation re-plans once per consumer. Rows identical.
+    # word-gram pair: the DEFAULT is lazy (r15 measured the pin 4-10x
+    # slower than recomputing the cheap narrow gram map at every tier —
+    # see duplicated_ngram_coverage's docstring); materialize=True still
+    # works and consumes the gram stream from the checkpoint (coverage: 0
+    # gram posexplodes, strip keeps exactly 1 — its separate token
+    # rebuild). Rows identical either way.
     for fn, n_pinned, n_lazy in (
         (dedup.duplicated_ngram_coverage, 0, 2),
         (dedup.strip_duplicated_spans, 1, 3),
     ):
-        p = fn(docs, n=2)
-        p.collect()
-        pp = _executed_plan(p)
-        if "== Initial Plan ==" in pp:
-            pp = pp[: pp.index("== Initial Plan ==")]
-        assert pp.count("Generate posexplode") == n_pinned, (fn.__name__, pp)
-        lz = fn(docs, n=2, materialize=False)
+        lz = fn(docs, n=2)  # default IS lazy
         lz.collect()
         lp = _executed_plan(lz)
         if "== Initial Plan ==" in lp:
             lp = lp[: lp.index("== Initial Plan ==")]
         assert lp.count("Generate posexplode") >= n_lazy, (fn.__name__, lp)
+        p = fn(docs, n=2, materialize=True)
+        p.collect()
+        pp = _executed_plan(p)
+        if "== Initial Plan ==" in pp:
+            pp = pp[: pp.index("== Initial Plan ==")]
+        assert pp.count("Generate posexplode") == n_pinned, (fn.__name__, pp)
         assert sorted(map(tuple, p.collect())) == sorted(
             map(tuple, lz.collect())
         ), fn.__name__

@@ -72,22 +72,11 @@ for name, fn_orig, patch in (
         setattr(mod, patch, fn_orig)
     dump(Q[name](spark, sf_dir), f"{name}_after.txt")
 
-for name, patch in (
-    ("ngram_dup_coverage", "duplicated_ngram_coverage"),
-    ("dedup_strip_spans", "strip_duplicated_spans"),
-):
-    fn_orig = getattr(dedup, patch)
-
-    def _old(*a, _f=fn_orig, **kw):
-        kw["materialize"] = False
-        return _f(*a, **kw)
-
-    setattr(dedup, patch, _old)
-    try:
-        dump(Q[name](spark, sf_dir), f"{name}_before.txt")
-    finally:
-        setattr(dedup, patch, fn_orig)
-    dump(Q[name](spark, sf_dir), f"{name}_after.txt")
+# word-gram pair (ngram_dup_coverage / dedup_strip_spans): the r15 pin
+# was measured 4-10x SLOWER than recomputing the cheap narrow gram map
+# (plans/r15/pins_ab.log) and the shipped default stays lazy = the r14
+# plan — no before/after pair (no shipped plan change); the flag-on shape
+# is pinned by test_plan_shape.py::test_r15_materialize_pins_single_generation_pass.
 
 # --- WCC: the bucketed-round restructure was measured and REVERTED ------
 # (parity 18m, +11% 54m, -35% power-law skew18m — bucket-aligned relabel
