@@ -1012,11 +1012,16 @@ CLEAN_FLOORS = {
     "scale_wcc_6m": 16.8,         # BENCH_r09
     "scale_wcc_skew18m": 25.9,    # r13 builder run 2 (0.2s steal)
     "scale_node2vec_6m": 11.9,    # BENCH_r08
-    # r13 builder run 2 (0.18s steal) after the one-push round restructure
-    "scale_matching_6m": 10.7,
-    "scale_dedup_200k": 10.4,     # BENCH_r10
-    # seeded from the r13 quiet-box introduction measurements
-    "scale_exactsubstr_keepfirst_200k": 11.3,
+    # r15 full-bench run (40ms steal): below the r13 10.7 floor
+    "scale_matching_6m": 10.0,
+    "scale_dedup_200k": 10.2,     # r15 full-bench run (0.74s steal)
+    # r15 full-bench run (110ms steal): the keep_first single-execution
+    # sweep confirmed below the old 11.3 floor under driver methodology
+    "scale_exactsubstr_keepfirst_200k": 10.4,
+    # r15 targeted quiet run (40ms steal, BENCH_ONLY — OPTIMIZATION_r15.md
+    # measurement log): the pinned-tf plan's first clean driver-method
+    # datum; r13/r14 committed 5.17/4.93 on the lazy plan
+    "scale_tfidf_200k": 3.8,
     # 46.3s wall measured UNDER 10.2s steal (r13 builder run 2) — the
     # wall upper-bounds the clean cost, so the floor moves down to it
     "scale_exactsubstr_1m": 46.3,
@@ -1024,10 +1029,9 @@ CLEAN_FLOORS = {
     # steal, calib shuffle 1.32s): 10.799s — below even the 12.1s r13
     # builder measure; the r13 driver's 20.7s was the box
     "scale_pagerank_18m": 10.8,
-    # r13 committed walls whose kept samples carried <0.5s steal — valid
-    # clean upper bounds, so the floor rule can see these tiers too
-    "scale_ann_200k": 10.9,      # BENCH_r13 (90ms steal)
-    "scale_ivfpq_200k": 11.0,    # BENCH_r13 (300ms steal)
+    # r15 full-bench run (100/120ms steal) — below the r13 floors
+    "scale_ann_200k": 8.6,
+    "scale_ivfpq_200k": 9.4,
     # r14 end-of-round attempt 1: the row itself landed in a quiet gap of
     # an otherwise stormy run (250ms steal on a 10.98s wall —
     # plans/r14/bench_attempt1_storm.json)
@@ -1053,8 +1057,12 @@ PRE_PROBE_FLOOR_S = 10.0
 # probe ever committed instead (same monotone-floor treatment as
 # CLEAN_FLOORS: update only when a CLEANER run is committed, never up).
 # 0.886s = the r13 pre-54m-tier standalone probe (BENCH_DETAIL r13
-# pre_tier_calib, cleared).
-CALIB_SHUFFLE_FLOOR_S = 0.886
+# pre_tier_calib, cleared). 0.802s = the r15 committed run-start probe.
+# Only RUN-START-class probes update this floor: mid-session pre-tier
+# probes run JIT-hot and draw as low as 0.27s (r15 detail), and gating a
+# semi-warm run-start probe against a hot floor would fire the gate on
+# every launch.
+CALIB_SHUFFLE_FLOOR_S = 0.802
 # The floor was measured on local[32]; the probe is FIXED WORK run on all
 # cores, so at a lower SPARK_GRAFT_CPUS it is inherently ~(32/cpus)x
 # slower on a perfectly quiet box. r14's 8-core run compared its probe
